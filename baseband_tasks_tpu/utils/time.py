@@ -1,0 +1,378 @@
+"""Two-double precision time scale for baseband_tasks_tpu.
+
+Replaces ``astropy.time.Time`` for this framework.  A :class:`Time` holds a
+pair of float64 Julian dates ``(jd1, jd2)`` whose *sum* is the true Julian
+date; keeping ``jd2`` small preserves ~10 ps resolution near any epoch,
+which comfortably exceeds the ~ns bookkeeping the reference needs
+(`/root/reference/baseband_tasks/base.py:312-377` seeks streams by absolute
+Time; `/root/reference/baseband_tasks/phases/core.py:34-36` quotes ~10 ns
+phase-model precision).
+
+All arithmetic uses error-free two-sum (Knuth/Dekker) so that
+``(t + dt) - t == dt`` to float64 rounding of the *small* component.
+
+Host-only: never used inside jitted code.  Device kernels receive sample
+offsets (ints) and rates (floats); absolute time stays on the host.
+"""
+
+from __future__ import annotations
+
+import numbers
+import re
+
+import numpy as np
+
+from . import units as u
+
+__all__ = ["Time", "TimeDelta", "two_sum"]
+
+SECONDS_PER_DAY = 86400.0
+MJD_ZEROPOINT = 2400000.5
+
+
+def two_sum(a, b):
+    """Error-free transformation: a + b = hi + lo exactly."""
+    hi = a + b
+    v = hi - a
+    lo = (a - (hi - v)) + (b - v)
+    return hi, lo
+
+
+def _normalize(jd1, jd2):
+    """Renormalize so jd1 carries the big part and jd2 the residual."""
+    hi, lo = two_sum(jd1, jd2)
+    return hi, lo
+
+
+class TimeDelta:
+    """A duration held as a two-double pair of days."""
+
+    __slots__ = ("d1", "d2")
+
+    def __init__(self, d1, d2=0.0):
+        if isinstance(d1, TimeDelta):
+            d1, d2 = d1.d1, d1.d2 + d2
+        elif isinstance(d1, u.Quantity):
+            d1 = d1.to_value(u.day)
+        d1 = np.asarray(d1, dtype=np.float64)
+        d2 = np.asarray(d2, dtype=np.float64)
+        self.d1, self.d2 = _normalize(d1, d2)
+
+    @classmethod
+    def from_sec(cls, sec1, sec2=0.0):
+        return cls(np.asarray(sec1, dtype=np.float64) / SECONDS_PER_DAY,
+                   np.asarray(sec2, dtype=np.float64) / SECONDS_PER_DAY)
+
+    @property
+    def jd(self):
+        return self.d1 + self.d2
+
+    @property
+    def sec(self):
+        """Duration in seconds (lossy single float64)."""
+        return (self.d1 + self.d2) * SECONDS_PER_DAY \
+            if np.ndim(self.d1) else float((self.d1 + self.d2) * SECONDS_PER_DAY)
+
+    @property
+    def sec_pair(self):
+        """Duration as an exact (hi, lo) pair of seconds."""
+        return self.d1 * SECONDS_PER_DAY, self.d2 * SECONDS_PER_DAY
+
+    def to(self, unit):
+        return u.Quantity(self.sec, u.s).to(unit)
+
+    def to_value(self, unit):
+        return self.to(unit).value
+
+    @property
+    def shape(self):
+        return np.shape(self.d1)
+
+    @property
+    def isscalar(self):
+        return np.ndim(self.d1) == 0
+
+    def __add__(self, other):
+        if isinstance(other, Time):
+            return other + self
+        other = TimeDelta(other) if not isinstance(other, TimeDelta) else other
+        hi, lo = two_sum(self.d1, other.d1)
+        return TimeDelta(hi, lo + self.d2 + other.d2)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        other = TimeDelta(other) if not isinstance(other, TimeDelta) else other
+        return self + (-other)
+
+    def __neg__(self):
+        return TimeDelta(-self.d1, -self.d2)
+
+    def __mul__(self, k):
+        if isinstance(k, u.Quantity):
+            k = k.to_value(u.dimensionless)
+        return TimeDelta(self.d1 * k, self.d2 * k)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        if isinstance(other, TimeDelta):
+            return (self.d1 + self.d2) / (other.d1 + other.d2)
+        if isinstance(other, u.Quantity):
+            return u.Quantity(self.sec, u.s) / other
+        return TimeDelta(self.d1 / other, self.d2 / other)
+
+    def _cmp(self, other):
+        other = TimeDelta(other) if not isinstance(other, TimeDelta) else other
+        return (self.d1 - other.d1) + (self.d2 - other.d2)
+
+    def __lt__(self, other):
+        return self._cmp(other) < 0
+
+    def __le__(self, other):
+        return self._cmp(other) <= 0
+
+    def __gt__(self, other):
+        return self._cmp(other) > 0
+
+    def __ge__(self, other):
+        return self._cmp(other) >= 0
+
+    def __eq__(self, other):
+        try:
+            return self._cmp(other) == 0
+        except Exception:
+            return NotImplemented
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else ~np.asarray(eq) \
+            if np.ndim(eq) else not eq
+
+    def __abs__(self):
+        neg = (self.d1 + self.d2) < 0
+        if np.ndim(self.d1) == 0:
+            return -self if neg else self
+        return TimeDelta(np.where(neg, -self.d1, self.d1),
+                         np.where(neg, -self.d2, self.d2))
+
+    def __getitem__(self, item):
+        return TimeDelta(np.asarray(self.d1)[item], np.asarray(self.d2)[item])
+
+    def __repr__(self):
+        return f"<TimeDelta {self.sec} s>"
+
+
+_ISOT_RE = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2}):(\d{2}(?:\.\d+)?)$")
+
+
+def _cal_to_jd(year, month, day):
+    """Gregorian calendar date -> integer-offset Julian date (Fliegel-Van Flandern).
+
+    Returns JD at noon of that date (an integer as float).
+    """
+    a = (14 - month) // 12
+    y = year + 4800 - a
+    mth = month + 12 * a - 3
+    jdn = day + (153 * mth + 2) // 5 + 365 * y + y // 4 - y // 100 + y // 400 - 32045
+    return float(jdn)
+
+
+def _jd_to_cal(jdn):
+    """Integer Julian day number -> (year, month, day)."""
+    a = jdn + 32044
+    b = (4 * a + 3) // 146097
+    c = a - 146097 * b // 4
+    d = (4 * c + 3) // 1461
+    e = c - 1461 * d // 4
+    mth = (5 * e + 2) // 153
+    day = e - (153 * mth + 2) // 5 + 1
+    month = mth + 3 - 12 * (mth // 10)
+    year = 100 * b + d - 4800 + mth // 10
+    return year, month, day
+
+
+class Time:
+    """An absolute epoch as a two-double Julian date.
+
+    Construct from MJD (``Time(mjd, format='mjd')`` or ``Time.from_mjd``),
+    ISO string (``Time('2018-01-01T12:00:00.0')``), or a raw ``(jd1, jd2)``
+    pair.  No timescale conversions (TT/UTC/TAI) are performed: like the
+    reference's use of astropy Time, a single uniform scale is assumed
+    (baseband timestamps), which is all stream bookkeeping needs.
+    """
+
+    __slots__ = ("jd1", "jd2")
+
+    def __init__(self, value, jd2=None, format=None):
+        if isinstance(value, Time):
+            self.jd1, self.jd2 = value.jd1, value.jd2
+            return
+        if isinstance(value, str):
+            self.jd1, self.jd2 = self._parse_isot(value)
+            return
+        if isinstance(value, (list, tuple)) and value and isinstance(value[0], (str, Time)):
+            parts = [Time(v) for v in value]
+            self.jd1 = np.array([p.jd1 for p in parts])
+            self.jd2 = np.array([p.jd2 for p in parts])
+            return
+        if isinstance(value, np.ndarray) and value.dtype.kind == "U":
+            parts = [Time(str(v)) for v in value.ravel()]
+            self.jd1 = np.array([p.jd1 for p in parts]).reshape(value.shape)
+            self.jd2 = np.array([p.jd2 for p in parts]).reshape(value.shape)
+            return
+        value = np.asarray(value, dtype=np.float64)
+        if format == "mjd":
+            extra = np.asarray(jd2, dtype=np.float64) if jd2 is not None else 0.0
+            hi, lo = two_sum(value, MJD_ZEROPOINT)
+            self.jd1, self.jd2 = _normalize(hi, lo + extra)
+        elif format in (None, "jd"):
+            extra = np.asarray(jd2, dtype=np.float64) if jd2 is not None else 0.0
+            self.jd1, self.jd2 = _normalize(value, extra)
+        else:
+            raise ValueError(f"unknown time format {format!r}")
+
+    @staticmethod
+    def _parse_isot(string):
+        match = _ISOT_RE.match(string.strip())
+        if not match:
+            raise ValueError(f"cannot parse time string {string!r}")
+        yy, mo, dd, hh, mm = (int(match.group(i)) for i in range(1, 6))
+        ss = float(match.group(6))
+        jd_noon = _cal_to_jd(yy, mo, dd)
+        frac_day = (hh * 3600.0 + mm * 60.0 + ss) / SECONDS_PER_DAY - 0.5
+        return _normalize(jd_noon, frac_day)
+
+    @classmethod
+    def from_mjd(cls, mjd, frac=0.0):
+        return cls(mjd, frac, format="mjd")
+
+    # -- views ----------------------------------------------------------
+    @property
+    def jd(self):
+        return self.jd1 + self.jd2
+
+    @property
+    def mjd(self):
+        hi, lo = two_sum(self.jd1, -MJD_ZEROPOINT)
+        return hi + (lo + self.jd2)
+
+    @property
+    def mjd_pair(self):
+        """(hi, lo) float64 pair whose sum is the exact MJD."""
+        hi, lo = two_sum(self.jd1, -MJD_ZEROPOINT)
+        hi2, lo2 = two_sum(hi, lo + self.jd2)
+        return hi2, lo2
+
+    @property
+    def unix(self):
+        """Seconds since 1970-01-01T00:00:00 on this scale (lossy)."""
+        return (self.mjd - 40587.0) * SECONDS_PER_DAY
+
+    @property
+    def shape(self):
+        return np.shape(self.jd1)
+
+    @property
+    def ndim(self):
+        return np.ndim(self.jd1)
+
+    @property
+    def isscalar(self):
+        return np.ndim(self.jd1) == 0
+
+    def __getitem__(self, item):
+        return Time(np.asarray(self.jd1)[item], np.asarray(self.jd2)[item])
+
+    def reshape(self, shape):
+        return Time(np.reshape(self.jd1, shape), np.reshape(self.jd2, shape))
+
+    def ravel(self):
+        return Time(np.ravel(self.jd1), np.ravel(self.jd2))
+
+    # -- arithmetic ------------------------------------------------------
+    def __add__(self, other):
+        if isinstance(other, u.Quantity):
+            other = TimeDelta.from_sec(other.to_value(u.s))
+        if not isinstance(other, TimeDelta):
+            return NotImplemented
+        hi, lo = two_sum(self.jd1, other.d1)
+        return Time(hi, lo + self.jd2 + other.d2)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        if isinstance(other, Time):
+            hi, lo = two_sum(self.jd1, -other.jd1)
+            return TimeDelta(hi, lo + (self.jd2 - other.jd2))
+        if isinstance(other, u.Quantity):
+            other = TimeDelta.from_sec(other.to_value(u.s))
+        if isinstance(other, TimeDelta):
+            return self + (-other)
+        return NotImplemented
+
+    def _cmp(self, other):
+        return (self.jd1 - other.jd1) + (self.jd2 - other.jd2)
+
+    def __lt__(self, other):
+        return self._cmp(other) < 0
+
+    def __le__(self, other):
+        return self._cmp(other) <= 0
+
+    def __gt__(self, other):
+        return self._cmp(other) > 0
+
+    def __ge__(self, other):
+        return self._cmp(other) >= 0
+
+    def __eq__(self, other):
+        if not isinstance(other, Time):
+            return NotImplemented
+        return self._cmp(other) == 0
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        if eq is NotImplemented:
+            return eq
+        return ~np.asarray(eq) if np.ndim(eq) else not eq
+
+    def __hash__(self):
+        return hash((float(np.sum(self.jd1)), float(np.sum(self.jd2))))
+
+    # -- formatting ------------------------------------------------------
+    @property
+    def isot(self):
+        if self.isscalar:
+            return self._format_one(float(self.jd1), float(self.jd2))
+        flat = [self._format_one(a, b)
+                for a, b in zip(np.ravel(self.jd1), np.ravel(self.jd2))]
+        return np.array(flat).reshape(self.shape)
+
+    @staticmethod
+    def _format_one(jd1, jd2, precision=9):
+        # Shift so we measure from midnight: JDN at noon.
+        jd_plus = jd1 + 0.5
+        day_int = np.floor(jd_plus)
+        frac = (jd_plus - day_int) + jd2
+        # fold frac into [0, 1)
+        extra = np.floor(frac)
+        day_int += extra
+        frac -= extra
+        sec = frac * SECONDS_PER_DAY
+        # rounding to requested precision, handle carry to next day
+        sec = round(sec, precision)
+        if sec >= SECONDS_PER_DAY:
+            sec -= SECONDS_PER_DAY
+            day_int += 1
+        year, month, day = _jd_to_cal(int(day_int))
+        hh = int(sec // 3600)
+        mm = int((sec - hh * 3600) // 60)
+        ss = sec - hh * 3600 - mm * 60
+        return (f"{year:04d}-{month:02d}-{day:02d}T"
+                f"{hh:02d}:{mm:02d}:{ss:0{3 + precision}.{precision}f}")
+
+    def __repr__(self):
+        val = self.isot if np.size(self.jd1) < 5 else f"shape={self.shape}"
+        return f"<Time {val}>"
