@@ -1,0 +1,119 @@
+import numpy as np
+import pytest
+
+from baseband_tasks_tpu.fourier import (
+    fft_maker, FFT_MAKER_CLASSES, next_fast_len, NumpyFFTMaker, XLAFFTMaker)
+from baseband_tasks_tpu.utils import units as u
+
+
+class TestNextFastLen:
+    @pytest.mark.parametrize("n,expected", [
+        (1, 1), (7, 8), (8, 8), (9, 9), (10, 10), (11, 12), (13, 15),
+        (17, 18), (1000, 1000), (1001, 1024), (7919, 8000),
+    ])
+    def test_values(self, n, expected):
+        got = next_fast_len(n)
+        assert got == expected
+
+    def test_smoothness(self):
+        for n in [123, 457, 12345, 99999]:
+            m = next_fast_len(n)
+            assert m >= n
+            x = m
+            for p in (2, 3, 5):
+                while x % p == 0:
+                    x //= p
+            assert x == 1
+
+
+class TestRegistry:
+    def test_engines_registered(self):
+        assert "xla" in FFT_MAKER_CLASSES
+        assert "numpy" in FFT_MAKER_CLASSES
+
+    def test_default_engine_is_xla(self):
+        assert isinstance(fft_maker.get(), XLAFFTMaker)
+
+    def test_set_context_manager(self):
+        with fft_maker.set("numpy"):
+            assert isinstance(fft_maker.get(), NumpyFFTMaker)
+        assert isinstance(fft_maker.get(), XLAFFTMaker)
+
+
+@pytest.mark.parametrize("maker_name", ["xla", "numpy"])
+class TestFFTEngines:
+    def _maker(self, name):
+        return FFT_MAKER_CLASSES[name]()
+
+    def test_complex_roundtrip(self, maker_name):
+        maker = self._maker(maker_name)
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal((64, 4)) + 1j * rng.standard_normal((64, 4))
+             ).astype(np.complex64)
+        fft = maker(x.shape, x.dtype, axis=0)
+        X = np.asarray(fft(x))
+        np.testing.assert_allclose(X, np.fft.fft(x, axis=0), rtol=2e-4,
+                                   atol=1e-3)
+        back = np.asarray(fft.inverse()(X))
+        np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-4)
+
+    def test_real_rfft(self, maker_name):
+        maker = self._maker(maker_name)
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((128, 2)).astype(np.float32)
+        fft = maker(x.shape, x.dtype, axis=0)
+        assert fft.frequency_shape == (65, 2)
+        X = np.asarray(fft(x))
+        np.testing.assert_allclose(X, np.fft.rfft(x, axis=0), rtol=2e-4,
+                                   atol=2e-3)
+        back = np.asarray(fft.inverse()(X))
+        np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-4)
+
+    def test_axis1(self, maker_name):
+        maker = self._maker(maker_name)
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal((8, 32, 2)) + 0j).astype(np.complex64)
+        fft = maker(x.shape, x.dtype, axis=1)
+        X = np.asarray(fft(x))
+        np.testing.assert_allclose(X, np.fft.fft(x, axis=1), rtol=2e-4,
+                                   atol=1e-3)
+
+    def test_ortho_norm(self, maker_name):
+        maker = self._maker(maker_name)
+        x = np.ones((16,), dtype=np.complex64)
+        fft = maker(x.shape, x.dtype, ortho=True)
+        X = np.asarray(fft(x))
+        assert X[0] == pytest.approx(4.0)  # 16/sqrt(16)
+
+    def test_odd_and_prime_sizes(self, maker_name):
+        maker = self._maker(maker_name)
+        rng = np.random.default_rng(4)
+        for n in (15, 17, 251):
+            x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+                 ).astype(np.complex64)
+            fft = maker(x.shape, x.dtype)
+            np.testing.assert_allclose(np.asarray(fft(x)), np.fft.fft(x),
+                                       rtol=1e-3, atol=2e-3)
+
+    def test_frequency_axis(self, maker_name):
+        maker = self._maker(maker_name)
+        fft = maker((32, 2), np.complex64, sample_rate=32 * u.Hz)
+        freq = fft.frequency
+        assert freq.shape == (32, 1)
+        assert freq[1, 0].to_value(u.Hz) == pytest.approx(1.0)
+        assert freq[31, 0].to_value(u.Hz) == pytest.approx(-1.0)
+
+    def test_frequency_real(self, maker_name):
+        maker = self._maker(maker_name)
+        fft = maker((32,), np.float32, sample_rate=32 * u.Hz)
+        freq = fft.frequency
+        assert freq.shape == (17,)
+        assert freq[16].to_value(u.Hz) == pytest.approx(16.0)
+
+    def test_cross_engine_match(self, maker_name):
+        rng = np.random.default_rng(5)
+        x = (rng.standard_normal((96, 3)) + 1j * rng.standard_normal((96, 3))
+             ).astype(np.complex64)
+        ours = np.asarray(self._maker(maker_name)(x.shape, x.dtype, axis=0)(x))
+        host = np.asarray(NumpyFFTMaker()(x.shape, x.dtype, axis=0)(x))
+        np.testing.assert_allclose(ours, host, rtol=2e-4, atol=2e-3)
