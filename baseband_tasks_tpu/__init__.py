@@ -1,0 +1,19 @@
+"""baseband_tasks_tpu: TPU-native radio-baseband reduction framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of
+mhvk/baseband-tasks: streaming task pipelines (channelization, coherent and
+incoherent dedispersion, polyphase filter banks and inversion, resampling,
+pulsar folding and phase computation), device-resident and jit-compiled,
+with sharding over TPU meshes.
+"""
+
+__version__ = "0.1.0"
+
+from .base import (Base, BaseTaskBase, TaskBase, PaddedTaskBase, Task,
+                   SetAttribute)
+from .generators import (StreamGenerator, EmptyStreamGenerator, Noise,
+                         NoiseGenerator)
+
+__all__ = ["Base", "BaseTaskBase", "TaskBase", "PaddedTaskBase", "Task",
+           "SetAttribute", "StreamGenerator", "EmptyStreamGenerator",
+           "Noise", "NoiseGenerator"]

@@ -1,0 +1,281 @@
+"""Kernel tests with dummy tasks, mirroring the reference test strategy
+(SURVEY.md §4: dummy task subclasses to test the kernel in isolation)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from baseband_tasks_tpu import (
+    Base, TaskBase, PaddedTaskBase, Task, SetAttribute, StreamGenerator,
+    EmptyStreamGenerator, NoiseGenerator)
+from baseband_tasks_tpu.utils import Time, units as u
+
+START = Time("2018-01-01T00:00:00.000000000")
+
+
+def make_counter(shape=(1000, 2), spf=100, rate=1 * u.kHz):
+    """Stream whose data equals its sample index (analytically checkable)."""
+    def counter(sh):
+        o = sh.tell()
+        n = min(sh.samples_per_frame, sh.shape[0] - o)
+        idx = jnp.arange(o, o + n, dtype=jnp.float32)
+        return jnp.broadcast_to(idx[:, None], (n,) + sh.sample_shape)
+    return StreamGenerator(counter, shape, START, rate,
+                           samples_per_frame=spf, dtype=np.float32)
+
+
+class TestBaseProtocol:
+    def test_shape_props(self):
+        sh = make_counter()
+        assert sh.shape == (1000, 2)
+        assert sh.sample_shape == (2,)
+        assert sh.size == 2000
+        assert sh.ndim == 2
+        assert not sh.complex_data
+
+    def test_read_all(self):
+        sh = make_counter()
+        data = np.asarray(sh.read())
+        np.testing.assert_array_equal(data[:, 0], np.arange(1000))
+
+    def test_read_across_frames(self):
+        sh = make_counter()
+        sh.seek(95)
+        data = np.asarray(sh.read(10))
+        np.testing.assert_array_equal(data[:, 0], np.arange(95, 105))
+
+    def test_seek_variants(self):
+        sh = make_counter()
+        assert sh.seek(10) == 10
+        assert sh.seek(5, 1) == 15
+        assert sh.seek(-10, 2) == 990
+        assert sh.seek(100 * u.ms) == 100  # 1 kHz
+        assert sh.seek(START + 250 * u.ms) == 250
+        with pytest.raises(OSError):
+            sh.seek(-1)
+
+    def test_tell_time(self):
+        sh = make_counter()
+        sh.seek(500)
+        assert abs((sh.time - START).sec - 0.5) < 1e-12
+        assert abs((sh.stop_time - START).sec - 1.0) < 1e-12
+
+    def test_eof(self):
+        sh = make_counter()
+        sh.seek(990)
+        with pytest.raises(EOFError):
+            sh.read(100)
+
+    def test_read_rest(self):
+        sh = make_counter()
+        sh.seek(990)
+        assert len(sh.read()) == 10
+
+    def test_array_conversion(self):
+        sh = make_counter(shape=(30, 2), spf=10)
+        arr = np.asarray(sh)
+        assert arr.shape == (30, 2)
+        np.testing.assert_array_equal(arr[:, 1], np.arange(30))
+
+    def test_close(self):
+        sh = make_counter()
+        with sh:
+            sh.read(10)
+        assert sh.closed
+        with pytest.raises(ValueError):
+            sh.read(1)
+
+
+class ReshapeTime(TaskBase):
+    """Dummy: groups n samples into a new axis (sample rate /n)."""
+
+    def __init__(self, ih, n, **kwargs):
+        self._n = n
+        super().__init__(ih, sample_rate=ih.sample_rate / n,
+                         ih_samples_per_frame=ih.samples_per_frame // n * n,
+                         **kwargs)
+
+    def _output_sample_shape(self, ih):
+        return (self._n,) + ih.sample_shape
+
+    def task(self, data):
+        return data.reshape((-1, self._n) + data.shape[1:])
+
+
+class Multiply(TaskBase):
+    def __init__(self, ih, factor, **kwargs):
+        self._factor = factor
+        super().__init__(ih, **kwargs)
+
+    def task(self, data):
+        return data * self._factor
+
+
+class TestTaskBase:
+    def test_multiply(self):
+        sh = make_counter()
+        task = Multiply(sh, 3.0)
+        assert task.shape == sh.shape
+        assert task.sample_rate == sh.sample_rate
+        data = np.asarray(task.read(10))
+        np.testing.assert_allclose(data[:, 0], 3.0 * np.arange(10))
+
+    def test_reshape_time(self):
+        sh = make_counter(shape=(1000, 2), spf=100)
+        task = ReshapeTime(sh, 4)
+        assert task.shape == (250, 4, 2)
+        assert task.sample_rate.to_value(u.Hz) == pytest.approx(250)
+        data = np.asarray(task.read(2))
+        np.testing.assert_array_equal(data[0, :, 0], [0, 1, 2, 3])
+        np.testing.assert_array_equal(data[1, :, 0], [4, 5, 6, 7])
+
+    def test_partial_last_frame(self):
+        # 1030 samples, spf 100, n=4: last 30 -> 7 groups of 4, 2 unused
+        sh = make_counter(shape=(1030, 2), spf=100)
+        task = ReshapeTime(sh, 4)
+        assert task.shape == (257, 4, 2)
+        task.seek(250)
+        data = np.asarray(task.read())
+        assert data.shape == (7, 4, 2)
+        np.testing.assert_array_equal(data[-1, :, 0], [1024, 1025, 1026, 1027])
+
+    def test_time_propagation(self):
+        sh = make_counter()
+        task = ReshapeTime(sh, 4)
+        assert task.start_time == sh.start_time
+        task.seek(10)
+        assert abs((task.time - START).sec - 10 / 250) < 1e-12
+
+    def test_chained(self):
+        sh = make_counter()
+        task = Multiply(Multiply(sh, 2.0), 5.0)
+        data = np.asarray(task.read(5))
+        np.testing.assert_allclose(data[:, 0], 10.0 * np.arange(5))
+
+
+class SquareHat(PaddedTaskBase):
+    """Dummy: 3-sample moving sum (pad 1 each side)."""
+
+    def __init__(self, ih, **kwargs):
+        super().__init__(ih, pad_start=1, pad_end=1, **kwargs)
+
+    def task(self, data):
+        return data[:-2] + data[1:-1] + data[2:]
+
+
+class TestPaddedTaskBase:
+    def test_moving_sum(self):
+        sh = make_counter(shape=(1000, 2), spf=100)
+        task = SquareHat(sh, samples_per_frame=100)
+        assert task.shape == (998, 2)
+        data = np.asarray(task.read(5))
+        # sum of (i-1, i, i+1) centered at i+1 in input indexing
+        np.testing.assert_allclose(data[:, 0], [3, 6, 9, 12, 15])
+
+    def test_start_time_shift(self):
+        sh = make_counter()
+        task = SquareHat(sh, samples_per_frame=100)
+        assert abs((task.start_time - START).sec - 1e-3) < 1e-12
+
+    def test_full_read_and_end(self):
+        sh = make_counter(shape=(250, 2), spf=250)
+        task = SquareHat(sh, samples_per_frame=64)
+        data = np.asarray(task.read())
+        assert data.shape == (248, 2)
+        np.testing.assert_allclose(data[:, 0], 3 * (np.arange(248) + 1))
+
+    def test_default_sizing_efficiency(self):
+        sh = make_counter(shape=(10000, 2), spf=100)
+        task = SquareHat(sh)
+        pad = task.pad_start + task.pad_end
+        assert task.samples_per_frame >= 3 * pad
+
+    def test_inefficiency_warning(self):
+        sh = make_counter(shape=(1000, 2), spf=100)
+        with pytest.warns(UserWarning, match="efficiency"):
+            SquareHat(sh, samples_per_frame=2)
+
+
+class TestTaskFunction:
+    def test_function_task(self):
+        sh = make_counter()
+        task = Task(sh, lambda data: data + 1.0)
+        np.testing.assert_allclose(np.asarray(task.read(3))[:, 0], [1, 2, 3])
+
+    def test_method_task(self):
+        sh = make_counter()
+
+        def method_task(self, data):
+            return data * float(self.sample_rate.to_value(u.kHz))
+
+        task = Task(sh, method_task)
+        np.testing.assert_allclose(np.asarray(task.read(3))[:, 0], [0, 1, 2])
+
+
+class TestSetAttribute:
+    def test_override_frequency(self):
+        sh = make_counter()
+        freq = [400.0, 400.0] * u.MHz
+        task = SetAttribute(sh, frequency=freq, sideband=1)
+        assert task.frequency.to_value(u.MHz) == pytest.approx(400.0)
+        assert task.sideband == 1
+        np.testing.assert_array_equal(np.asarray(task.read(4)),
+                                      np.asarray(make_counter().read(4)))
+
+    def test_override_start_time(self):
+        sh = make_counter()
+        t_new = START + 1 * u.s
+        task = SetAttribute(sh, start_time=t_new)
+        assert task.start_time == t_new
+        sh2 = make_counter()
+        np.testing.assert_array_equal(np.asarray(task.read(4)),
+                                      np.asarray(sh2.read(4)))
+
+    def test_attribute_propagation(self):
+        sh = make_counter()
+        task1 = SetAttribute(sh, frequency=[400.0, 401.0] * u.MHz, sideband=1)
+        task2 = Multiply(task1, 2.0)
+        np.testing.assert_allclose(task2.frequency.to_value(u.MHz),
+                                   [400.0, 401.0])
+        assert np.all(task2.sideband == 1)
+
+
+class TestGenerators:
+    def test_empty_stream(self):
+        sh = EmptyStreamGenerator((100, 4), START, 1 * u.kHz,
+                                  samples_per_frame=10, dtype=np.float32)
+        data = np.asarray(sh.read())
+        assert data.shape == (100, 4)
+        assert np.all(data == 0)
+
+    def test_noise_reproducible_random_access(self):
+        kwargs = dict(shape=(1000, 2), start_time=START,
+                      sample_rate=1 * u.kHz, samples_per_frame=100, seed=7)
+        sh1 = NoiseGenerator(**kwargs)
+        sh2 = NoiseGenerator(**kwargs)
+        # read out of order; frames must match bit-for-bit
+        sh1.seek(500)
+        a = np.asarray(sh1.read(100))
+        sh2.seek(0)
+        np.asarray(sh2.read(300))
+        sh2.seek(500)
+        b = np.asarray(sh2.read(100))
+        np.testing.assert_array_equal(a, b)
+
+    def test_noise_statistics(self):
+        sh = NoiseGenerator(shape=(20000,), start_time=START,
+                            sample_rate=1 * u.kHz, samples_per_frame=2000,
+                            seed=3)
+        data = np.asarray(sh.read())
+        assert data.dtype == np.complex64
+        # complex: unit variance per component
+        assert np.std(data.real) == pytest.approx(1.0, rel=0.05)
+        assert np.std(data.imag) == pytest.approx(1.0, rel=0.05)
+        assert np.mean(data) == pytest.approx(0.0, abs=0.05)
+
+    def test_different_seeds_differ(self):
+        kwargs = dict(shape=(100,), start_time=START, sample_rate=1 * u.kHz,
+                      samples_per_frame=100)
+        a = np.asarray(NoiseGenerator(seed=1, **kwargs).read())
+        b = np.asarray(NoiseGenerator(seed=2, **kwargs).read())
+        assert not np.allclose(a, b)
