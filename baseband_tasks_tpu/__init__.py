@@ -13,7 +13,11 @@ from .base import (Base, BaseTaskBase, TaskBase, PaddedTaskBase, Task,
                    SetAttribute)
 from .generators import (StreamGenerator, EmptyStreamGenerator, Noise,
                          NoiseGenerator)
+from .channelize import Channelize, Dechannelize
+from .functions import Square, Power
+from .integration import Integrate, Fold, PulseStack, Stack
 
 __all__ = ["Base", "BaseTaskBase", "TaskBase", "PaddedTaskBase", "Task",
            "SetAttribute", "StreamGenerator", "EmptyStreamGenerator",
-           "Noise", "NoiseGenerator"]
+           "Noise", "NoiseGenerator", "Channelize", "Dechannelize",
+           "Square", "Power", "Integrate", "Fold", "PulseStack", "Stack"]

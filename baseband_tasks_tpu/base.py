@@ -290,6 +290,10 @@ class Base:
             return jnp.zeros((0,) + self.sample_shape, self._dtype)
         if len(pieces) == 1:
             return pieces[0]
+        if isinstance(pieces[0], np.ndarray):
+            # e.g. structured {data,count} frames from non-averaging
+            # Integrate; these are host arrays by construction.
+            return np.concatenate(pieces, axis=0)
         return jnp.concatenate([jnp.asarray(p) for p in pieces], axis=0)
 
     def _get_frame_cached(self, frame_index):

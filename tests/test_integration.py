@@ -1,0 +1,188 @@
+"""Integration/folding tests with analytically-checkable streams
+(reference strategy: deterministic pulse trains, tests/test_integration.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from baseband_tasks_tpu import (Integrate, Fold, PulseStack, Stack,
+                                StreamGenerator, NoiseGenerator)
+from baseband_tasks_tpu.utils import Time, units as u
+
+START = Time("2018-01-01T00:00:00.000000000")
+
+
+def counter_stream(n=1000, spf=100, rate=1 * u.kHz, sample_shape=(2,)):
+    def counter(sh):
+        o = sh.tell()
+        m = min(sh.samples_per_frame, sh.shape[0] - o)
+        idx = jnp.arange(o, o + m, dtype=jnp.float32)
+        return jnp.broadcast_to(idx[:, None], (m,) + sh.sample_shape)
+    return StreamGenerator(counter, (n,) + sample_shape, START, rate,
+                           samples_per_frame=spf, dtype=np.float32)
+
+
+def pulse_stream(n=8000, spf=1000, rate=1 * u.kHz, period_samples=100):
+    """1 kHz stream with unit impulses every period_samples samples."""
+    def pulses(sh):
+        o = sh.tell()
+        m = min(sh.samples_per_frame, sh.shape[0] - o)
+        idx = jnp.arange(o, o + m)
+        return jnp.where(idx % period_samples == 0, 1.0, 0.0
+                         ).astype(jnp.float32)
+    return StreamGenerator(pulses, (n,), START, rate,
+                           samples_per_frame=spf, dtype=np.float32)
+
+
+class TestIntegrate:
+    def test_integer_sample_step(self):
+        sh = counter_stream()
+        it = Integrate(sh, 100)
+        assert it.shape == (10, 2)
+        data = np.asarray(it.read())
+        # average of [k*100, (k+1)*100) = k*100 + 49.5
+        np.testing.assert_allclose(data[:, 0],
+                                   np.arange(10) * 100 + 49.5, rtol=1e-6)
+
+    def test_time_step(self):
+        sh = counter_stream()
+        it = Integrate(sh, 0.25 * u.s)  # 250 samples per bin at 1 kHz
+        assert it.shape == (4, 2)
+        assert it.sample_rate.to_value(u.Hz) == pytest.approx(4.0)
+        data = np.asarray(it.read())
+        np.testing.assert_allclose(data[:, 0],
+                                   np.arange(4) * 250 + 124.5, rtol=1e-6)
+
+    def test_whole_stream_default(self):
+        sh = counter_stream()
+        it = Integrate(sh)
+        data = np.asarray(it.read())
+        assert it.shape == (1, 2)
+        np.testing.assert_allclose(data[0, 0], 499.5, rtol=1e-6)
+
+    def test_no_average_counts(self):
+        sh = counter_stream()
+        it = Integrate(sh, 100, average=False)
+        data = it.read()
+        assert data.dtype.names == ("data", "count")
+        np.testing.assert_array_equal(data["count"][:, 0], 100)
+        np.testing.assert_allclose(data["data"][:, 0] / data["count"][:, 0],
+                                   np.arange(10) * 100 + 49.5, rtol=1e-6)
+
+    def test_non_integer_samples_per_bin(self):
+        sh = counter_stream(n=1000)
+        it = Integrate(sh, 0.128 * u.s)  # 128 samples/bin
+        data = np.asarray(it.read())
+        assert it.shape[0] == 7
+        np.testing.assert_allclose(data[:, 0],
+                                   np.arange(7) * 128 + 63.5, rtol=1e-5)
+
+    def test_start_time_and_times(self):
+        sh = counter_stream()
+        it = Integrate(sh, 100)
+        assert it.start_time == START
+        it.seek(5)
+        assert abs((it.time - START).sec - 0.5) < 1e-9
+
+
+def linear_phase(f0_hz, t_ref, phi0=0.05):
+    """Phase model: phi(t) = f0 * (t - t_ref) + phi0, in cycles.
+
+    phi0 keeps synthetic impulses off exact bin boundaries, where float
+    rounding direction is undefined.
+    """
+    def phase(t):
+        dt = (t - t_ref).sec
+        return u.Quantity(f0_hz * np.asarray(dt) + phi0, u.cycle)
+    return phase
+
+
+class TestFold:
+    def test_pulse_lands_in_right_bin(self):
+        # impulses every 100 samples at 1 kHz -> pulse frequency 10 Hz
+        sh = pulse_stream()
+        phase = linear_phase(10.0, START)
+        fold = Fold(sh, 10, phase, average=False)
+        data = fold.read()
+        assert data.shape == (1, 10)
+        counts = data["count"][0]
+        sums = data["data"][0]
+        # all 80 pulses are at phase 0 -> bin 0
+        assert sums[0] == pytest.approx(80)
+        np.testing.assert_allclose(sums[1:], 0, atol=1e-6)
+        assert counts.sum() == 8000
+
+    def test_fold_with_time_steps(self):
+        sh = pulse_stream()
+        phase = linear_phase(10.0, START)
+        fold = Fold(sh, 10, phase, step=2 * u.s, average=False)
+        data = fold.read()
+        assert data.shape == (4, 10)
+        np.testing.assert_allclose(data["data"][:, 0], 20, rtol=1e-6)
+
+    def test_offset_pulse_phase(self):
+        # impulses offset by 30 samples -> phase 0.3 of the 10 Hz cycle
+        def pulses(sh):
+            o = sh.tell()
+            m = min(sh.samples_per_frame, sh.shape[0] - o)
+            idx = jnp.arange(o, o + m)
+            return jnp.where(idx % 100 == 30, 1.0, 0.0).astype(jnp.float32)
+        sh = StreamGenerator(pulses, (4000,), START, 1 * u.kHz,
+                             samples_per_frame=1000, dtype=np.float32)
+        fold = Fold(sh, 10, linear_phase(10.0, START), average=False)
+        data = fold.read()
+        sums = data["data"][0]
+        assert sums[3] == pytest.approx(40)
+        assert sums.sum() == pytest.approx(40)
+
+    def test_average_profile(self):
+        sh = pulse_stream()
+        fold = Fold(sh, 10, linear_phase(10.0, START), average=True)
+        prof = np.asarray(fold.read())
+        # bin 0 average = 80 pulses / ~800 samples ~= 0.1 (bin-boundary
+        # float truncation makes per-bin counts uneven by a few %)
+        assert prof[0, 0] == pytest.approx(0.1, rel=0.05)
+        np.testing.assert_allclose(prof[0, 1:], 0, atol=1e-7)
+
+
+class TestPulseStack:
+    def test_stack_shape_and_content(self):
+        # impulses at sample 30 of each 100-sample period -> phase 0.3
+        def pulses(sh):
+            o = sh.tell()
+            m = min(sh.samples_per_frame, sh.shape[0] - o)
+            idx = jnp.arange(o, o + m)
+            return jnp.where(idx % 100 == 30, 1.0, 0.0).astype(jnp.float32)
+        sh = StreamGenerator(pulses, (8000,), START, 1 * u.kHz,
+                             samples_per_frame=1000, dtype=np.float32)
+        ps = PulseStack(sh, 10, linear_phase(10.0, START, phi0=0.0),
+                        average=False)
+        assert ps.shape[1] == 10 and ps.shape[0] in (79, 80)
+        data = ps.read(10)
+        sums = data["data"]
+        # each pulse profile has exactly one impulse, in phase bin 3
+        np.testing.assert_allclose(sums[:, 3], 1.0, rtol=1e-6)
+        np.testing.assert_allclose(sums.sum(axis=-1), 1.0, rtol=1e-6)
+
+    def test_deprecated_stack_alias(self):
+        sh = pulse_stream(n=2000)
+        with pytest.warns(DeprecationWarning):
+            ps = Stack(sh, 10, linear_phase(10.0, START))
+        assert ps.n_phase == 10
+
+
+class TestPipelineConfig1:
+    """BASELINE config 1: noise -> 256-chan channelize -> square -> integrate."""
+
+    def test_end_to_end(self):
+        from baseband_tasks_tpu import Channelize, Square
+        sh = NoiseGenerator(shape=(65536, 2), start_time=START,
+                            sample_rate=1 * u.MHz, samples_per_frame=8192,
+                            dtype=np.complex64, seed=99)
+        pipeline = Integrate(Square(Channelize(sh, 256)), 64)
+        assert pipeline.shape == (4, 256, 2)
+        data = np.asarray(pipeline.read())
+        # white noise: flat spectrum, mean power = 2 * 256 per channel
+        assert data.mean() == pytest.approx(512.0, rel=0.05)
+        flat = data.mean(axis=(0, 2)) / 512.0
+        np.testing.assert_allclose(flat, 1.0, rtol=0.2)
