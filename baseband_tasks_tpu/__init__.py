@@ -16,8 +16,16 @@ from .generators import (StreamGenerator, EmptyStreamGenerator, Noise,
 from .channelize import Channelize, Dechannelize
 from .functions import Square, Power
 from .integration import Integrate, Fold, PulseStack, Stack
+from .convolution import Convolve, ConvolveSamples
+from .sampling import ShiftAndResample, Resample, TimeDelay, ShiftSamples
+from .dm import DispersionMeasure
+from .dispersion import (Disperse, Dedisperse, DisperseSamples,
+                         DedisperseSamples)
 
 __all__ = ["Base", "BaseTaskBase", "TaskBase", "PaddedTaskBase", "Task",
            "SetAttribute", "StreamGenerator", "EmptyStreamGenerator",
            "Noise", "NoiseGenerator", "Channelize", "Dechannelize",
-           "Square", "Power", "Integrate", "Fold", "PulseStack", "Stack"]
+           "Square", "Power", "Integrate", "Fold", "PulseStack", "Stack",
+           "Convolve", "ConvolveSamples", "ShiftAndResample", "Resample",
+           "TimeDelay", "ShiftSamples", "DispersionMeasure", "Disperse",
+           "Dedisperse", "DisperseSamples", "DedisperseSamples"]

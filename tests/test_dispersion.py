@@ -1,0 +1,169 @@
+"""Dispersion tests: giant-pulse/tone-burst streams whose dispersed arrival
+times are analytically predictable (reference strategy:
+tests/test_dispersion.py:25-47)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from baseband_tasks_tpu import (Disperse, Dedisperse, DisperseSamples,
+                                DedisperseSamples, DispersionMeasure,
+                                SetAttribute, StreamGenerator, NoiseGenerator)
+from baseband_tasks_tpu.utils import Time, units as u
+
+START = Time("2018-01-01T00:00:00.000000000")
+RATE = 1 * u.MHz
+F0 = 300 * u.MHz  # carrier
+DM = DispersionMeasure(1.0)
+
+
+def tone_burst(nu_offset_cps, center, width=64, shape=(16384,), spf=16384):
+    """Gaussian envelope (center, width in samples) on a complex tone at
+    baseband frequency nu_offset_cps (cycles/sample)."""
+    def f(sh):
+        o = sh.tell()
+        n = min(sh.samples_per_frame, sh.shape[0] - o)
+        i = jnp.arange(o, o + n, dtype=jnp.float32)
+        env = jnp.exp(-0.5 * ((i - center) / width) ** 2)
+        return (env * jnp.exp(2j * jnp.pi * nu_offset_cps * i)
+                ).astype(jnp.complex64)
+    return StreamGenerator(f, shape, START, RATE, samples_per_frame=spf,
+                           dtype=np.complex64)
+
+
+def envelope_peak(x):
+    """Sub-sample peak position of |x| via quadratic interpolation."""
+    a = np.abs(x)
+    k = int(np.argmax(a))
+    if 0 < k < len(a) - 1:
+        denom = a[k - 1] - 2 * a[k] + a[k + 1]
+        if denom != 0:
+            return k + 0.5 * (a[k - 1] - a[k + 1]) / denom
+    return float(k)
+
+
+class TestCoherentDisperse:
+    @pytest.mark.parametrize("nu", [-0.25, 0.0, 0.25])
+    def test_group_delay_of_tone_burst(self, nu):
+        center = 8192
+        sh = SetAttribute(tone_burst(nu, center), frequency=F0, sideband=1)
+        disp = Disperse(sh, DM)
+        # burst at sky frequency F0 + nu*RATE should arrive later by the
+        # group delay relative to the reference frequency
+        f_sky = F0 + u.Quantity(nu, u.one) * RATE
+        delay = DM.time_delay(f_sky, disp.reference_frequency)
+        delay_samples = float(delay.to_value(u.s)) * 1e6
+        disp.seek(0)
+        data = np.asarray(disp.read())
+        # output index of input sample `center` is center - pad_start
+        peak = envelope_peak(data)
+        expected = center - disp.pad_start + delay_samples
+        assert peak == pytest.approx(expected, abs=1.0)
+
+    def test_roundtrip(self):
+        sh = SetAttribute(
+            NoiseGenerator(shape=(16384,), start_time=START, sample_rate=RATE,
+                           samples_per_frame=16384, dtype=np.complex64,
+                           seed=4),
+            frequency=F0, sideband=1)
+        raw = np.asarray(sh.read())
+        sh.seek(0)
+        disp = Disperse(sh, DM, samples_per_frame=8192)
+        dedisp = Dedisperse(disp, DM, samples_per_frame=8192)
+        data = np.asarray(dedisp.read())
+        # output labels start at total pad_start offset into the input
+        q0 = disp.pad_start + dedisp.pad_start
+        expected = raw[q0:q0 + len(data)]
+        power_err = np.mean(np.abs(data - expected) ** 2) \
+            / np.mean(np.abs(expected) ** 2)
+        # steady-state overlap-save truncation error scales as 1/spf;
+        # ~7e-5 at spf 8192 (same algorithm class as the reference)
+        assert power_err < 2e-4
+
+    def test_impulse_roundtrip_off_pulse_clean(self):
+        # reference-style test (tests/test_dispersion.py): a giant pulse
+        # keeps its shape and position; off-pulse residuals are small
+        center = 8192
+        def impulse(sh):
+            o = sh.tell()
+            n = min(sh.samples_per_frame, sh.shape[0] - o)
+            i = jnp.arange(o, o + n)
+            return jnp.where(i == center, 1.0 + 0j, 0j).astype(jnp.complex64)
+        sh = SetAttribute(
+            StreamGenerator(impulse, (16384,), START, RATE,
+                            samples_per_frame=16384, dtype=np.complex64),
+            frequency=F0, sideband=1)
+        disp = Disperse(sh, DM, samples_per_frame=4096)
+        dedisp = Dedisperse(disp, DM, samples_per_frame=4096)
+        data = np.asarray(dedisp.read())
+        q0 = disp.pad_start + dedisp.pad_start
+        k = center - q0
+        assert abs(data[k]) == pytest.approx(1.0, abs=1e-3)
+        off = np.abs(np.concatenate([data[:k - 32], data[k + 32:]]))
+        assert off.max() < 1e-3
+        assert (off ** 2).sum() < 2e-4
+
+    def test_sideband_flip(self):
+        # same burst, opposite sideband: sky freq = F0 - nu*RATE
+        nu = 0.25
+        center = 8192
+        sh = SetAttribute(tone_burst(nu, center), frequency=F0, sideband=-1)
+        disp = Disperse(sh, DM)
+        f_sky = F0 - u.Quantity(nu, u.one) * RATE
+        delay_samples = float(
+            DM.time_delay(f_sky, disp.reference_frequency).to_value(u.s)) * 1e6
+        data = np.asarray(disp.read())
+        peak = envelope_peak(data)
+        expected = center - disp.pad_start + delay_samples
+        assert peak == pytest.approx(expected, abs=1.0)
+
+    def test_reference_frequency_default_and_attrs(self):
+        sh = SetAttribute(tone_burst(0.0, 8192), frequency=F0, sideband=1)
+        disp = Disperse(sh, DM)
+        assert disp.reference_frequency.to_value(u.MHz) == pytest.approx(300.0)
+        assert disp.dm.to_value(u.DM) == 1.0
+        d2 = Dedisperse(sh, DM)
+        assert d2.dm.to_value(u.DM) == -1.0
+        assert d2.dedispersion_measure.to_value(u.DM) == 1.0
+
+    def test_start_time_shift(self):
+        sh = SetAttribute(tone_burst(0.0, 8192), frequency=F0, sideband=1)
+        disp = Disperse(sh, DM)
+        assert abs((disp.start_time - START).sec
+                   - disp.pad_start * 1e-6) < 1e-10
+
+
+class TestIncoherentDispersion:
+    def make_multichannel(self, seed=8):
+        # 4 channels at distinct frequencies
+        sh = NoiseGenerator(shape=(8192, 4), start_time=START,
+                            sample_rate=100 * u.kHz, samples_per_frame=1024,
+                            dtype=np.complex64, seed=seed)
+        freq = [310.0, 320.0, 330.0, 340.0] * u.MHz
+        return SetAttribute(sh, frequency=freq, sideband=1)
+
+    def test_channels_shift_by_predicted_samples(self):
+        sh = self.make_multichannel()
+        raw = np.asarray(sh.read())
+        sh.seek(0)
+        dm = DispersionMeasure(0.5)
+        disp = DisperseSamples(sh, dm)
+        freq = [310.0, 320.0, 330.0, 340.0] * u.MHz
+        delay = dm.time_delay(freq, disp.reference_frequency)
+        shift = np.round(delay.to_value(u.s) * 1e5).astype(int)
+        data = np.asarray(disp.read(1000))
+        for c in range(4):
+            # out[q, c] = raw[q - shift_c] with labels starting at pad_start
+            q = np.arange(1000) + disp.pad_start
+            np.testing.assert_allclose(data[:, c], raw[q - shift[c], c],
+                                       atol=1e-6)
+
+    def test_roundtrip(self):
+        sh = self.make_multichannel()
+        raw = np.asarray(sh.read())
+        sh.seek(0)
+        dm = DispersionMeasure(0.5)
+        rt = DedisperseSamples(DisperseSamples(sh, dm), dm)
+        data = np.asarray(rt.read(1000))
+        q0 = rt.pad_start + rt.ih.pad_start
+        np.testing.assert_allclose(data, raw[q0:q0 + 1000], atol=1e-6)
