@@ -15,8 +15,11 @@ from .generators import (StreamGenerator, EmptyStreamGenerator, Noise,
                          NoiseGenerator)
 from .channelize import Channelize, Dechannelize
 from .functions import Square, Power
-from .integration import Integrate, Fold, PulseStack, Stack
+from .integration import Integrate, Fold, PulseStack
 from .convolution import Convolve, ConvolveSamples
+from .shaping import (ChangeSampleShape, Reshape, Transpose,
+                      ReshapeAndTranspose, GetItem, GetSlice)
+from .combining import CombineStreams, Concatenate, Stack
 from .sampling import ShiftAndResample, Resample, TimeDelay, ShiftSamples
 from .dm import DispersionMeasure
 from .dispersion import (Disperse, Dedisperse, DisperseSamples,
@@ -25,7 +28,9 @@ from .dispersion import (Disperse, Dedisperse, DisperseSamples,
 __all__ = ["Base", "BaseTaskBase", "TaskBase", "PaddedTaskBase", "Task",
            "SetAttribute", "StreamGenerator", "EmptyStreamGenerator",
            "Noise", "NoiseGenerator", "Channelize", "Dechannelize",
-           "Square", "Power", "Integrate", "Fold", "PulseStack", "Stack",
+           "Square", "Power", "Integrate", "Fold", "PulseStack",
+           "ChangeSampleShape", "Reshape", "Transpose", "ReshapeAndTranspose",
+           "GetItem", "GetSlice", "CombineStreams", "Concatenate", "Stack",
            "Convolve", "ConvolveSamples", "ShiftAndResample", "Resample",
            "TimeDelay", "ShiftSamples", "DispersionMeasure", "Disperse",
            "Dedisperse", "DisperseSamples", "DedisperseSamples"]

@@ -82,11 +82,8 @@ def simplify_shape(value):
     first = 0
     while first < len(shape) and shape[first] == 1:
         first += 1
-    arr = arr[(0,) * first]
-    if arr.ndim == 0:
-        out = arr[()]
-    else:
-        out = arr
+    arr = np.asarray(arr[(0,) * first])
+    out = arr[()] if arr.ndim == 0 else arr
     return u.Quantity(out, value.unit) if isinstance(value, u.Quantity) else out
 
 
@@ -126,10 +123,6 @@ class Base:
             raise TypeError("frequency must be a Quantity")
         broadcast_shape = self.sample_shape if self.sample_shape else (1,)
         check_broadcast_to(value, broadcast_shape)
-        if name == "polarization":
-            flat = np.unique(np.asarray(value))
-            if len(flat) != np.asarray(value).size:
-                raise ValueError("duplicate polarization labels")
         return simplify_shape(value)
 
     # -- shape / dtype ---------------------------------------------------
@@ -310,6 +303,12 @@ class Base:
         from .shaping import GetItem, GetSlice
         if isinstance(item, slice):
             return GetSlice(self, item)
+        if isinstance(item, tuple) and item and isinstance(item[0], slice):
+            # sh[t_slice, sample_index...]: slice time first, then select.
+            time_part, rest = item[0], item[1:]
+            base = self if time_part == slice(None) \
+                else GetSlice(self, time_part)
+            return GetItem(base, rest if len(rest) > 1 else rest[0])
         return GetItem(self, item)
 
     def __array__(self, dtype=None, copy=None):

@@ -5,8 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from baseband_tasks_tpu import (Integrate, Fold, PulseStack, Stack,
+from baseband_tasks_tpu import (Integrate, Fold, PulseStack,
                                 StreamGenerator, NoiseGenerator)
+from baseband_tasks_tpu.integration import Stack
 from baseband_tasks_tpu.utils import Time, units as u
 
 START = Time("2018-01-01T00:00:00.000000000")
