@@ -22,6 +22,9 @@ from .shaping import (ChangeSampleShape, Reshape, Transpose,
 from .combining import CombineStreams, Concatenate, Stack
 from .sampling import ShiftAndResample, Resample, TimeDelay, ShiftSamples
 from .dm import DispersionMeasure
+from .conversion import Real2Complex
+from .pfb import (sinc_hamming, PolyphaseFilterBank,
+                  PolyphaseFilterBankSamples, InversePolyphaseFilterBank)
 from .dispersion import (Disperse, Dedisperse, DisperseSamples,
                          DedisperseSamples)
 
@@ -33,4 +36,6 @@ __all__ = ["Base", "BaseTaskBase", "TaskBase", "PaddedTaskBase", "Task",
            "GetItem", "GetSlice", "CombineStreams", "Concatenate", "Stack",
            "Convolve", "ConvolveSamples", "ShiftAndResample", "Resample",
            "TimeDelay", "ShiftSamples", "DispersionMeasure", "Disperse",
-           "Dedisperse", "DisperseSamples", "DedisperseSamples"]
+           "Dedisperse", "DisperseSamples", "DedisperseSamples",
+           "Real2Complex", "sinc_hamming", "PolyphaseFilterBank",
+           "PolyphaseFilterBankSamples", "InversePolyphaseFilterBank"]

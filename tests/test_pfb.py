@@ -1,0 +1,132 @@
+"""PFB tests: first prove the math with plain numpy, then check the
+implementation matches ('understanding' tests, reference tests/test_pfb.py:55-81),
+plus inversion round trips."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from baseband_tasks_tpu import (sinc_hamming, PolyphaseFilterBank,
+                                PolyphaseFilterBankSamples,
+                                InversePolyphaseFilterBank, NoiseGenerator,
+                                SetAttribute)
+from baseband_tasks_tpu.utils import Time, units as u
+
+START = Time("2018-01-01T00:00:00.000000000")
+
+
+def noise(shape, dtype=np.complex64, spf=None, seed=33, rate=1 * u.MHz):
+    return NoiseGenerator(shape=shape, start_time=START, sample_rate=rate,
+                          samples_per_frame=spf or shape[0], dtype=dtype,
+                          seed=seed)
+
+
+class TestSincHamming:
+    def test_shape_and_symmetry(self):
+        h = sinc_hamming(4, 32)
+        assert h.shape == (4, 32)
+        flat = h.ravel()
+        # nearly symmetric (hamming is symmetric; sinc centered)
+        np.testing.assert_allclose(flat[1:], flat[1:][::-1], atol=2e-2)
+
+    def test_guppi_style_scale(self):
+        h = sinc_hamming(12, 64, sc=0.95)
+        assert h.shape == (12, 64)
+        assert np.argmax(h.ravel()) == pytest.approx(12 * 64 / 2, abs=1)
+
+
+class TestPolyphaseFilterBank:
+    def test_matches_numpy_reference_math(self):
+        """PFB output spectrum k = FFT over n of sum_t h[t]*x_block[k+t]."""
+        n, n_tap = 32, 4
+        h = sinc_hamming(n_tap, n)
+        sh = noise((2048,))
+        raw = np.asarray(sh.read())
+        sh.seek(0)
+        pfb = PolyphaseFilterBank(sh, h)
+        data = np.asarray(pfb.read(8))
+        xr = raw.reshape(-1, n)
+        expected = np.stack(
+            [np.fft.fft((h * xr[k:k + n_tap]).sum(0)) for k in range(8)])
+        np.testing.assert_allclose(data, expected, rtol=1e-4, atol=1e-3)
+
+    def test_samples_and_fourier_agree(self):
+        n, n_tap = 16, 4
+        h = sinc_hamming(n_tap, n)
+        a = np.asarray(PolyphaseFilterBank(noise((1024,)), h).read())
+        b = np.asarray(PolyphaseFilterBankSamples(noise((1024,)), h).read())
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_shape_rate_and_channels(self):
+        n, n_tap = 32, 4
+        h = sinc_hamming(n_tap, n)
+        sh = noise((4096, 2))
+        pfb = PolyphaseFilterBank(sh, h)
+        assert pfb.shape[1:] == (32, 2)
+        assert pfb.sample_rate.to_value(u.kHz) == pytest.approx(1000 / 32)
+        # (4096/32 - 3) usable spectra at most; frame sizing may trim fewer
+        assert 0 < pfb.shape[0] <= 4096 // 32 - (n_tap - 1)
+
+    def test_real_input(self):
+        n, n_tap = 32, 4
+        h = sinc_hamming(n_tap, n)
+        sh = noise((4096,), dtype=np.float32)
+        pfb = PolyphaseFilterBank(sh, h)
+        assert pfb.shape[1] == 17  # n//2 + 1
+        data = np.asarray(pfb.read(4))
+        raw = np.asarray(noise((4096,), dtype=np.float32).read())
+        xr = raw.reshape(-1, n)
+        expected = np.stack(
+            [np.fft.rfft((h * xr[k:k + n_tap]).sum(0)) for k in range(4)])
+        np.testing.assert_allclose(data, expected, rtol=1e-4, atol=1e-3)
+
+    def test_frequency_labels(self):
+        n, n_tap = 8, 4
+        h = sinc_hamming(n_tap, n)
+        sh = SetAttribute(noise((4096,)), frequency=400 * u.MHz, sideband=1)
+        pfb = PolyphaseFilterBank(sh, h)
+        freq = pfb.frequency.to_value(u.MHz)
+        offs = np.fft.fftfreq(n)
+        np.testing.assert_allclose(freq, 400 + offs, rtol=1e-9)
+
+
+class TestInversePFB:
+    @pytest.mark.parametrize("dtype", [np.complex64, np.float32])
+    def test_roundtrip(self, dtype):
+        n, n_tap = 32, 4
+        h = sinc_hamming(n_tap, n)
+        sh = noise((65536,), dtype=dtype, seed=5)
+        raw = np.asarray(sh.read())
+        sh.seek(0)
+        pfb = PolyphaseFilterBank(sh, h)
+        inv = InversePolyphaseFilterBank(pfb, h, sn=1e4, dtype=dtype)
+        assert inv.dtype == np.dtype(dtype)
+        assert inv.sample_rate == sh.sample_rate
+        data = np.asarray(inv.read(4096))
+        # align: output labels are offset by the total lead-in
+        dt_samples = int(round(float(
+            ((inv.start_time - START).sec) * 1e6)))
+        expected = raw[dt_samples:dt_samples + 4096]
+        err = np.mean(np.abs(data - expected) ** 2) \
+            / np.mean(np.abs(expected) ** 2)
+        # default 128-block pads: recovery well beyond the 60 dB bar
+        assert err < 1e-6
+
+    def test_higher_sn_better_recovery(self):
+        n, n_tap = 32, 4
+        h = sinc_hamming(n_tap, n)
+
+        def run(sn, pad):
+            sh = noise((65536,), seed=5)
+            raw = np.asarray(sh.read())
+            sh.seek(0)
+            inv = InversePolyphaseFilterBank(
+                PolyphaseFilterBank(sh, h), h, sn=sn, pad_start=pad,
+                pad_end=pad)
+            data = np.asarray(inv.read(4096))
+            dt = int(round(float((inv.start_time - START).sec) * 1e6))
+            expected = raw[dt:dt + 4096]
+            return float(np.mean(np.abs(data - expected) ** 2)
+                         / np.mean(np.abs(expected) ** 2))
+
+        assert run(1e4, 64) < run(10, 64)
