@@ -1,0 +1,241 @@
+"""Tempo polyco files: parse, evaluate, write.
+
+Counterpart of `/root/reference/baseband_tasks/phases/predictor.py`: a
+:class:`Polyco` holds one or more polynomial phase-prediction entries in
+the tempo1/tempo2 polyco format and evaluates phase and spin frequency at
+arbitrary times with two-double precision (RPHASE is parsed as separate
+integer and fractional strings so no precision is lost,
+predictor.py:332-356).
+
+Format (per entry)::
+
+    PSRNAME  DATE  UTC  TMID(MJD)  DM  DOPPLER  LOGRMS
+    RPHASE  F0(Hz)  OBS  SPAN(min)  NCOEFF  OBSFREQ(MHz)  [BINPHASE]
+    COEFF1  COEFF2  COEFF3          (NCOEFF values, 3/line, D-exponents)
+
+phase(t) = RPHASE + 60 * F0 * dt_min + sum_k COEFF[k] * dt_min**k,
+dt_min = (t - TMID) in minutes.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+from ..utils import Time, units as u
+from .phase import Phase
+
+__all__ = ["Polyco"]
+
+
+def _parse_d_float(s):
+    return float(s.replace("D", "E").replace("d", "e"))
+
+
+def _fortran_d(x, width=20, digits=12):
+    """Fortran D-format float (tempo1 style, predictor.py:95-132)."""
+    s = f"{x:.{digits}E}"
+    mantissa, exp = s.split("E")
+    return f"{mantissa}D{int(exp):+03d}".rjust(width)
+
+
+class PolycoEntry:
+    __slots__ = ("psr", "date", "utc", "tmid", "dm", "doppler", "log10rms",
+                 "rphase_int", "rphase_frac", "f0", "obs", "span", "ncoeff",
+                 "obsfreq", "binphase", "coeff")
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw.get(k))
+
+
+class Polyco:
+    """A set of polyco entries with phase/frequency evaluation."""
+
+    def __init__(self, data):
+        if isinstance(data, Polyco):
+            self.entries = list(data.entries)
+        elif isinstance(data, (list, tuple)) and data and \
+                isinstance(data[0], PolycoEntry):
+            self.entries = list(data)
+        else:
+            self.entries = self._parse(data)
+        if not self.entries:
+            raise ValueError("no polyco entries found")
+
+    # -- parsing ---------------------------------------------------------
+    @staticmethod
+    def _parse(source):
+        if isinstance(source, str) and "\n" not in source:
+            with open(source) as fh:
+                lines = fh.read().splitlines()
+        elif isinstance(source, io.IOBase):
+            lines = source.read().splitlines()
+        else:
+            lines = str(source).splitlines()
+        lines = [ln for ln in lines if ln.strip()]
+        entries = []
+        i = 0
+        while i < len(lines):
+            h1 = lines[i].split()
+            h2 = lines[i + 1].split()
+            psr, date, utc, tmid_s, dm = h1[0], h1[1], h1[2], h1[3], h1[4]
+            doppler = float(h1[5]) if len(h1) > 5 else 0.0
+            log10rms = float(h1[6]) if len(h1) > 6 else 0.0
+            # keep tmid as an exact two-part MJD
+            if "." in tmid_s:
+                ip, fp = tmid_s.split(".")
+                tmid = Time(float(ip), float("0." + fp), format="mjd")
+            else:
+                tmid = Time(float(tmid_s), format="mjd")
+            rphase_s = h2[0]
+            if "." in rphase_s:
+                ip, fp = rphase_s.split(".")
+                rphase_int = float(ip)
+                rphase_frac = float(("-0." if ip.startswith("-") else "0.")
+                                    + fp)
+            else:
+                rphase_int, rphase_frac = float(rphase_s), 0.0
+            f0 = _parse_d_float(h2[1])
+            obs = h2[2]
+            span = int(h2[3])
+            ncoeff = int(h2[4])
+            obsfreq = float(h2[5])
+            binphase = float(h2[6]) if len(h2) > 6 else None
+            ncoeff_lines = (ncoeff + 2) // 3
+            coeff = []
+            for j in range(ncoeff_lines):
+                coeff.extend(_parse_d_float(v)
+                             for v in lines[i + 2 + j].split())
+            entries.append(PolycoEntry(
+                psr=psr, date=date, utc=utc, tmid=tmid, dm=float(dm),
+                doppler=doppler, log10rms=log10rms,
+                rphase_int=rphase_int, rphase_frac=rphase_frac, f0=f0,
+                obs=obs, span=span, ncoeff=ncoeff, obsfreq=obsfreq,
+                binphase=binphase, coeff=np.array(coeff[:ncoeff])))
+            i += 2 + ncoeff_lines
+        return entries
+
+    @classmethod
+    def read(cls, filename):
+        return cls(filename)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, item):
+        if isinstance(item, int):
+            return self.entries[item]
+        return Polyco(self.entries[item])
+
+    # -- evaluation ------------------------------------------------------
+    def searchclosest(self, t):
+        """Index of the entry whose TMID is nearest each time
+        (predictor.py:306-312)."""
+        t = t if isinstance(t, Time) else Time(t, format="mjd")
+        tm = np.array([e.tmid.mjd for e in self.entries])
+        mjd = np.atleast_1d(np.asarray(t.mjd))
+        idx = np.argmin(np.abs(mjd[..., np.newaxis] - tm), axis=-1)
+        return idx if np.ndim(t.mjd) else int(idx[0])
+
+    def _dt_minutes(self, entry, t):
+        dt = t - entry.tmid
+        hi, lo = dt.sec_pair
+        return hi / 60.0 + lo / 60.0
+
+    def __call__(self, t, index=None, rphase=None, deriv=0, time_unit=None):
+        """Evaluate phase (deriv=0, as Phase) or its time derivatives.
+
+        deriv=1 gives the spin frequency in Hz (Quantity); higher
+        derivatives accordingly (reference predictor.py:134-202).
+
+        rphase : None, 'fraction', 'ignored', or Phase-like
+            None keeps the absolute reference phase; 'fraction' references
+            to the first entry's rphase; 'ignored' drops RPHASE entirely.
+        """
+        t = t if isinstance(t, Time) else Time(t, format="mjd")
+        scalar = t.isscalar
+        times = t.reshape((1,)) if scalar else t.ravel()
+        mjds = np.asarray(times.mjd)
+        if index is None:
+            indices = np.atleast_1d(self.searchclosest(times))
+        else:
+            indices = np.full(mjds.shape, index, dtype=int)
+
+        if deriv == 0:
+            count = np.zeros(mjds.shape)
+            frac = np.zeros(mjds.shape)
+        else:
+            out = np.zeros(mjds.shape)
+        for i in np.unique(indices):
+            e = self.entries[i]
+            sel = indices == i
+            dt_min = np.atleast_1d(self._dt_minutes(e, times[sel]))
+            in_span = np.abs(dt_min) <= e.span / 2 + 1e-6
+            if not np.all(in_span):
+                import warnings
+                warnings.warn("some times outside polyco span; "
+                              "extrapolating.")
+            if deriv == 0:
+                poly = np.polynomial.Polynomial(e.coeff)
+                ph_poly = poly(dt_min)
+                ph_spin = 60.0 * e.f0 * dt_min
+                base = Phase(e.rphase_int, e.rphase_frac) if rphase is None \
+                    else (Phase(0.0) if rphase == "ignored"
+                          else (Phase(0.0, e.rphase_frac)
+                                if rphase == "fraction" else Phase(rphase)))
+                ph = base + Phase(ph_spin) + Phase(ph_poly)
+                count[sel] = ph.count
+                frac[sel] = ph.fraction
+            else:
+                dcoeff = np.polynomial.Polynomial(e.coeff).deriv(deriv)
+                val = dcoeff(dt_min) / 60.0 ** deriv
+                if deriv == 1:
+                    val = val + e.f0
+                out[sel] = val
+        if deriv == 0:
+            result = Phase.from_angles(count, frac)
+            return result[0] if scalar else result.reshape(t.shape)
+        unit = u.Hz if deriv == 1 else u.Hz / u.s ** (deriv - 1)
+        result = u.Quantity(out, unit)
+        return result[0] if scalar else result.reshape(t.shape)
+
+    def phasepol(self, index=0, rphase=None):
+        """Return a callable t -> Phase for one entry
+        (predictor.py:204-304)."""
+        def pol(t):
+            return self(t, index=index, rphase=rphase)
+        return pol
+
+    def fpol(self, index=0):
+        def pol(t):
+            return self(t, deriv=1, index=index)
+        return pol
+
+    # -- writing ---------------------------------------------------------
+    def to_string(self):
+        out = []
+        for e in self.entries:
+            mjd_hi, mjd_lo = e.tmid.mjd_pair
+            tmid_str = f"{mjd_hi + mjd_lo:.11f}"
+            out.append(f"{e.psr:<10s} {e.date:>9s} {e.utc:>11s} "
+                       f"{tmid_str:>20s} {e.dm:20.6f} "
+                       f"{e.doppler:21.6f} {e.log10rms:7.3f}")
+            rphase_str = (f"{int(e.rphase_int):d}"
+                          + f"{e.rphase_frac:.6f}".lstrip("-0")
+                          if e.rphase_frac >= 0 else
+                          f"{e.rphase_int + e.rphase_frac:.6f}")
+            out.append(f"{rphase_str:>20s} {_fortran_d(e.f0, 18)} "
+                       f"{e.obs:>5s} {e.span:5d} {e.ncoeff:5d} "
+                       f"{e.obsfreq:10.3f}"
+                       + (f" {e.binphase:7.4f}" if e.binphase is not None
+                          else ""))
+            for j in range(0, e.ncoeff, 3):
+                out.append("".join(_fortran_d(c, 25, 17)
+                                   for c in e.coeff[j:j + 3]))
+        return "\n".join(out) + "\n"
+
+    def write(self, filename):
+        with open(filename, "w") as fh:
+            fh.write(self.to_string())
