@@ -1,0 +1,5 @@
+"""I/O formats: HDF5 stream container; PSRFITS fold-mode files."""
+
+from . import hdf5
+
+__all__ = ["hdf5"]

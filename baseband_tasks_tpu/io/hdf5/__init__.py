@@ -1,0 +1,312 @@
+"""HDF5 stream container: write any stream with full metadata, reopen it
+as an identical stream head.
+
+Counterpart of `/root/reference/baseband_tasks/io/hdf5/` (stream
+reader/writer base.py:10-222, yaml header header.py:67-129, payload
+encodings payload.py:19-178): one HDF5 file holds a yaml-encoded
+``header`` dataset plus a ``payload`` dataset.  Payloads are stored raw
+(any numpy dtype), as half-precision complex ('c4': float16 pairs), or
+bit-encoded at 2/4/8 bits per (real) component with VDIF-style level
+conventions.
+
+This doubles as the framework's checkpoint/resume format (SURVEY.md §5):
+streams are seekable by absolute time, so processing can resume at any
+timestamp from an intermediate product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import yaml
+
+from ...base import Base
+from ...utils import Time, units as u
+
+__all__ = ["open", "HDF5StreamReader", "HDF5StreamWriter"]
+
+#: VDIF 2-bit decoding levels (offset-binary 0..3).
+_TWO_BIT_LEVELS = np.array([-3.3359, -1.0, 1.0, 3.3359], dtype=np.float32)
+
+
+def _require_h5py():
+    try:
+        import h5py
+        return h5py
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError("HDF5 I/O requires the h5py package") from exc
+
+
+# -- header ---------------------------------------------------------------
+
+def _header_from_stream(template, **overrides):
+    attrs = getattr(template, "meta", {}).get("__attributes__", {})
+    hdr = {
+        "shape": list(template.shape),
+        "sample_rate_hz": float(template.sample_rate.to_value(u.Hz)),
+        "start_time_jd1": float(template.start_time.jd1),
+        "start_time_jd2": float(template.start_time.jd2),
+        "dtype": np.dtype(template.dtype).str,
+        "samples_per_frame": int(getattr(template, "samples_per_frame",
+                                         1024)),
+    }
+    for name in ("frequency", "sideband", "polarization"):
+        value = overrides.get(name, attrs.get(name))
+        if value is None:
+            continue
+        if isinstance(value, u.Quantity):
+            hdr[name] = {"value": np.asarray(value.to_value(u.Hz)).tolist(),
+                         "unit": "Hz"}
+        else:
+            hdr[name] = np.asarray(value).tolist()
+    return hdr
+
+
+def _attrs_from_header(hdr):
+    out = {}
+    freq = hdr.get("frequency")
+    if freq is not None:
+        out["frequency"] = u.Quantity(np.asarray(freq["value"]), u.Hz)
+    if hdr.get("sideband") is not None:
+        out["sideband"] = np.asarray(hdr["sideband"])
+    if hdr.get("polarization") is not None:
+        out["polarization"] = np.asarray(hdr["polarization"])
+    return out
+
+
+# -- payload coding -------------------------------------------------------
+
+def _encode(data, encoding, bps):
+    """Encode a float/complex array for storage."""
+    if encoding == "raw":
+        return data
+    if encoding == "c4":
+        pair = np.stack([data.real, data.imag], axis=-1)
+        return pair.astype(np.float16)
+    if encoding == "bps":
+        if data.dtype.kind == "c":
+            comp = np.stack([data.real, data.imag], axis=-1)
+        else:
+            comp = data
+        if bps == 8:
+            # offset binary in [-127.5, 127.5]
+            return np.clip(np.round(comp + 0.5) + 127, 0, 255
+                           ).astype(np.uint8).reshape(-1)
+        if bps == 4:
+            vals = np.clip(np.round(comp + 0.5) + 7, 0, 15).astype(np.uint8)
+            flat = vals.reshape(-1)
+            if flat.size % 2:
+                flat = np.concatenate([flat, np.zeros(1, np.uint8)])
+            return (flat[0::2] | (flat[1::2] << 4))
+        if bps == 2:
+            # thresholds for unit-variance data (optimal 2-bit Gaussian)
+            idx = np.digitize(comp, [-0.9816, 0.0, 0.9816]).astype(np.uint8)
+            flat = idx.reshape(-1)
+            pad = (-flat.size) % 4
+            if pad:
+                flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
+            return (flat[0::4] | (flat[1::4] << 2) | (flat[2::4] << 4)
+                    | (flat[3::4] << 6))
+        raise ValueError(f"unsupported bps {bps}")
+    raise ValueError(f"unknown encoding {encoding!r}")
+
+
+def _decode(raw, encoding, bps, dtype, comp_shape):
+    """Decode stored payload back to ``dtype`` with shape comp_shape."""
+    if encoding == "raw":
+        return np.asarray(raw)
+    if encoding == "c4":
+        pair = np.asarray(raw, dtype=np.float32)
+        return (pair[..., 0] + 1j * pair[..., 1]).astype(dtype)
+    complex_data = np.dtype(dtype).kind == "c"
+    n_comp = int(np.prod(comp_shape)) * (2 if complex_data else 1)
+    if bps == 8:
+        comp = np.asarray(raw, dtype=np.float32) - 127.5
+    elif bps == 4:
+        raw = np.asarray(raw)
+        vals = np.empty(raw.size * 2, np.uint8)
+        vals[0::2] = raw & 0xF
+        vals[1::2] = raw >> 4
+        comp = vals[:n_comp].astype(np.float32) - 7.5
+    elif bps == 2:
+        raw = np.asarray(raw)
+        vals = np.empty(raw.size * 4, np.uint8)
+        vals[0::4] = raw & 0x3
+        vals[1::4] = (raw >> 2) & 0x3
+        vals[2::4] = (raw >> 4) & 0x3
+        vals[3::4] = raw >> 6
+        # reconstruction levels: conditional means for unit-variance data
+        comp = (_TWO_BIT_LEVELS * 0.4528)[vals[:n_comp]]
+    else:
+        raise ValueError(f"unsupported bps {bps}")
+    if complex_data:
+        comp = comp.reshape(comp_shape + (2,))
+        return (comp[..., 0] + 1j * comp[..., 1]).astype(dtype)
+    return comp.reshape(comp_shape).astype(dtype)
+
+
+# -- reader ---------------------------------------------------------------
+
+class HDF5StreamReader(Base):
+    """Stream head reading frames from an HDF5 container file."""
+
+    def __init__(self, name, samples_per_frame=None):
+        h5py = _require_h5py()
+        self._h5 = h5py.File(name, "r")
+        hdr = yaml.safe_load(self._h5["header"][()].decode())
+        self._hdr = hdr
+        self._encoding = hdr.get("encoding", "raw")
+        self._bps = hdr.get("bps")
+        dtype = np.dtype(hdr["dtype"])
+        shape = tuple(hdr["shape"])
+        spf = samples_per_frame or hdr.get("samples_per_frame", 1024)
+        super().__init__(
+            shape=shape,
+            start_time=Time(hdr["start_time_jd1"], hdr["start_time_jd2"]),
+            sample_rate=u.Quantity(hdr["sample_rate_hz"], u.Hz),
+            samples_per_frame=min(spf, shape[0]), dtype=dtype,
+            **_attrs_from_header(hdr))
+
+    @property
+    def bps(self):
+        return self._bps
+
+    @property
+    def encoding(self):
+        return self._encoding
+
+    def _read_frame(self, frame_index):
+        spf = self._samples_per_frame
+        start = frame_index * spf
+        stop = min(start + spf, self._shape[0])
+        if self._encoding in ("raw", "c4"):
+            raw = self._h5["payload"][start:stop]
+            return _decode(raw, self._encoding, self._bps, self._dtype,
+                           (stop - start,) + self.sample_shape)
+        # bit-packed: payload is a flat byte array over components
+        comp_per_sample = int(np.prod(self.sample_shape)) \
+            * (2 if self.complex_data else 1)
+        comp_per_byte = 8 // self._bps
+        b0 = start * comp_per_sample // comp_per_byte
+        b1 = -(-(stop * comp_per_sample) // comp_per_byte)
+        raw = self._h5["payload"][b0:b1]
+        out = _decode(raw, "bps", self._bps, self._dtype,
+                      (stop - start,) + self.sample_shape)
+        scale = self._hdr.get("scale")
+        if scale:
+            out = (out / scale).astype(self._dtype)
+        return out
+
+    def close(self):
+        super().close()
+        if getattr(self, "_h5", None) is not None:
+            self._h5.close()
+            self._h5 = None
+
+
+# -- writer ---------------------------------------------------------------
+
+class HDF5StreamWriter:
+    """Stream writer: sequential ``write(data)`` into an HDF5 container."""
+
+    def __init__(self, name, template=None, encoding="raw", bps=None,
+                 **overrides):
+        h5py = _require_h5py()
+        if template is None:
+            raise ValueError("writing requires a template stream (for "
+                            "shape/rate/time metadata)")
+        hdr = _header_from_stream(template, **overrides)
+        if bps is not None and encoding == "raw":
+            encoding = "bps"
+        hdr["encoding"] = encoding
+        if bps is not None:
+            hdr["bps"] = int(bps)
+        self._hdr = hdr
+        self._encoding = encoding
+        self._bps = bps
+        self._scale = None
+        self._dtype = np.dtype(hdr["dtype"])
+        self._shape = tuple(hdr["shape"])
+        self._h5 = h5py.File(name, "w")
+        n = self._shape[0]
+        sample_shape = self._shape[1:]
+        if encoding == "raw":
+            self._h5.create_dataset("payload", shape=self._shape,
+                                    dtype=self._dtype)
+        elif encoding == "c4":
+            self._h5.create_dataset("payload",
+                                    shape=self._shape + (2,),
+                                    dtype=np.float16)
+        else:
+            complex_data = self._dtype.kind == "c"
+            n_comp = n * int(np.prod(sample_shape)) \
+                * (2 if complex_data else 1)
+            n_bytes = -(-n_comp * bps // 8)
+            self._h5.create_dataset("payload", shape=(n_bytes,),
+                                    dtype=np.uint8)
+        self._offset = 0
+        self._closed = False
+
+    @property
+    def shape(self):
+        return self._shape
+
+    def write(self, data):
+        data = np.asarray(data)
+        n = len(data)
+        if self._offset + n > self._shape[0]:
+            raise EOFError("writing beyond end of declared stream shape")
+        start, stop = self._offset, self._offset + n
+        if self._encoding in ("raw", "c4"):
+            self._h5["payload"][start:stop] = _encode(
+                data.astype(self._dtype), self._encoding, self._bps)
+        else:
+            if self._scale is None:
+                # choose a quantization scale from the first block so the
+                # data RMS sits at the optimal level for this bit depth
+                # (VDIF-style; 2-bit levels are fixed at ~1 sigma)
+                comp = np.concatenate([data.real.ravel(), data.imag.ravel()]
+                                      ) if self._dtype.kind == "c" \
+                    else data.ravel()
+                sigma = float(np.std(comp)) or 1.0
+                target = {8: 32.0, 4: 2.5, 2: 1.0}[self._bps]
+                self._scale = target / sigma
+                self._hdr["scale"] = self._scale
+            comp_per_sample = int(np.prod(self._shape[1:])) \
+                * (2 if self._dtype.kind == "c" else 1)
+            if (start * comp_per_sample) % (8 // self._bps):
+                raise ValueError("bit-packed writes must stay byte-aligned; "
+                                 "use write sizes that keep alignment")
+            raw = _encode(data.astype(self._dtype) * self._scale, "bps",
+                          self._bps)
+            b0 = start * comp_per_sample * self._bps // 8
+            self._h5["payload"][b0:b0 + len(raw)] = raw
+        self._offset = stop
+
+    def tell(self):
+        return self._offset
+
+    def close(self):
+        if not self._closed:
+            self._h5["header"] = yaml.safe_dump(self._hdr).encode()
+            self._h5.close()
+            self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        self.close()
+
+
+def open(name, mode="r", **kwargs):
+    """Open an HDF5 stream file for reading ('r') or writing ('w').
+
+    Writing requires ``template=stream`` plus optional ``encoding``
+    ('raw'/'c4') or ``bps`` (2/4/8) and attribute overrides
+    (reference io/hdf5/base.py:129-222).
+    """
+    if mode == "r":
+        return HDF5StreamReader(name, **kwargs)
+    if mode == "w":
+        return HDF5StreamWriter(name, **kwargs)
+    raise ValueError(f"unknown mode {mode!r}")

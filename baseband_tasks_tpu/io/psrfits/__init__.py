@@ -1,0 +1,234 @@
+"""PSRFITS fold-mode read/write.
+
+Counterpart of `/root/reference/baseband_tasks/io/psrfits/`
+(``open``/readers core.py:16-131, SUBINT property bridge hdu.py:104-571):
+fold-mode PSRFITS files are exposed as streams of subintegrations with
+sample shape ``(nbin, nchan, npol)``; DAT_SCL/DAT_OFFS/ZERO_OFF scaling and
+optional DAT_WTS weighting are applied on read, and the writer quantizes to
+16-bit integers with per-subint, per-(pol,chan) scales.
+
+Built on the pure-python FITS layer in ``fitsio`` (astropy is not a
+dependency of this framework).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...base import Base
+from ...utils import Time, units as u
+from . import fitsio
+from .fitsio import HDU, Header, bintable_header, read_fits, write_fits
+
+__all__ = ["open", "PSRFITSReader", "PSRFITSWriter"]
+
+_POL_LABELS = {
+    "AA,BB": ["AA", "BB"],
+    "AABB": ["AA", "BB"],
+    "AABBCRCI": ["AA", "BB", "CR", "CI"],
+    "IQUV": ["I", "Q", "U", "V"],
+    "INTEN": ["I"],
+    "STOKES": ["I", "Q", "U", "V"],
+}
+
+
+class PSRFITSReader(Base):
+    """Stream of fold-mode subintegrations from a PSRFITS file."""
+
+    def __init__(self, name, weighted=True):
+        hdus = read_fits(name)
+        primary = hdus[0]
+        subint = None
+        for hdu in hdus[1:]:
+            if str(hdu.header.get("EXTNAME", "")).strip() == "SUBINT":
+                subint = hdu
+        if subint is None:
+            raise ValueError(f"no SUBINT extension found in {name}")
+        self._primary = primary
+        self._subint = subint
+        self._weighted = weighted
+        hdr = subint.header
+        nrow = hdr["NAXIS2"]
+        nbin = hdr["NBIN"]
+        nchan = hdr["NCHAN"]
+        npol = hdr["NPOL"]
+        tbin = hdr.get("TBIN", 0.0)
+        # start time: STT_IMJD/SMJD/OFFS plus first-subint centring
+        # (reference hdu.py:104-124, 521-554)
+        p = primary.header
+        stt = Time(float(p["STT_IMJD"]), 0.0, format="mjd") \
+            + u.Quantity(float(p["STT_SMJD"]) + float(p.get("STT_OFFS", 0.0)),
+                         u.s)
+        rows = subint.data
+        tsubint = float(np.asarray(rows["TSUBINT"][0]).ravel()[0])
+        offs_sub0 = float(np.asarray(rows["OFFS_SUB"][0]).ravel()[0])
+        start = stt + u.Quantity(offs_sub0 - tsubint / 2.0, u.s)
+        freq = np.asarray(rows["DAT_FREQ"][0], dtype=np.float64)[:nchan]
+        pol_type = str(hdr.get("POL_TYPE", "")).strip()
+        pols = _POL_LABELS.get(pol_type)
+        super().__init__(
+            shape=(nrow, nbin, nchan, npol), start_time=start,
+            sample_rate=u.Quantity(1.0 / tsubint, u.Hz),
+            samples_per_frame=1, dtype=np.float32,
+            frequency=u.Quantity(freq.reshape(nchan, 1), u.MHz),
+            polarization=np.asarray(pols) if pols and len(pols) == npol
+            else None)
+        self._nbin, self._nchan, self._npol = nbin, nchan, npol
+        self._zero_off = float(hdr.get("ZERO_OFF", 0.0) or 0.0)
+
+    @property
+    def telescope(self):
+        return str(self._primary.header.get("TELESCOP", "")).strip()
+
+    @property
+    def source(self):
+        return str(self._primary.header.get("SRC_NAME", "")).strip()
+
+    def _read_frame(self, frame_index):
+        row = self._subint.data[frame_index]
+        nbin, nchan, npol = self._nbin, self._nchan, self._npol
+        data = np.asarray(row["DATA"], dtype=np.float32)
+        data = data.reshape(npol, nchan, nbin)
+        scl = np.asarray(row["DAT_SCL"], dtype=np.float32
+                         ).reshape(npol, nchan)
+        offs = np.asarray(row["DAT_OFFS"], dtype=np.float32
+                          ).reshape(npol, nchan)
+        out = (data - self._zero_off) * scl[:, :, np.newaxis] \
+            + offs[:, :, np.newaxis]
+        if self._weighted:
+            wts = np.asarray(row["DAT_WTS"], dtype=np.float32)[:nchan]
+            out = out * wts[np.newaxis, :, np.newaxis]
+        # (npol, nchan, nbin) -> stream convention (nbin, nchan, npol)
+        # (reference core.py:215-217)
+        return out.transpose(2, 1, 0)[np.newaxis]
+
+
+class PSRFITSWriter:
+    """Write a folded stream to a fold-mode PSRFITS file.
+
+    ``template`` must be a stream with shape (nt, nbin, nchan[, npol]),
+    ``sample_rate = 1/TSUBINT``, a start_time, and a per-channel
+    ``frequency``; rows accumulate via ``write`` and the file is emitted on
+    ``close`` (reference core.py:225-278 fills a template HDU then writes).
+    """
+
+    def __init__(self, name, template, *, source="", telescope="",
+                 pol_type=None):
+        self._name = name
+        shape = template.shape
+        if len(shape) == 3:
+            shape = shape + (1,)
+        if len(shape) != 4:
+            raise ValueError("template must be (nt, nbin, nchan[, npol])")
+        self._shape = shape
+        self._rows = []
+        self._template = template
+        self._source = source
+        self._telescope = telescope
+        attrs = getattr(template, "meta", {}).get("__attributes__", {})
+        freq = attrs.get("frequency")
+        if freq is None:
+            raise ValueError("template needs per-channel frequency labels")
+        fv = np.asarray(freq.to_value(u.MHz), dtype=np.float64)
+        # broadcast against the template's true sample shape (before any
+        # pol-axis padding), then reduce to one frequency per channel
+        full = np.broadcast_to(fv, template.shape[1:])
+        if full.ndim == 2:
+            full = full[..., np.newaxis]
+        self._freq = np.asarray(full[0, :, 0], dtype=np.float64)
+        self._pol_type = pol_type or ("AABBCRCI" if shape[3] == 4
+                                      else "AA,BB" if shape[3] == 2
+                                      else "INTEN")
+        self._closed = False
+
+    def write(self, data):
+        data = np.asarray(data, dtype=np.float32)
+        sample_ndim = len(self._template.shape) - 1
+        if data.ndim == sample_ndim:  # a single subintegration
+            data = data[np.newaxis]
+        if data.ndim == 3:  # pad the missing polarization axis
+            data = data[..., np.newaxis]
+        self._rows.extend(data)
+
+    def close(self):
+        if self._closed:
+            return
+        nt = len(self._rows)
+        _, nbin, nchan, npol = self._shape
+        tmpl = self._template
+        tsubint = float(1.0 / tmpl.sample_rate.to_value(u.Hz))
+        t0 = tmpl.start_time
+        imjd = int(np.floor(t0.mjd))
+        day_frac_hi, day_frac_lo = t0.mjd_pair
+        sec_of_day = ((day_frac_hi - imjd) + day_frac_lo) * 86400.0
+        smjd = int(np.floor(sec_of_day))
+        offs = sec_of_day - smjd
+
+        primary = Header()
+        primary.set("FITSTYPE", "PSRFITS", "FITS definition for pulsar data")
+        primary.set("OBS_MODE", "PSR", "fold mode")
+        primary.set("SRC_NAME", self._source)
+        primary.set("TELESCOP", self._telescope)
+        primary.set("OBSFREQ", float(np.mean(self._freq)))
+        primary.set("OBSBW", float((self._freq[-1] - self._freq[0]))
+                    if nchan > 1 else 0.0)
+        primary.set("OBSNCHAN", nchan)
+        primary.set("STT_IMJD", imjd, "start MJD (int day)")
+        primary.set("STT_SMJD", smjd, "start second of day")
+        primary.set("STT_OFFS", round(offs, 12), "start fractional second")
+
+        columns = [
+            ("TSUBINT", "1D", None, "s"),
+            ("OFFS_SUB", "1D", None, "s"),
+            ("DAT_FREQ", f"{nchan}E", None, "MHz"),
+            ("DAT_WTS", f"{nchan}E", None, None),
+            ("DAT_OFFS", f"{nchan * npol}E", None, None),
+            ("DAT_SCL", f"{nchan * npol}E", None, None),
+            ("DATA", f"{nbin * nchan * npol}I", (nbin, nchan, npol), None),
+        ]
+        hdr = bintable_header(columns, nt, "SUBINT")
+        hdr.set("NBIN", nbin)
+        hdr.set("NCHAN", nchan)
+        hdr.set("NPOL", npol)
+        hdr.set("POL_TYPE", self._pol_type)
+        hdr.set("TBIN", tsubint / nbin)
+        hdr.set("CHAN_BW", float(self._freq[1] - self._freq[0])
+                if nchan > 1 else 0.0)
+        hdr.set("NSBLK", 1)
+        hdr.set("ZERO_OFF", 0.0)
+        dtype = fitsio._table_dtype(hdr)
+        rows = np.zeros(nt, dtype=dtype)
+        for i, frame in enumerate(self._rows):
+            # frame: (nbin, nchan, npol) -> storage (npol, nchan, nbin)
+            d = frame.transpose(2, 1, 0)
+            dmin = d.min(axis=-1)
+            dmax = d.max(axis=-1)
+            scl = (dmax - dmin) / 65534.0
+            scl[scl == 0] = 1.0
+            offs_pc = (dmax + dmin) / 2.0
+            q = np.round((d - offs_pc[:, :, None]) / scl[:, :, None])
+            rows[i]["TSUBINT"] = tsubint
+            rows[i]["OFFS_SUB"] = (i + 0.5) * tsubint
+            rows[i]["DAT_FREQ"] = self._freq.astype(np.float32)
+            rows[i]["DAT_WTS"] = 1.0
+            rows[i]["DAT_OFFS"] = offs_pc.reshape(-1)
+            rows[i]["DAT_SCL"] = scl.reshape(-1)
+            rows[i]["DATA"] = q.astype(">i2")
+        write_fits(self._name, [HDU(primary, None), HDU(hdr, rows)])
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        self.close()
+
+
+def open(name, mode="r", **kwargs):
+    """Open a PSRFITS file: 'r' -> subint stream, 'w' -> writer
+    (needs ``template=``)."""
+    if mode == "r":
+        return PSRFITSReader(name, **kwargs)
+    if mode == "w":
+        return PSRFITSWriter(name, **kwargs)
+    raise ValueError(f"unknown mode {mode!r}")
