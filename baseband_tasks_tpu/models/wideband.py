@@ -1,0 +1,204 @@
+"""Flagship model: wideband coherent-dedispersion + fold pipeline.
+
+One fused, jit-compiled step covering BASELINE.json configs 4/5: a block of
+channelized dual/quad-pol complex baseband → per-channel coherent
+dedispersion (overlap-save chirp) → detection → phase-binned fold, sharded
+over a (time, chan) TPU mesh:
+
+- **chan axis**: frequency channels spread across chips; dedispersion and
+  folding are per-channel, so this axis needs no communication.
+- **time axis**: the sample axis is block-sharded; overlap-save pads move
+  between neighbor chips by ``ppermute`` halo exchange over ICI
+  (parallel/halo.py), and fold partial profiles reduce with ``psum``.
+
+Everything in the step is static-shaped; XLA fuses chirp multiply and
+detection into the FFTs.  Complex data crosses the host boundary as
+trailing float32 pairs (the axon TPU backend transfers f32 only).
+
+Reference parity: composes the semantics of dispersion.py Disperse (chirp),
+functions.py Square, and integration.py Fold into one device program.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..dm import DispersionMeasure
+from ..parallel.halo import halo_exchange
+from ..utils import units as u
+
+__all__ = ["WidebandPulsarPipeline"]
+
+
+class WidebandPulsarPipeline:
+    """Fused dedisperse→detect→fold step over a (time, chan) mesh.
+
+    Parameters
+    ----------
+    n_chan, n_pol : int
+        Channels and polarizations of the input block.
+    dm : float or DispersionMeasure
+        Dispersion measure to remove (pc/cm³).
+    freq_center : Quantity
+        Band-centre sky frequency; channels are spaced by ``chan_rate``.
+    chan_rate : Quantity
+        Per-channel (complex) sample rate.
+    period_samples : Fraction or tuple (q, p)
+        Pulsar period as the exact rational q/p in units of channel
+        samples; folding uses integer modular arithmetic so precision
+        never degrades with stream length.
+    n_phase : int
+        Phase bins per profile.
+    block_samples : int
+        Samples per time shard per step.
+    mesh : jax.sharding.Mesh, optional
+        (time, chan) mesh; default: single current device.
+    """
+
+    def __init__(self, *, n_chan=1024, n_pol=4, dm=500.0,
+                 freq_center=None, chan_rate=None,
+                 period_samples=(16000, 3), n_phase=64,
+                 block_samples=16384, mesh=None):
+        if freq_center is None:
+            freq_center = 1400 * u.MHz
+        if chan_rate is None:
+            chan_rate = 250 * u.kHz
+        self.n_chan = n_chan
+        self.n_pol = n_pol
+        self.n_phase = n_phase
+        self.block_samples = block_samples
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                        ("time", "chan"))
+        self.mesh = mesh
+        self.n_time_shards = mesh.shape["time"]
+        self.n_chan_shards = mesh.shape["chan"]
+        if n_chan % self.n_chan_shards:
+            raise ValueError("n_chan must divide over the chan mesh axis")
+        if isinstance(period_samples, Fraction):
+            frac = period_samples
+        else:
+            q, p = period_samples
+            frac = Fraction(q, p)
+        self._per_q = int(frac.numerator)    # q samples per p periods
+        self._per_p = int(frac.denominator)
+
+        dm = dm if isinstance(dm, DispersionMeasure) else DispersionMeasure(dm)
+        self.dm = dm
+        rate_hz = chan_rate.to_value(u.Hz)
+        self.chan_rate = chan_rate
+        # channel carrier frequencies: contiguous band around the centre
+        chan_idx = np.arange(n_chan) - n_chan / 2 + 0.5
+        freqs_mhz = freq_center.to_value(u.MHz) \
+            + chan_idx * chan_rate.to_value(u.MHz)
+        self.freqs = u.Quantity(freqs_mhz, u.MHz)
+        ref = freq_center
+        self.reference_frequency = ref
+        # per-channel pad from that channel's own smear (max over band)
+        edges = np.concatenate([freqs_mhz - rate_hz / 2e6,
+                                freqs_mhz + rate_hz / 2e6])
+        delays = dm.time_delay(u.Quantity(edges, u.MHz), ref).to_value(u.s)
+        self.pad_start = max(int(np.ceil(delays.max() * rate_hz)), 0) + 64
+        self.pad_end = max(int(np.ceil(-delays.min() * rate_hz)), 0) + 64
+        if self.pad_start + self.pad_end >= block_samples:
+            raise ValueError(
+                f"block_samples {block_samples} too small for dispersion "
+                f"pads ({self.pad_start}, {self.pad_end}); raise it or "
+                f"lower the DM")
+        self._n_fft = block_samples + self.pad_start + self.pad_end
+        self._chirp_np = self._build_chirp()
+        self._step_cache = None
+
+    def _build_chirp(self):
+        """Dedispersion chirp conj(exp(2πi φ)) over (n_fft, n_chan, 1)."""
+        n = self._n_fft
+        offsets_mhz = np.fft.fftfreq(n) * self.chan_rate.to_value(u.MHz)
+        f_sky = self.freqs.to_value(u.MHz)[np.newaxis, :] \
+            + offsets_mhz[:, np.newaxis]
+        phase = self.dm.phase_delay(u.Quantity(f_sky, u.MHz),
+                                    self.reference_frequency)
+        cyc = np.asarray(phase.to_value(u.cycle), dtype=np.float64)
+        cyc -= np.round(cyc)
+        chirp = np.exp(-2j * np.pi * cyc)  # conjugate: REMOVE dispersion
+        return chirp.astype(np.complex64)[:, :, np.newaxis]
+
+    # -- the fused step --------------------------------------------------
+    def _local_step(self, xf, chirp, offset_mod):
+        """Per-shard computation.
+
+        xf : (T_local, C_local, P, 2) float32 — complex as trailing pairs
+        chirp : (n_fft, C_local, 1) complex64
+        offset_mod : () float32 — global sample index of this block's first
+            sample, modulo the fold period numerator q (carried as float32
+            because the TPU transfer boundary is f32-only; cast on device).
+        """
+        T = xf.shape[0]
+        offset_mod = offset_mod.astype(jnp.int32)
+        x = jax.lax.complex(xf[..., 0], xf[..., 1])
+        w = halo_exchange(x, self.pad_start, self.pad_end, "time")
+        X = jnp.fft.fft(w, axis=0)
+        y = jnp.fft.ifft(X * chirp, axis=0)
+        y = jax.lax.dynamic_slice_in_dim(y, self.pad_start, T, axis=0)
+        power = y.real ** 2 + y.imag ** 2                # detection
+        # fold with exact integer modular phase: phi = i * p / q cycles
+        shard = jax.lax.axis_index("time")
+        i0 = offset_mod + shard * T
+        idx = (i0 + jnp.arange(T, dtype=jnp.int32)) % self._per_q
+        num = (idx * self._per_p) % self._per_q
+        bins = (num * self.n_phase) // self._per_q
+        prof = jax.ops.segment_sum(power, bins,
+                                   num_segments=self.n_phase)
+        cnt = jax.ops.segment_sum(jnp.ones((T,), jnp.float32), bins,
+                                  num_segments=self.n_phase)
+        prof = jax.lax.psum(prof, "time")
+        cnt = jax.lax.psum(cnt, "time")
+        return prof, cnt
+
+    def step_fn(self):
+        """The jitted sharded step: (xf, offset_mod) -> (profile, counts).
+
+        xf has global shape (time_shards * block_samples, n_chan, n_pol, 2)
+        sharded P('time','chan'); output profile (n_phase, n_chan, n_pol)
+        sharded P(None,'chan') and counts (n_phase,) replicated.
+        """
+        if self._step_cache is not None:
+            return self._step_cache
+        mesh = self.mesh
+
+        sharded = jax.shard_map(
+            self._local_step, mesh=mesh,
+            in_specs=(P("time", "chan"), P(None, "chan"), P()),
+            out_specs=(P(None, "chan"), P()))
+
+        chirp = jax.device_put(
+            jnp.asarray(self._chirp_np),
+            NamedSharding(mesh, P(None, "chan")))
+
+        @jax.jit
+        def step(xf, offset_mod):
+            return sharded(xf, chirp, offset_mod)
+
+        self._step_cache = step
+        return step
+
+    # -- conveniences ----------------------------------------------------
+    @property
+    def global_block(self):
+        """Samples consumed per step across the whole mesh."""
+        return self.block_samples * self.n_time_shards
+
+    def example_inputs(self, seed=0):
+        """Small random inputs with the right shapes/shardings."""
+        rng = np.random.default_rng(seed)
+        T = self.global_block
+        xf = rng.standard_normal(
+            (T, self.n_chan, self.n_pol, 2)).astype(np.float32)
+        xf = jax.device_put(
+            xf, NamedSharding(self.mesh, P("time", "chan")))
+        return xf, jnp.float32(0)

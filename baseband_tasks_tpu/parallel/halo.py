@@ -1,0 +1,79 @@
+"""Halo exchange for time-sharded overlap-save processing.
+
+The reference's ``PaddedTaskBase`` (base.py:709-795) pads every frame by
+re-reading overlapping input on one host.  Sharded across chips, the same
+overlap becomes a neighbor exchange: each time-shard sends its edge samples
+to adjacent shards over ICI with ``jax.lax.ppermute`` — ring-style neighbor
+communication, the convolution analogue of ring attention (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+__all__ = ["halo_exchange", "sharded_overlap_save"]
+
+
+def halo_exchange(x, pad_start, pad_end, axis_name="time", periodic=False):
+    """Extend a per-shard block with neighbors' edge samples along axis 0.
+
+    Inside ``shard_map``: returns an array of
+    ``pad_start + local_n + pad_end`` samples.  Non-periodic edge shards
+    receive zeros (matching a zero-padded stream edge); with
+    ``periodic=True`` the ring wraps.
+    """
+    n_shards = jax.lax.axis_size(axis_name)
+    local_n = x.shape[0]
+    if pad_start + pad_end == 0 or n_shards == 1:
+        if pad_start or pad_end:
+            zeros_front = jnp.zeros((pad_start,) + x.shape[1:], x.dtype)
+            zeros_back = jnp.zeros((pad_end,) + x.shape[1:], x.dtype)
+            return jnp.concatenate([zeros_front, x, zeros_back], axis=0)
+        return x
+    if pad_start > local_n or pad_end > local_n:
+        raise ValueError(
+            f"halo ({pad_start},{pad_end}) exceeds local block {local_n}; "
+            f"use fewer shards or larger blocks")
+    pieces = [x]
+    if pad_start:
+        # my left neighbor's trailing pad_start samples
+        fwd = [(i, i + 1) for i in range(n_shards - 1)]
+        if periodic:
+            fwd.append((n_shards - 1, 0))
+        from_left = jax.lax.ppermute(x[-pad_start:], axis_name, perm=fwd)
+        pieces.insert(0, from_left)
+    if pad_end:
+        # my right neighbor's leading pad_end samples
+        bwd = [(i + 1, i) for i in range(n_shards - 1)]
+        if periodic:
+            bwd.append((0, n_shards - 1))
+        from_right = jax.lax.ppermute(x[:pad_end], axis_name, perm=bwd)
+        pieces.append(from_right)
+    return jnp.concatenate(pieces, axis=0)
+
+
+def sharded_overlap_save(fn, mesh, pad_start, pad_end, *, in_spec=None,
+                         out_spec=None, periodic=False):
+    """Lift a padded-window function to a time-sharded array.
+
+    ``fn(window)`` consumes ``pad_start + local_n + pad_end`` samples and
+    returns ``local_n`` samples (the valid region) — exactly the
+    single-device overlap-save ``task`` contract of ``PaddedTaskBase``.
+    The returned callable takes a globally sharded array (samples on mesh
+    axis 'time', channels on 'chan') and runs ``fn`` per shard after a
+    halo exchange.
+    """
+    in_spec = in_spec if in_spec is not None else P("time", "chan")
+    out_spec = out_spec if out_spec is not None else in_spec
+
+    def sharded(x):
+        def local(xl):
+            window = halo_exchange(xl, pad_start, pad_end,
+                                   periodic=periodic)
+            return fn(window)
+        return jax.shard_map(local, mesh=mesh, in_specs=in_spec,
+                             out_specs=out_spec)(x)
+
+    return sharded

@@ -1,0 +1,74 @@
+"""Benchmark: coherent dedispersion + detection + fold throughput per chip.
+
+Runs the flagship WidebandPulsarPipeline on the default backend (the real
+TPU under the driver): DM=500, 16 MHz total band (64 x 250 kHz channels),
+dual polarization — BASELINE.json's north-star configuration.  Input blocks
+are generated on device (the axon tunnel's host->device path is not
+representative of production ingest and transfers only float32).
+
+Prints ONE json line:
+  value       = complex baseband samples processed per second per chip
+                (valid output samples x channels x polarizations / time)
+  vs_baseline = value / (10x real-time for the 16 MHz dual-pol band)
+                = value / 3.2e8 — >= 1 means the north star is met.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from baseband_tasks_tpu.models import WidebandPulsarPipeline
+    from baseband_tasks_tpu.utils import units as u
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                ("time", "chan"))
+    n_chan, n_pol = 64, 2
+    block = 1 << 17  # 131072 samples per channel per step
+    pipe = WidebandPulsarPipeline(
+        n_chan=n_chan, n_pol=n_pol, dm=500.0, freq_center=1400 * u.MHz,
+        chan_rate=250 * u.kHz, period_samples=(160000, 3), n_phase=64,
+        block_samples=block, mesh=mesh)
+    step = pipe.step_fn()
+
+    @jax.jit
+    def make_block(seed):
+        key = jax.random.key(seed.astype(jnp.int32))
+        return jax.random.normal(
+            key, (block, n_chan, n_pol, 2), jnp.float32)
+
+    xf = make_block(jnp.float32(0))
+    jax.block_until_ready(xf)
+
+    # warmup/compile
+    prof, cnt = step(xf, jnp.float32(0))
+    jax.block_until_ready((prof, cnt))
+
+    n_iter = 10
+    t0 = time.perf_counter()
+    off = 0.0
+    for k in range(n_iter):
+        prof, cnt = step(xf, jnp.float32(off))
+        off = (off + block) % pipe._per_q
+    jax.block_until_ready((prof, cnt))
+    dt = time.perf_counter() - t0
+
+    samples = n_iter * block * n_chan * n_pol
+    rate = samples / dt
+    realtime_x10 = 10.0 * (n_chan * 250e3) * n_pol
+    print(json.dumps({
+        "metric": "baseband samples/sec/chip "
+                  "(coherent dedisperse+detect+fold, DM=500, 16 MHz x 2 pol)",
+        "value": round(rate, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(rate / realtime_x10, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

