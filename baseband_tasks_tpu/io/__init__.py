@@ -1,5 +1,6 @@
 """I/O formats: HDF5 stream container; PSRFITS fold-mode files."""
 
 from . import hdf5
+from . import vdif
 
-__all__ = ["hdf5"]
+__all__ = ["hdf5", "vdif"]

@@ -119,23 +119,15 @@ def _decode(raw, encoding, bps, dtype, comp_shape):
         return (pair[..., 0] + 1j * pair[..., 1]).astype(dtype)
     complex_data = np.dtype(dtype).kind == "c"
     n_comp = int(np.prod(comp_shape)) * (2 if complex_data else 1)
+    # native LUT decoder (C) with numpy fallback inside
+    from ... import native
     if bps == 8:
-        comp = np.asarray(raw, dtype=np.float32) - 127.5
+        comp = native.unpack_8bit(raw)[:n_comp]
     elif bps == 4:
-        raw = np.asarray(raw)
-        vals = np.empty(raw.size * 2, np.uint8)
-        vals[0::2] = raw & 0xF
-        vals[1::2] = raw >> 4
-        comp = vals[:n_comp].astype(np.float32) - 7.5
+        comp = native.unpack_4bit(raw)[:n_comp]
     elif bps == 2:
-        raw = np.asarray(raw)
-        vals = np.empty(raw.size * 4, np.uint8)
-        vals[0::4] = raw & 0x3
-        vals[1::4] = (raw >> 2) & 0x3
-        vals[2::4] = (raw >> 4) & 0x3
-        vals[3::4] = raw >> 6
         # reconstruction levels: conditional means for unit-variance data
-        comp = (_TWO_BIT_LEVELS * 0.4528)[vals[:n_comp]]
+        comp = native.unpack_2bit(raw, _TWO_BIT_LEVELS * 0.4528)[:n_comp]
     else:
         raise ValueError(f"unsupported bps {bps}")
     if complex_data:

@@ -111,6 +111,11 @@ class WidebandPulsarPipeline:
                 f"block_samples {block_samples} too small for dispersion "
                 f"pads ({self.pad_start}, {self.pad_end}); raise it or "
                 f"lower the DM")
+        # round the overlap-save window up to a 2/3/5-smooth FFT length
+        # (extra goes into pad_end; XLA's FFT wants smooth sizes)
+        from ..fourier import next_fast_len
+        n_fft = block_samples + self.pad_start + self.pad_end
+        self.pad_end += next_fast_len(n_fft) - n_fft
         self._n_fft = block_samples + self.pad_start + self.pad_end
         self._chirp_np = self._build_chirp()
         self._step_cache = None
@@ -126,14 +131,16 @@ class WidebandPulsarPipeline:
         cyc = np.asarray(phase.to_value(u.cycle), dtype=np.float64)
         cyc -= np.round(cyc)
         chirp = np.exp(-2j * np.pi * cyc)  # conjugate: REMOVE dispersion
-        return chirp.astype(np.complex64)[:, :, np.newaxis]
+        # stored as trailing float32 pairs: the TPU boundary is f32-only
+        pair = np.stack([chirp.real, chirp.imag], axis=-1)
+        return pair.astype(np.float32)[:, :, np.newaxis, :]
 
     # -- the fused step --------------------------------------------------
-    def _local_step(self, xf, chirp, offset_mod):
+    def _local_step(self, xf, chirp_f, offset_mod):
         """Per-shard computation.
 
         xf : (T_local, C_local, P, 2) float32 — complex as trailing pairs
-        chirp : (n_fft, C_local, 1) complex64
+        chirp_f : (n_fft, C_local, 1, 2) float32 — chirp as trailing pairs
         offset_mod : () float32 — global sample index of this block's first
             sample, modulo the fold period numerator q (carried as float32
             because the TPU transfer boundary is f32-only; cast on device).
@@ -141,6 +148,7 @@ class WidebandPulsarPipeline:
         T = xf.shape[0]
         offset_mod = offset_mod.astype(jnp.int32)
         x = jax.lax.complex(xf[..., 0], xf[..., 1])
+        chirp = jax.lax.complex(chirp_f[..., 0], chirp_f[..., 1])
         w = halo_exchange(x, self.pad_start, self.pad_end, "time")
         X = jnp.fft.fft(w, axis=0)
         y = jnp.fft.ifft(X * chirp, axis=0)
@@ -176,13 +184,17 @@ class WidebandPulsarPipeline:
             in_specs=(P("time", "chan"), P(None, "chan"), P()),
             out_specs=(P(None, "chan"), P()))
 
+        # the chirp travels as a jit *argument* (a closure constant would
+        # be inlined via a host round-trip, which the TPU boundary forbids
+        # for complex data)
         chirp = jax.device_put(
-            jnp.asarray(self._chirp_np),
-            NamedSharding(mesh, P(None, "chan")))
+            self._chirp_np, NamedSharding(mesh, P(None, "chan")))
+        jstep = jax.jit(
+            lambda xf, offset_mod, chirp_f: sharded(xf, chirp_f,
+                                                    offset_mod))
 
-        @jax.jit
         def step(xf, offset_mod):
-            return sharded(xf, chirp, offset_mod)
+            return jstep(xf, offset_mod, chirp)
 
         self._step_cache = step
         return step

@@ -51,11 +51,13 @@ def main():
 
     n_iter = 10
     t0 = time.perf_counter()
-    off = 0.0
+    off = jnp.float32(0)
     for k in range(n_iter):
-        prof, cnt = step(xf, jnp.float32(off))
-        off = (off + block) % pipe._per_q
-    jax.block_until_ready((prof, cnt))
+        prof, cnt = step(xf, off)
+        # chain the next offset on this step's output so iterations are
+        # data-dependent (nothing can overlap or be elided)
+        off = jnp.mod(off + block + 0.0 * prof[0, 0, 0], pipe._per_q)
+    jax.block_until_ready((prof, cnt, off))
     dt = time.perf_counter() - t0
 
     samples = n_iter * block * n_chan * n_pol

@@ -124,4 +124,10 @@ class TestWidebandPipeline:
     def test_dedispersion_does_something(self):
         # dispersed impulse concentrates only after dedispersion
         pipe = self.make(make_mesh(time=1, chan=1), dm=0.0)
-        assert pipe.pad_start == 64 and pipe.pad_end == 64
+        assert pipe.pad_start == 64 and pipe.pad_end >= 64
+        # window is 2/3/5-smooth
+        m = pipe._n_fft
+        for p in (2, 3, 5):
+            while m % p == 0:
+                m //= p
+        assert m == 1

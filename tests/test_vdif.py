@@ -1,0 +1,110 @@
+"""VDIF read/write round-trip tests (self-consistent; the reference used
+the external `baseband` package for this layer)."""
+
+import numpy as np
+import pytest
+
+from baseband_tasks_tpu import NoiseGenerator
+from baseband_tasks_tpu.io import vdif
+from baseband_tasks_tpu.utils import Time, units as u
+
+START = Time("2018-06-15T07:00:00.000000000")
+
+
+RATE = u.Quantity(1 << 20, u.Hz)  # 1.048576 MHz: frames are 2^k
+
+
+def stream(shape=(32768, 2), dtype=np.complex64, rate=RATE):
+    return NoiseGenerator(shape=shape, start_time=START, sample_rate=rate,
+                          samples_per_frame=8192, dtype=dtype, seed=23)
+
+
+class TestVDIFRoundtrip:
+    @pytest.mark.parametrize("bps", [8, 4, 2])
+    def test_dual_pol_complex(self, tmp_path, bps):
+        sh = stream()
+        # scale to good quantization range for offset-binary encodings
+        data = np.asarray(sh.read()) * (16 if bps == 8 else
+                                        2 if bps == 4 else 1)
+        path = str(tmp_path / f"b{bps}.vdif")
+        with vdif.open(path, "w", template=sh, bps=bps) as fw:
+            fw.write(data)
+        fr = vdif.open(path, sample_rate=RATE)
+        assert fr.shape == (32768, 2)
+        assert fr.dtype == np.complex64
+        assert fr.sample_rate == RATE
+        assert abs((fr.start_time - START).sec) < 1e-9
+        back = np.asarray(fr.read())
+        corr = np.abs(np.vdot(back, data)) / np.sqrt(
+            np.vdot(back, back).real * np.vdot(data, data).real)
+        assert corr > (0.995 if bps == 8 else 0.98 if bps == 4 else 0.85)
+
+    def test_real_single_channel(self, tmp_path):
+        sh = stream(shape=(16384,), dtype=np.float32)
+        data = np.asarray(sh.read()) * 16
+        path = str(tmp_path / "real.vdif")
+        with vdif.open(path, "w", template=sh, bps=8) as fw:
+            fw.write(data)
+        fr = vdif.open(path, sample_rate=RATE)
+        assert fr.shape == (16384,)
+        assert fr.dtype == np.float32
+        back = np.asarray(fr.read())
+        assert np.corrcoef(back, data)[0, 1] > 0.995
+
+    def test_seek_and_partial_reads(self, tmp_path):
+        sh = stream()
+        data = np.asarray(sh.read()) * 16
+        path = str(tmp_path / "x.vdif")
+        with vdif.open(path, "w", template=sh, bps=8) as fw:
+            for i in range(0, 32768, 4096):
+                fw.write(data[i:i + 4096])
+        fr = vdif.open(path, sample_rate=RATE)
+        fr.seek(10000)
+        a = np.asarray(fr.read(100))
+        corr = np.abs(np.vdot(a, data[10000:10100])) / np.sqrt(
+            np.vdot(a, a).real
+            * np.vdot(data[10000:10100], data[10000:10100]).real)
+        assert corr > 0.99
+
+    def test_header_fields(self, tmp_path):
+        sh = stream()
+        path = str(tmp_path / "h.vdif")
+        with vdif.open(path, "w", template=sh, bps=8, station=42) as fw:
+            fw.write(np.asarray(sh.read()))
+        with open(path, "rb") as fh:
+            hdr = vdif._parse_header(fh.read(32))
+        assert hdr["station"] == 42
+        assert hdr["bps"] == 8
+        assert hdr["complex"] is True
+        assert not hdr["legacy"]
+
+    def test_mid_second_start_time(self, tmp_path):
+        t0 = Time("2018-06-15T07:00:00.250000000")
+        sh = NoiseGenerator(shape=(8192, 2), start_time=t0,
+                            sample_rate=RATE, samples_per_frame=8192,
+                            dtype=np.complex64, seed=1)
+        path = str(tmp_path / "m.vdif")
+        with vdif.open(path, "w", template=sh, bps=8) as fw:
+            fw.write(np.asarray(sh.read()))
+        fr = vdif.open(path, sample_rate=RATE)
+        assert abs((fr.start_time - t0).sec) < 1e-9
+
+
+    def test_rate_inference_across_seconds(self, tmp_path):
+        rate = 8192 * u.Hz
+        sh = NoiseGenerator(shape=(16384, 2), start_time=START,
+                            sample_rate=rate, samples_per_frame=8192,
+                            dtype=np.complex64, seed=2)
+        path = str(tmp_path / "infer.vdif")
+        with vdif.open(path, "w", template=sh, bps=8) as fw:
+            fw.write(np.asarray(sh.read()) * 16)
+        fr = vdif.open(path)  # no sample_rate given
+        assert fr.sample_rate.to_value(u.Hz) == pytest.approx(8192)
+
+    def test_short_file_requires_rate(self, tmp_path):
+        sh = stream(shape=(8192, 2))
+        path = str(tmp_path / "short.vdif")
+        with vdif.open(path, "w", template=sh, bps=8) as fw:
+            fw.write(np.asarray(sh.read()))
+        with pytest.raises(ValueError, match="sample_rate"):
+            vdif.open(path)
