@@ -23,6 +23,7 @@ from .combining import CombineStreams, Concatenate, Stack
 from .sampling import ShiftAndResample, Resample, TimeDelay, ShiftSamples
 from .dm import DispersionMeasure
 from .conversion import Real2Complex
+from .registry import open
 from .pfb import (sinc_hamming, PolyphaseFilterBank,
                   PolyphaseFilterBankSamples, InversePolyphaseFilterBank)
 from .dispersion import (Disperse, Dedisperse, DisperseSamples,
@@ -38,4 +39,5 @@ __all__ = ["Base", "BaseTaskBase", "TaskBase", "PaddedTaskBase", "Task",
            "TimeDelay", "ShiftSamples", "DispersionMeasure", "Disperse",
            "Dedisperse", "DisperseSamples", "DedisperseSamples",
            "Real2Complex", "sinc_hamming", "PolyphaseFilterBank",
-           "PolyphaseFilterBankSamples", "InversePolyphaseFilterBank"]
+           "PolyphaseFilterBankSamples", "InversePolyphaseFilterBank",
+           "open"]

@@ -160,10 +160,8 @@ class WidebandPulsarPipeline:
         idx = (i0 + jnp.arange(T, dtype=jnp.int32)) % self._per_q
         num = (idx * self._per_p) % self._per_q
         bins = (num * self.n_phase) // self._per_q
-        prof = jax.ops.segment_sum(power, bins,
-                                   num_segments=self.n_phase)
-        cnt = jax.ops.segment_sum(jnp.ones((T,), jnp.float32), bins,
-                                  num_segments=self.n_phase)
+        from ..ops import fold_accumulate
+        prof, cnt = fold_accumulate(power, bins, self.n_phase)
         prof = jax.lax.psum(prof, "time")
         cnt = jax.lax.psum(cnt, "time")
         return prof, cnt
@@ -198,6 +196,51 @@ class WidebandPulsarPipeline:
 
         self._step_cache = step
         return step
+
+    def run_fn(self, n_iter):
+        """A jitted on-device loop of ``n_iter`` pipeline steps.
+
+        Each iteration generates a fresh noise block on device (counter
+        PRNG keyed on the iteration), advances the fold offset, and
+        accumulates the profiles — one host dispatch measures ``n_iter``
+        full dedisperse→detect→fold steps with no host round-trips, which
+        is the honest way to time through a remote device tunnel.
+
+        Returns ``run(seed) -> (profile_sum, count_sum)``.
+        """
+        mesh = self.mesh
+        sharded = jax.shard_map(
+            self._local_step, mesh=mesh,
+            in_specs=(P("time", "chan"), P(None, "chan"), P()),
+            out_specs=(P(None, "chan"), P()))
+        chirp = jax.device_put(
+            self._chirp_np, NamedSharding(mesh, P(None, "chan")))
+        T = self.global_block
+        shape = (T, self.n_chan, self.n_pol, 2)
+        per_q = float(self._per_q)
+
+        def run_inner(seed, chirp_f):
+            def body(k, carry):
+                off, acc, cnt_acc = carry
+                key = jax.random.fold_in(
+                    jax.random.key(seed.astype(jnp.int32)), k)
+                xf = jax.random.normal(key, shape, jnp.float32)
+                prof, cnt = sharded(xf, chirp_f, off)
+                off = jnp.mod(off + T, per_q)
+                return off, acc + prof, cnt_acc + cnt
+            init = (jnp.float32(0),
+                    jnp.zeros((self.n_phase, self.n_chan, self.n_pol),
+                              jnp.float32),
+                    jnp.zeros((self.n_phase,), jnp.float32))
+            _, acc, cnt_acc = jax.lax.fori_loop(0, n_iter, body, init)
+            return acc, cnt_acc
+
+        jrun = jax.jit(run_inner)
+
+        def run(seed=jnp.float32(0)):
+            return jrun(jnp.float32(seed), chirp)
+
+        return run
 
     # -- conveniences ----------------------------------------------------
     @property

@@ -1,0 +1,71 @@
+"""Format registry and top-level ``open``.
+
+The reference injects itself into the ``baseband`` namespace via entry
+points so ``baseband.open(file, format='hdf5')`` works
+(`/root/reference/pyproject.toml:44-67`).  With no host package to extend,
+this module provides the equivalent single entry point:
+``baseband_tasks_tpu.open(file, mode, format=...)`` with auto-detection.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["open", "FORMATS"]
+
+
+def _hdf5_open(name, mode="r", **kwargs):
+    from .io import hdf5
+    return hdf5.open(name, mode, **kwargs)
+
+
+def _vdif_open(name, mode="r", **kwargs):
+    from .io import vdif
+    return vdif.open(name, mode, **kwargs)
+
+
+def _psrfits_open(name, mode="r", **kwargs):
+    from .io import psrfits
+    return psrfits.open(name, mode, **kwargs)
+
+
+#: name -> (opener, detector)
+FORMATS = {
+    "hdf5": (_hdf5_open, lambda head, name:
+             head[:8] == b"\x89HDF\r\n\x1a\n"),
+    "psrfits": (_psrfits_open, lambda head, name:
+                head[:6] == b"SIMPLE"),
+    "vdif": (_vdif_open, lambda head, name:
+             name.lower().endswith((".vdif", ".vdf"))),
+}
+
+
+def open(name, mode="r", format=None, **kwargs):
+    """Open a stream file in any registered format.
+
+    ``format`` may be 'hdf5', 'vdif' or 'psrfits'; when omitted it is
+    detected from the file signature (reads) or required (writes).
+    """
+    if format is None:
+        if "w" in mode:
+            raise ValueError("writing requires an explicit format=")
+        with __builtins__["open"](name, "rb") if isinstance(
+                __builtins__, dict) else _bopen(name) as fh:
+            head = fh.read(16)
+        for fmt, (opener, detect) in FORMATS.items():
+            if detect(head, str(name)):
+                format = fmt
+                break
+        else:
+            raise ValueError(f"could not detect format of {name}")
+    try:
+        opener = FORMATS[format][0]
+    except KeyError:
+        raise ValueError(f"unknown format {format!r}; "
+                         f"known: {sorted(FORMATS)}") from None
+    return opener(name, mode, **kwargs)
+
+
+def _bopen(name):
+    import builtins
+    return builtins.open(name, "rb")

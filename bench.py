@@ -34,30 +34,19 @@ def main():
         n_chan=n_chan, n_pol=n_pol, dm=500.0, freq_center=1400 * u.MHz,
         chan_rate=250 * u.kHz, period_samples=(160000, 3), n_phase=64,
         block_samples=block, mesh=mesh)
-    step = pipe.step_fn()
+    n_iter = 16
+    run = pipe.run_fn(n_iter)
 
-    @jax.jit
-    def make_block(seed):
-        key = jax.random.key(seed.astype(jnp.int32))
-        return jax.random.normal(
-            key, (block, n_chan, n_pol, 2), jnp.float32)
+    # warmup/compile; synchronize by an actual host fetch — on the axon
+    # tunnel backend block_until_ready is not a reliable barrier, and a
+    # fetch is the only true synchronization (costs one ~30 ms RTT, which
+    # only *under*states throughput)
+    prof, cnt = run(0)
+    np.asarray(cnt)
 
-    xf = make_block(jnp.float32(0))
-    jax.block_until_ready(xf)
-
-    # warmup/compile
-    prof, cnt = step(xf, jnp.float32(0))
-    jax.block_until_ready((prof, cnt))
-
-    n_iter = 10
     t0 = time.perf_counter()
-    off = jnp.float32(0)
-    for k in range(n_iter):
-        prof, cnt = step(xf, off)
-        # chain the next offset on this step's output so iterations are
-        # data-dependent (nothing can overlap or be elided)
-        off = jnp.mod(off + block + 0.0 * prof[0, 0, 0], pipe._per_q)
-    jax.block_until_ready((prof, cnt, off))
+    prof, cnt = run(1)
+    np.asarray(cnt)
     dt = time.perf_counter() - t0
 
     samples = n_iter * block * n_chan * n_pol
