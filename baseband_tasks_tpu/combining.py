@@ -17,8 +17,8 @@ import operator
 import jax.numpy as jnp
 import numpy as np
 
-from .base import Base, getattr_if_none
-from .utils import Time, TimeDelta, units as u
+from .base import Base
+from .utils import units as u
 
 __all__ = ["CombineStreamsBase", "CombineStreams", "Concatenate", "Stack"]
 

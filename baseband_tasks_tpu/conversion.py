@@ -13,7 +13,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import TaskBase, getattr_if_none
-from .utils import units as u
 
 __all__ = ["Real2Complex"]
 

@@ -17,7 +17,6 @@ import numpy as np
 
 from .base import PaddedTaskBase
 from .fourier import fft_maker
-from .utils import units as u
 
 __all__ = ["Convolve", "ConvolveSamples"]
 

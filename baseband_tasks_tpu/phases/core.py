@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..utils import Time, units as u
+from ..utils import units as u
 from .phase import Phase
 from .predictor import Polyco
 

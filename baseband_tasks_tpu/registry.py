@@ -9,8 +9,6 @@ this module provides the equivalent single entry point:
 
 from __future__ import annotations
 
-import os
-
 __all__ = ["open", "FORMATS"]
 
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 import contextlib
 import time
 
-from .. import base as _base
 from . import units as u
 
 __all__ = ["monitor", "StreamMonitor", "trace"]

@@ -17,7 +17,6 @@ offsets (ints) and rates (floats); absolute time stays on the host.
 
 from __future__ import annotations
 
-import numbers
 import re
 
 import numpy as np

@@ -150,6 +150,11 @@ class Unit:
     def __str__(self):
         if self.name:
             return self.name
+        # prefer a registered named unit with the same scale and powers
+        named = _NAMED_UNITS.get((round(np.log10(self.scale), 10),
+                                  self.powers))
+        if named:
+            return named
         num, den = [], []
         for p, n in zip(self.powers, _DIM_NAMES):
             if p > 0:
@@ -540,3 +545,11 @@ mJy = Unit(1e-3, (0, 0, 0, 1), name="mJy")
 
 #: Dispersion-measure unit, pc / cm**3 (dims: length**-2).
 DM = Unit(pc.scale / cm.scale ** 3, (-2, 0, 0, 0), name="pc / cm3")
+
+#: Display lookup for derived units that match a named one.
+_NAMED_UNITS = {}
+for _u in (s, ms, us, ns, minute, hour, day, Hz, kHz, MHz, GHz, m, cm, km,
+           pc, cycle, rad, deg, Jy, mJy, DM):
+    _NAMED_UNITS.setdefault((round(np.log10(_u.scale), 10), _u.powers),
+                            _u.name)
+del _u

@@ -84,11 +84,11 @@ class TestWidebandPipeline:
         args.update(kw)
         return WidebandPulsarPipeline(**args)
 
-    def test_single_vs_sharded_match(self):
+    def test_chan_sharded_matches_unsharded(self):
+        """Channel sharding must be bit-compatible with one device."""
         single = self.make(make_mesh(time=1, chan=1))
-        multi = self.make(make_mesh(time=4, chan=2))
-        assert multi.global_block == 4 * 2048
-        # same global data through both
+        multi = self.make(make_mesh(time=1, chan=2))
+        assert multi.global_block == single.global_block
         rng = np.random.default_rng(1)
         T = multi.global_block
         xf = rng.standard_normal((T, 8, 2, 2)).astype(np.float32)
@@ -96,13 +96,30 @@ class TestWidebandPipeline:
             jax.device_put(xf, NamedSharding(multi.mesh,
                                              P("time", "chan"))),
             jnp.float32(0))
-        # single-shard pipeline with the same global block size
-        single_big = self.make(make_mesh(time=1, chan=1),
-                               block_samples=T)
-        prof_s, cnt_s = single_big.step_fn()(jnp.asarray(xf), jnp.float32(0))
+        prof_s, cnt_s = single.step_fn()(jnp.asarray(xf), jnp.float32(0))
         np.testing.assert_array_equal(np.asarray(cnt_m), np.asarray(cnt_s))
         np.testing.assert_allclose(np.asarray(prof_m), np.asarray(prof_s),
-                                   rtol=2e-2, atol=2e-2)
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_time_sharded_matches_closed_form(self):
+        """With dm=0 the chirp is unity, so per-shard fft/ifft round-trips
+        and the folded profile equals a direct numpy fold."""
+        multi = self.make(make_mesh(time=4, chan=2), dm=0.0)
+        rng = np.random.default_rng(2)
+        T = multi.global_block
+        xf = rng.standard_normal((T, 8, 2, 2)).astype(np.float32)
+        prof, cnt = multi.step_fn()(
+            jax.device_put(xf, NamedSharding(multi.mesh,
+                                             P("time", "chan"))),
+            jnp.float32(0))
+        power = xf[..., 0] ** 2 + xf[..., 1] ** 2
+        bins = (np.arange(T) % 800) * 16 // 800
+        expected = np.zeros((16, 8, 2), np.float32)
+        np.add.at(expected, bins, power)
+        np.testing.assert_allclose(np.asarray(prof), expected, rtol=1e-3,
+                                   atol=1e-2)
+        counts = np.bincount(bins, minlength=16).astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(cnt), counts)
 
     def test_step_shapes(self):
         pipe = self.make(make_mesh(time=2, chan=2))
