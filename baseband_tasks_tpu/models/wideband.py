@@ -64,7 +64,8 @@ class WidebandPulsarPipeline:
     def __init__(self, *, n_chan=1024, n_pol=4, dm=500.0,
                  freq_center=None, chan_rate=None,
                  period_samples=(16000, 3), n_phase=64,
-                 block_samples=16384, mesh=None, fft_pow2=False):
+                 block_samples=16384, mesh=None, fft_pow2=False,
+                 use_pallas=False):
         if freq_center is None:
             freq_center = 1400 * u.MHz
         if chan_rate is None:
@@ -118,9 +119,10 @@ class WidebandPulsarPipeline:
         # faster per point in isolation — the smaller window wins on
         # memory traffic across the whole fused step.
         from ..fourier import next_fast_len
+        self.use_pallas = bool(use_pallas)
         n_min = block_samples + self.pad_start + self.pad_end
-        n_fft = (1 << (n_min - 1).bit_length()) if fft_pow2 \
-            else next_fast_len(n_min)
+        n_fft = (1 << (n_min - 1).bit_length()) \
+            if (fft_pow2 or self.use_pallas) else next_fast_len(n_min)
         self.block_samples = n_fft - self.pad_start - self.pad_end
         self._n_fft = n_fft
         self._chirp_np = self._build_chirp()
@@ -140,6 +142,19 @@ class WidebandPulsarPipeline:
         # stored as trailing float32 pairs: the TPU boundary is f32-only
         pair = np.stack([chirp.real, chirp.imag], axis=-1)
         return pair.astype(np.float32)[:, :, np.newaxis, :]
+
+    def _chirp_storage_np(self):
+        """Chirp planes in pallas four-step storage order:
+        two float32 arrays (N1, N2, n_chan, n_pol)."""
+        from ..ops.dedisperse_pallas import (permute_to_storage_order,
+                                             split_n)
+        n1, n2 = split_n(self._n_fft)
+        pair = self._chirp_np[:, :, 0, :]          # (n_fft, n_chan, 2)
+        stor = permute_to_storage_order(pair, n1, n2)  # (n1, n2, nc, 2)
+        full = np.broadcast_to(stor[:, :, :, np.newaxis, :],
+                               (n1, n2, self.n_chan, self.n_pol, 2))
+        return (np.ascontiguousarray(full[..., 0]),
+                np.ascontiguousarray(full[..., 1]))
 
     # -- the fused step --------------------------------------------------
     def _local_step(self, xf, chirp_f, offset_mod):
@@ -172,6 +187,60 @@ class WidebandPulsarPipeline:
         cnt = jax.lax.psum(cnt, "time")
         return prof, cnt
 
+    def _local_step_pallas(self, xf, csr, csi, offset_mod):
+        """Per-shard computation via the fused pallas dedisperse kernels.
+
+        csr, csi : (N1, N2, C_local, P) float32 chirp storage planes.
+        """
+        from ..ops.dedisperse_pallas import dedisperse_pow2
+        T = xf.shape[0]
+        offset_mod = offset_mod.astype(jnp.int32)
+        x = jax.lax.complex(xf[..., 0], xf[..., 1])
+        w = halo_exchange(x, self.pad_start, self.pad_end, "time")
+        n_fft, c_local, n_pol = w.shape
+        wr = jnp.real(w).reshape(n_fft, c_local * n_pol)
+        wi = jnp.imag(w).reshape(n_fft, c_local * n_pol)
+        p = dedisperse_pow2(
+            wr, wi,
+            csr.reshape(csr.shape[0], csr.shape[1], -1),
+            csi.reshape(csi.shape[0], csi.shape[1], -1),
+            power=True)
+        power = p.reshape(n_fft, c_local, n_pol)
+        power = jax.lax.dynamic_slice_in_dim(power, self.pad_start, T,
+                                             axis=0)
+        shard = jax.lax.axis_index("time")
+        i0 = offset_mod + shard * T
+        idx = (i0 + jnp.arange(T, dtype=jnp.int32)) % self._per_q
+        num = (idx * self._per_p) % self._per_q
+        bins = (num * self.n_phase) // self._per_q
+        from ..ops import fold_accumulate
+        prof, cnt = fold_accumulate(power, bins, self.n_phase)
+        prof = jax.lax.psum(prof, "time")
+        cnt = jax.lax.psum(cnt, "time")
+        return prof, cnt
+
+    def _sharded_and_chirp(self):
+        """(sharded_fn, chirp_args) for the current mode."""
+        mesh = self.mesh
+        if self.use_pallas:
+            sharded = jax.shard_map(
+                self._local_step_pallas, mesh=mesh,
+                in_specs=(P("time", "chan"), P(None, None, "chan"),
+                          P(None, None, "chan"), P()),
+                out_specs=(P(None, "chan"), P()),
+                check_vma=False)  # pallas out_shapes carry no vma info
+            csr, csi = self._chirp_storage_np()
+            spec = NamedSharding(mesh, P(None, None, "chan"))
+            return sharded, (jax.device_put(csr, spec),
+                             jax.device_put(csi, spec))
+        sharded = jax.shard_map(
+            self._local_step, mesh=mesh,
+            in_specs=(P("time", "chan"), P(None, "chan"), P()),
+            out_specs=(P(None, "chan"), P()))
+        chirp = jax.device_put(
+            self._chirp_np, NamedSharding(mesh, P(None, "chan")))
+        return sharded, (chirp,)
+
     def step_fn(self):
         """The jitted sharded step: (xf, offset_mod) -> (profile, counts).
 
@@ -181,24 +250,15 @@ class WidebandPulsarPipeline:
         """
         if self._step_cache is not None:
             return self._step_cache
-        mesh = self.mesh
-
-        sharded = jax.shard_map(
-            self._local_step, mesh=mesh,
-            in_specs=(P("time", "chan"), P(None, "chan"), P()),
-            out_specs=(P(None, "chan"), P()))
-
-        # the chirp travels as a jit *argument* (a closure constant would
+        # the chirp travels as jit *arguments* (a closure constant would
         # be inlined via a host round-trip, which the TPU boundary forbids
         # for complex data)
-        chirp = jax.device_put(
-            self._chirp_np, NamedSharding(mesh, P(None, "chan")))
+        sharded, chirp_args = self._sharded_and_chirp()
         jstep = jax.jit(
-            lambda xf, offset_mod, chirp_f: sharded(xf, chirp_f,
-                                                    offset_mod))
+            lambda xf, offset_mod, *c: sharded(xf, *c, offset_mod))
 
         def step(xf, offset_mod):
-            return jstep(xf, offset_mod, chirp)
+            return jstep(xf, offset_mod, *chirp_args)
 
         self._step_cache = step
         return step
@@ -214,18 +274,12 @@ class WidebandPulsarPipeline:
 
         Returns ``run(seed) -> (profile_sum, count_sum)``.
         """
-        mesh = self.mesh
-        sharded = jax.shard_map(
-            self._local_step, mesh=mesh,
-            in_specs=(P("time", "chan"), P(None, "chan"), P()),
-            out_specs=(P(None, "chan"), P()))
-        chirp = jax.device_put(
-            self._chirp_np, NamedSharding(mesh, P(None, "chan")))
+        sharded, chirp_args = self._sharded_and_chirp()
         T = self.global_block
         shape = (T, self.n_chan, self.n_pol, 2)
         per_q = float(self._per_q)
 
-        def run_inner(seed, chirp_f):
+        def run_inner(seed, *chirp_f):
             # one noise block generated up front; each iteration rescales
             # it by a data-dependent factor so the dedispersion can never
             # be hoisted out of the loop, while the loop cost stays the
@@ -236,7 +290,7 @@ class WidebandPulsarPipeline:
             def body(k, carry):
                 off, acc, cnt_acc = carry
                 xf = base * (1.0 + 1e-6 * off)
-                prof, cnt = sharded(xf, chirp_f, off)
+                prof, cnt = sharded(xf, *chirp_f, off)
                 off = jnp.mod(off + T, per_q)
                 return off, acc + prof, cnt_acc + cnt
             init = (jnp.float32(0),
@@ -249,7 +303,7 @@ class WidebandPulsarPipeline:
         jrun = jax.jit(run_inner)
 
         def run(seed=jnp.float32(0)):
-            return jrun(jnp.float32(seed), chirp)
+            return jrun(jnp.float32(seed), *chirp_args)
 
         return run
 

@@ -1,0 +1,266 @@
+"""Pallas TPU kernels: fused coherent dedispersion for power-of-two blocks.
+
+The dedispersion hot loop is FFT → chirp multiply → IFFT.  XLA's monolithic
+long FFT runs several× off the HBM bound for our shape (one long transform
+over 128 lanes); these kernels use the four-step (Cooley–Tukey N = N1·N2)
+decomposition so every sub-FFT is a short, VMEM-resident Stockham radix-2
+transform, and the whole dedispersion becomes three fused passes over HBM:
+
+  K1: stage-A FFT (length N1 over rows) × inter-stage twiddle
+  K2: stage-B FFT (length N2) × chirp × inverse stage-B × conj twiddle
+  K3: inverse stage-A (optionally fused with |·|² detection)
+
+Frequency bins live in "digit-transposed" storage order (c, d) ↔
+k = d·N1 + c between K1 and K3; the chirp is pre-permuted to match, so the
+classic four-step transpose never materializes.
+
+Complex data is carried as separate float32 real/imag planes with the
+channel axis on the 128 TPU lanes.  All twiddles are computed in-kernel
+from iota (no tables in HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["dedisperse_pow2", "permute_to_storage_order", "stockham_ref"]
+
+
+def _is_pow2(n):
+    return n > 0 and (n & (n - 1)) == 0
+
+
+def _split_n(n):
+    """N = N1 * N2, both powers of two, N1 <= N2.
+
+    N1 is kept as the smaller factor: the stage-A/inverse-A kernels hold
+    full (N1, block, L) tiles in VMEM (double-buffered), so N1 bounds
+    their footprint; the stage-B kernel's tiles are (block, N2, L) with a
+    small leading block and are cheap either way.
+    """
+    k = n.bit_length() - 1
+    k1 = k // 2
+    return 1 << k1, 1 << (k - k1)
+
+
+def permute_to_storage_order(arr, n1, n2):
+    """Natural frequency order k -> four-step storage order (c, d).
+
+    storage[c, d] = arr[d * n1 + c]; arr has the frequency axis first.
+    """
+    rest = arr.shape[1:]
+    return np.ascontiguousarray(
+        arr.reshape((n2, n1) + rest).swapaxes(0, 1))
+
+
+def _stockham(re, im, sign, scale=None):
+    """Radix-2 DIF Stockham autosort FFT along axis 0 (length power of 2).
+
+    re, im : (n, B, L) float32 values; sign -1 forward, +1 inverse
+    (the caller applies any 1/n scaling via ``scale``).
+    """
+    n_total = re.shape[0]
+    trailing = re.shape[1:]
+    n, s = n_total, 1
+    cur_r = re.reshape((n_total, 1) + trailing)
+    cur_i = im.reshape((n_total, 1) + trailing)
+    while n > 1:
+        m = n // 2
+        ar, ai = cur_r[:m], cur_i[:m]
+        br, bi = cur_r[m:], cur_i[m:]
+        t0r, t0i = ar + br, ai + bi
+        dr, di = ar - br, ai - bi
+        p = jax.lax.broadcasted_iota(
+            jnp.int32, (m, 1) + (1,) * len(trailing), 0
+            ).astype(jnp.float32)
+        theta = (sign * 2.0 * np.pi / n) * p
+        wr, wi = jnp.cos(theta), jnp.sin(theta)
+        t1r = dr * wr - di * wi
+        t1i = dr * wi + di * wr
+        cur_r = jnp.stack([t0r, t1r], axis=1).reshape(
+            (m, 2 * s) + trailing)
+        cur_i = jnp.stack([t0i, t1i], axis=1).reshape(
+            (m, 2 * s) + trailing)
+        n, s = m, 2 * s
+    out_r = cur_r.reshape((n_total,) + trailing)
+    out_i = cur_i.reshape((n_total,) + trailing)
+    if scale is not None:
+        out_r = out_r * scale
+        out_i = out_i * scale
+    return out_r, out_i
+
+
+def stockham_ref(x, inverse=False):
+    """Host-callable reference of the in-kernel FFT (for tests)."""
+    re, im = jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)
+    shape = re.shape
+    re = re.reshape(shape[0], 1, -1)
+    im = im.reshape(shape[0], 1, -1)
+    sign = 1.0 if inverse else -1.0
+    scale = 1.0 / shape[0] if inverse else None
+    r, i = _stockham(re, im, sign, scale)
+    return (r + 1j * i).reshape(shape)
+
+
+# -- kernel bodies -------------------------------------------------------
+
+def _k1_body(n1, n2, n, xr_ref, xi_ref, yr_ref, yi_ref):
+    """Stage-A FFT along axis 0 plus inter-stage twiddle W_N^{c b}."""
+    rr, ii = _stockham(xr_ref[:], xi_ref[:], -1.0)
+    bb = xr_ref.shape[1]
+    i0 = pl.program_id(0) * bb
+    c = jax.lax.broadcasted_iota(jnp.int32, (n1, bb, 1), 0
+                                 ).astype(jnp.float32)
+    b = jax.lax.broadcasted_iota(jnp.int32, (n1, bb, 1), 1
+                                 ).astype(jnp.float32) + i0
+    theta = (-2.0 * np.pi / n) * c * b
+    wr, wi = jnp.cos(theta), jnp.sin(theta)
+    yr_ref[:] = rr * wr - ii * wi
+    yi_ref[:] = rr * wi + ii * wr
+
+
+def _k2_body(n1, n2, n, yr_ref, yi_ref, cr_ref, ci_ref, zr_ref, zi_ref):
+    """Stage-B FFT, chirp multiply, inverse stage-B, conj twiddle."""
+    # tiles are (Bc, N2, L); transform along N2 -> move it to axis 0
+    yr = yr_ref[:].swapaxes(0, 1)
+    yi = yi_ref[:].swapaxes(0, 1)
+    rr, ii = _stockham(yr, yi, -1.0)
+    cr = cr_ref[:].swapaxes(0, 1)
+    ci = ci_ref[:].swapaxes(0, 1)
+    mr = rr * cr - ii * ci
+    mi = rr * ci + ii * cr
+    rr, ii = _stockham(mr, mi, +1.0, scale=1.0 / n2)
+    bc = yr_ref.shape[0]
+    i0 = pl.program_id(0) * bc
+    b = jax.lax.broadcasted_iota(jnp.int32, (n2, bc, 1), 0
+                                 ).astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n2, bc, 1), 1
+                                 ).astype(jnp.float32) + i0
+    theta = (+2.0 * np.pi / n) * c * b
+    wr, wi = jnp.cos(theta), jnp.sin(theta)
+    zr = rr * wr - ii * wi
+    zi = rr * wi + ii * wr
+    zr_ref[:] = zr.swapaxes(0, 1)
+    zi_ref[:] = zi.swapaxes(0, 1)
+
+
+def _k3_body(n1, power, zr_ref, zi_ref, *out_refs):
+    """Inverse stage-A; optionally emit detected power instead of re/im."""
+    rr, ii = _stockham(zr_ref[:], zi_ref[:], +1.0, scale=1.0 / n1)
+    if power:
+        out_refs[0][:] = rr * rr + ii * ii
+    else:
+        out_refs[0][:] = rr
+        out_refs[1][:] = ii
+
+
+# -- host-side op --------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "block_b",
+                                             "block_c", "power",
+                                             "interpret"))
+def _dedisperse_impl(xr, xi, chr_, chi, *, n1, n2, block_b, block_c,
+                     power, interpret):
+    n = n1 * n2
+    L = xr.shape[-1]
+    v_r = xr.reshape(n1, n2, L)
+    v_i = xi.reshape(n1, n2, L)
+
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    spec_b = pl.BlockSpec((n1, block_b, L), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    y_r, y_i = pl.pallas_call(
+        functools.partial(_k1_body, n1, n2, n),
+        compiler_params=params,
+        grid=(n2 // block_b,),
+        in_specs=[spec_b, spec_b],
+        out_specs=(spec_b, spec_b),
+        out_shape=(jax.ShapeDtypeStruct((n1, n2, L), jnp.float32),
+                   jax.ShapeDtypeStruct((n1, n2, L), jnp.float32)),
+        interpret=interpret,
+    )(v_r, v_i)
+
+    spec_c = pl.BlockSpec((block_c, n2, L), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    z_r, z_i = pl.pallas_call(
+        functools.partial(_k2_body, n1, n2, n),
+        compiler_params=params,
+        grid=(n1 // block_c,),
+        in_specs=[spec_c, spec_c, spec_c, spec_c],
+        out_specs=(spec_c, spec_c),
+        out_shape=(jax.ShapeDtypeStruct((n1, n2, L), jnp.float32),
+                   jax.ShapeDtypeStruct((n1, n2, L), jnp.float32)),
+        interpret=interpret,
+    )(y_r, y_i, chr_, chi)
+
+    if power:
+        out_shape = (jax.ShapeDtypeStruct((n1, n2, L), jnp.float32),)
+        out_specs = (spec_b,)
+    else:
+        out_shape = (jax.ShapeDtypeStruct((n1, n2, L), jnp.float32),
+                     jax.ShapeDtypeStruct((n1, n2, L), jnp.float32))
+        out_specs = (spec_b, spec_b)
+    outs = pl.pallas_call(
+        functools.partial(_k3_body, n1, power),
+        compiler_params=params,
+        grid=(n2 // block_b,),
+        in_specs=[spec_b, spec_b],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(z_r, z_i)
+    n_total = n1 * n2
+    if power:
+        return outs[0].reshape(n_total, L)
+    return outs[0].reshape(n_total, L), outs[1].reshape(n_total, L)
+
+
+def dedisperse_pow2(xr, xi, chirp_storage_r, chirp_storage_i, *,
+                    power=False, block_b=None, block_c=None,
+                    interpret=None):
+    """Fused dedispersion y = IFFT(FFT(x) * chirp) for power-of-two N.
+
+    Parameters
+    ----------
+    xr, xi : (N, L) float32
+        Real/imag planes; N a power of two, L the lane (channel) axis.
+    chirp_storage_r/i : (N1, N2, L) float32
+        The chirp in four-step storage order: use
+        ``permute_to_storage_order(chirp_natural, N1, N2)`` (per-L planes).
+    power : bool
+        If True return |y|² (single plane) instead of (re, im).
+    interpret : bool, optional
+        Force pallas interpret mode (auto: True off-TPU).
+
+    Returns (N, L) float32 plane(s).
+    """
+    n, L = xr.shape
+    if not _is_pow2(n):
+        raise ValueError(f"N={n} must be a power of two")
+    n1, n2 = _split_n(n)
+    if block_b is None:
+        block_b = max(1, min(8, n2))
+    if block_c is None:
+        block_c = max(1, min(8, n1))
+    while n2 % block_b:
+        block_b //= 2
+    while n1 % block_c:
+        block_c //= 2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _dedisperse_impl(xr, xi, chirp_storage_r, chirp_storage_i,
+                            n1=n1, n2=n2, block_b=block_b,
+                            block_c=block_c, power=power,
+                            interpret=interpret)
+
+
+def split_n(n):
+    """Public helper mirroring the internal N = N1*N2 split."""
+    return _split_n(n)

@@ -148,3 +148,41 @@ class TestWidebandPipeline:
             while m % p == 0:
                 m //= p
         assert m == 1
+
+
+class TestPallasPipeline:
+    def test_pallas_matches_reference_path(self):
+        """use_pallas=True must agree with the jnp.fft path (interpret
+        mode on CPU)."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        kwargs = dict(n_chan=8, n_pol=2, dm=1.0, freq_center=600 * u.MHz,
+                      chan_rate=250 * u.kHz, period_samples=(800, 1),
+                      n_phase=16, block_samples=1024)
+        ref = WidebandPulsarPipeline(mesh=make_mesh(time=1, chan=1),
+                                     fft_pow2=True, **kwargs)
+        pal = WidebandPulsarPipeline(mesh=make_mesh(time=1, chan=1),
+                                     use_pallas=True, **kwargs)
+        assert pal._n_fft == ref._n_fft
+        assert pal.global_block == ref.global_block
+        rng = np.random.default_rng(3)
+        xf = rng.standard_normal(
+            (ref.global_block, 8, 2, 2)).astype(np.float32)
+        pr, cr = ref.step_fn()(jnp.asarray(xf), jnp.float32(0))
+        pp, cp = pal.step_fn()(jnp.asarray(xf), jnp.float32(0))
+        np.testing.assert_array_equal(np.asarray(cr), np.asarray(cp))
+        np.testing.assert_allclose(np.asarray(pp), np.asarray(pr),
+                                   rtol=1e-3, atol=1e-2)
+
+    def test_pallas_sharded(self):
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        pal = WidebandPulsarPipeline(
+            n_chan=8, n_pol=2, dm=0.5, freq_center=600 * u.MHz,
+            chan_rate=250 * u.kHz, period_samples=(512, 1), n_phase=8,
+            block_samples=1024, mesh=make_mesh(time=2, chan=2),
+            use_pallas=True)
+        xf, off = pal.example_inputs()
+        prof, cnt = pal.step_fn()(xf, off)
+        assert prof.shape == (8, 8, 2)
+        assert float(np.asarray(cnt).sum()) == pal.global_block
