@@ -107,6 +107,9 @@ class WidebandPulsarPipeline:
         delays = dm.time_delay(u.Quantity(edges, u.MHz), ref).to_value(u.s)
         self.pad_start = max(int(np.ceil(delays.max() * rate_hz)), 0) + 64
         self.pad_end = max(int(np.ceil(-delays.min() * rate_hz)), 0) + 64
+        # keep trims and the valid block sublane-aligned (multiples of 128)
+        self.pad_start = -(-self.pad_start // 128) * 128
+        self.pad_end = -(-self.pad_end // 128) * 128
         if self.pad_start + self.pad_end >= block_samples:
             raise ValueError(
                 f"block_samples {block_samples} too small for dispersion "

@@ -46,7 +46,7 @@ def _split_n(n):
     small leading block and are cheap either way.
     """
     k = n.bit_length() - 1
-    k1 = k // 2
+    k1 = min(k // 2, 8)  # N1 <= 256 keeps stage-A tiles within VMEM
     return 1 << k1, 1 << (k - k1)
 
 
@@ -248,7 +248,10 @@ def dedisperse_pow2(xr, xi, chirp_storage_r, chirp_storage_i, *,
     if block_b is None:
         block_b = max(1, min(8, n2))
     if block_c is None:
-        block_c = max(1, min(8, n1))
+        # K2 holds 6 (block_c, N2, L) f32 tiles double-buffered; keep each
+        # around <=1 MiB so the scoped VMEM stack stays under the limit
+        budget = 1 << 20
+        block_c = max(1, min(8, budget // (n2 * L * 4), n1))
     while n2 % block_b:
         block_b //= 2
     while n1 % block_c:

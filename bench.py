@@ -33,7 +33,7 @@ def main():
     pipe = WidebandPulsarPipeline(
         n_chan=n_chan, n_pol=n_pol, dm=500.0, freq_center=1400 * u.MHz,
         chan_rate=250 * u.kHz, period_samples=(160000, 3), n_phase=64,
-        block_samples=block, mesh=mesh)
+        block_samples=block, mesh=mesh, use_pallas=True)
     n_iter = 16
     run = pipe.run_fn(n_iter)
 
@@ -49,7 +49,7 @@ def main():
     np.asarray(cnt)
     dt = time.perf_counter() - t0
 
-    samples = n_iter * block * n_chan * n_pol
+    samples = n_iter * pipe.block_samples * n_chan * n_pol
     rate = samples / dt
     realtime_x10 = 10.0 * (n_chan * 250e3) * n_pol
     print(json.dumps({

@@ -141,7 +141,8 @@ class TestWidebandPipeline:
     def test_dedispersion_does_something(self):
         # dispersed impulse concentrates only after dedispersion
         pipe = self.make(make_mesh(time=1, chan=1), dm=0.0)
-        assert pipe.pad_start == 64 and pipe.pad_end >= 64
+        # pads are rounded up to 128-sample alignment
+        assert pipe.pad_start == 128 and pipe.pad_end >= 128
         # window is 2/3/5-smooth
         m = pipe._n_fft
         for p in (2, 3, 5):
