@@ -72,24 +72,36 @@ class Phase:
     ``Phase.from_angles`` usage.
     """
 
-    __slots__ = ("count", "fraction")
+    __slots__ = ("count", "fraction", "imaginary")
     # numpy should defer to us
     __array_priority__ = 20000
-    __array_ufunc__ = None
 
-    def __init__(self, phase1, phase2=0):
+    def __init__(self, phase1, phase2=0, imaginary=False):
+        def coerce(ph):
+            nonlocal imaginary
+            if isinstance(ph, u.Quantity):
+                ph = ph.to_value(u.cycle)
+            ph = np.asarray(ph)
+            if ph.dtype.kind == "c":
+                # purely imaginary values mark an imaginary phase
+                # (reference check_imaginary, phase.py:113)
+                if np.any(ph.real != 0):
+                    raise ValueError("phase must be real or purely "
+                                     "imaginary")
+                imaginary = True
+                ph = ph.imag
+            return ph
+
         if isinstance(phase1, Phase):
             c1, f1 = phase1.count, phase1.fraction
+            imaginary = imaginary or phase1.imaginary
         else:
-            if isinstance(phase1, u.Quantity):
-                phase1 = phase1.to_value(u.cycle)
-            c1, f1 = _split(phase1)
+            c1, f1 = _split(coerce(phase1))
         if isinstance(phase2, Phase):
             c2, f2 = phase2.count, phase2.fraction
+            imaginary = imaginary or phase2.imaginary
         else:
-            if isinstance(phase2, u.Quantity):
-                phase2 = phase2.to_value(u.cycle)
-            c2, f2 = _split(phase2)
+            c2, f2 = _split(coerce(phase2))
         count = c1 + c2
         hi, lo = two_sum(f1, f2)
         count, frac = _normalize(count, hi)
@@ -97,12 +109,47 @@ class Phase:
         count, frac = _normalize(count, frac)
         self.count = count
         self.fraction = frac
+        self.imaginary = bool(imaginary)
 
     @classmethod
-    def from_angles(cls, count, frac):
+    def from_angles(cls, count, frac, imaginary=False):
         """Exact construction from separately-supplied parts
         (reference phase.py:208)."""
-        return cls(count, frac)
+        return cls(count, frac, imaginary=imaginary)
+
+    # -- numpy ufunc interop --------------------------------------------
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        if method != "__call__" or kwargs.get("out") is not None:
+            return NotImplemented
+        name = ufunc.__name__
+        if name == "exp":
+            # exp of an *imaginary* phase: integer cycles drop exactly, so
+            # only the fraction enters (reference phase.py:750-753)
+            if not self.imaginary:
+                return NotImplemented
+            return np.exp(2j * np.pi * np.asarray(self.fraction))
+        if name in ("sin", "cos", "tan"):
+            if self.imaginary:
+                return NotImplemented
+            return ufunc(2.0 * np.pi * np.asarray(self.fraction)) \
+                if name != "tan" else ufunc(2.0 * np.pi
+                                            * np.asarray(self.fraction))
+        if name == "add":
+            a, b = inputs
+            return (a if isinstance(a, Phase) else Phase(a)) + b
+        if name == "subtract":
+            a, b = inputs
+            return (a if isinstance(a, Phase) else Phase(a)) - b
+        if name == "negative":
+            return -self
+        if name == "absolute":
+            return abs(self)
+        if name == "multiply":
+            a, b = inputs
+            if isinstance(a, Phase):
+                return a * b
+            return b * a
+        return NotImplemented
 
     # -- views -----------------------------------------------------------
     @property
@@ -146,7 +193,8 @@ class Phase:
 
     def __getitem__(self, item):
         return Phase.from_angles(np.asarray(self.count)[item],
-                                 np.asarray(self.fraction)[item])
+                                 np.asarray(self.fraction)[item],
+                                 imaginary=self.imaginary)
 
     def reshape(self, shape):
         return Phase.from_angles(np.reshape(self.count, shape),
@@ -166,9 +214,12 @@ class Phase:
     def __add__(self, other):
         if not isinstance(other, Phase):
             other = Phase(other)
+        if other.imaginary != self.imaginary:
+            raise ValueError("cannot mix real and imaginary phases")
         count = self.count + other.count
         hi, lo = two_sum(self.fraction, other.fraction)
-        return Phase.from_angles(count, hi + lo)
+        return Phase.from_angles(count, hi + lo,
+                                 imaginary=self.imaginary)
 
     __radd__ = __add__
 
@@ -181,13 +232,15 @@ class Phase:
         return (-self) + other
 
     def __neg__(self):
-        return Phase.from_angles(-self.count, -self.fraction)
+        return Phase.from_angles(-self.count, -self.fraction,
+                                 imaginary=self.imaginary)
 
     def __abs__(self):
         neg = (self.count + self.fraction) < 0
         return Phase.from_angles(np.where(neg, -self.count, self.count),
                                  np.where(neg, -self.fraction,
-                                          self.fraction))
+                                          self.fraction),
+                                 imaginary=self.imaginary)
 
     def __mul__(self, k):
         if isinstance(k, u.Quantity):
@@ -198,7 +251,7 @@ class Phase:
         # phase.py:679-694)
         pc, ec = _two_prod(np.asarray(self.count, dtype=np.float64), k)
         pf, ef = _two_prod(np.asarray(self.fraction, dtype=np.float64), k)
-        return Phase(pc, pf + (ec + ef))
+        return Phase(pc, pf + (ec + ef), imaginary=self.imaginary)
 
     __rmul__ = __mul__
 

@@ -119,3 +119,33 @@ class TestOps:
         p = Phase(np.arange(6.0))
         assert p[2] == Phase(2.0)
         assert p.reshape((2, 3)).shape == (2, 3)
+
+
+class TestImaginaryPhase:
+    def test_detect_from_complex(self):
+        p = Phase(1j * 2.25)
+        assert p.imaginary
+        assert p.count == 2.0 and p.fraction == 0.25
+
+    def test_mixed_raises(self):
+        with pytest.raises(ValueError):
+            Phase(1.0 + 1j)
+        with pytest.raises(ValueError):
+            Phase(1j) + Phase(1.0)
+
+    def test_exp_drops_integer_cycles(self):
+        # exp of 1e9 + 0.25 imaginary cycles must equal exp(0.25 cycles)
+        big = Phase(1j * 1e9) + Phase(0, 0.25) * 1 if False else \
+            Phase.from_angles(1e9, 0.25, imaginary=True)
+        val = np.exp(big)
+        assert val == pytest.approx(np.exp(2j * np.pi * 0.25), abs=1e-12)
+
+    def test_arithmetic_keeps_flag(self):
+        p = Phase(1j * 1.5)
+        assert (-p).imaginary
+        assert (p * 2).imaginary
+        assert (p + Phase(1j * 0.25)).imaginary
+
+    def test_real_exp_not_supported(self):
+        with pytest.raises(TypeError):
+            np.exp(Phase(1.5))
