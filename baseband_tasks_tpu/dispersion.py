@@ -17,6 +17,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import jax
+
 from .base import PaddedTaskBase, getattr_if_none
 from .dm import DispersionMeasure
 from .fourier import fft_maker
@@ -24,6 +26,11 @@ from .sampling import ShiftSamples
 from .utils import units as u
 
 __all__ = ["Disperse", "Dedisperse", "DisperseSamples", "DedisperseSamples"]
+
+
+def _pow2_len(n):
+    """Round up to a power of two (pallas engine windows)."""
+    return 1 << (n - 1).bit_length()
 
 
 class Disperse(PaddedTaskBase):
@@ -47,7 +54,7 @@ class Disperse(PaddedTaskBase):
 
     def __init__(self, ih, dm, *, reference_frequency=None,
                  samples_per_frame=None, frequency=None, sideband=None,
-                 pad_margin=256):
+                 pad_margin=256, engine="auto"):
         frequency = getattr_if_none(ih, "frequency", frequency)
         sideband = getattr_if_none(ih, "sideband", sideband)
         if not isinstance(dm, u.Quantity):
@@ -55,6 +62,17 @@ class Disperse(PaddedTaskBase):
         elif not isinstance(dm, DispersionMeasure):
             dm = DispersionMeasure(dm.to_value(u.DM), u.DM)
         self.dm = dm
+        # engine: 'xla' (jnp.fft overlap-save), 'pallas' (fused four-step
+        # VMEM-resident kernels, power-of-two windows), or 'auto' (pallas
+        # on TPU for complex data).
+        import jax as _jax
+        if engine == "auto":
+            engine = "pallas" if (_jax.default_backend() == "tpu"
+                                  and ih.dtype.kind == "c") else "xla"
+        if engine == "pallas" and ih.dtype.kind != "c":
+            raise ValueError("the pallas dedispersion engine requires "
+                             "complex data")
+        self.engine = engine
 
         sample_shape = ih.sample_shape if ih.sample_shape else (1,)
         freq = u.Quantity(np.broadcast_to(
@@ -96,9 +114,19 @@ class Disperse(PaddedTaskBase):
         self._freq = freq
         self._sb = sb
         self._chirp_cache = None
+        self._storage_chirp_cache = None
+        if self.engine == "pallas":
+            fast_len = _pow2_len
+            if samples_per_frame is not None:
+                # the fused kernels need a power-of-two window even when
+                # the frame size is explicit: grow it to fill one
+                pad = pad_start + pad_end
+                samples_per_frame = _pow2_len(samples_per_frame + pad) - pad
+        else:
+            fast_len = fft_maker.get().next_fast_len
         super().__init__(ih, pad_start=pad_start, pad_end=pad_end,
                          samples_per_frame=samples_per_frame,
-                         next_fast_len=fft_maker.get().next_fast_len)
+                         next_fast_len=fast_len)
 
     def _chirp(self):
         """Device chirp exp(2πi φ(f_sky) · sb) over the padded window."""
@@ -113,9 +141,49 @@ class Disperse(PaddedTaskBase):
         cycles = np.asarray(phase.to_value(u.cycle), dtype=np.float64)
         cycles = cycles - np.round(cycles)
         factor = np.exp(2j * np.pi * cycles * np.asarray(self._sb))
-        return jnp.asarray(factor.astype(np.complex64))
+        # keep the host copy too: the pallas path re-permutes it on host,
+        # and complex device arrays cannot round-trip on every backend
+        self._chirp_host = factor.astype(np.complex64)
+        return jnp.asarray(self._chirp_host)
+
+    def _storage_chirp(self):
+        from .ops.dedisperse_pallas import permute_to_storage_order, split_n
+        n = self._padded_samples_per_frame
+        n1, n2 = split_n(n)
+        chirp = self._chirp_host  # (n, *sample_shape), host copy
+        planes = chirp.reshape(n, -1)
+        stor = permute_to_storage_order(planes, n1, n2)
+        return (jnp.asarray(np.ascontiguousarray(stor.real.astype(
+                    np.float32))),
+                jnp.asarray(np.ascontiguousarray(stor.imag.astype(
+                    np.float32))))
+
+    def _task_pallas(self, data):
+        from .ops.dedisperse_pallas import dedisperse_pow2
+        if self._chirp_cache is None:
+            self._chirp_cache = self._chirp()
+        if self._storage_chirp_cache is None:
+            self._storage_chirp_cache = self._storage_chirp()
+        squeeze = data.ndim == 1
+        if squeeze:
+            data = data[:, None]
+        n = data.shape[0]
+        sample_shape = data.shape[1:]
+        x = jnp.asarray(data).astype(jnp.complex64)
+        xr = jnp.real(x).reshape(n, -1)
+        xi = jnp.imag(x).reshape(n, -1)
+        csr, csi = self._storage_chirp_cache
+        yr, yi = dedisperse_pow2(xr, xi, csr, csi)
+        out = jax.lax.complex(yr, yi).reshape((n,) + sample_shape)
+        out = out[self._pad_start:self._pad_start + self._samples_per_frame]
+        if squeeze:
+            out = out[:, 0]
+        return out
 
     def task(self, data):
+        if self.engine == "pallas" and \
+                data.shape[0] == self._padded_samples_per_frame:
+            return self._task_pallas(data)
         if self._chirp_cache is None:
             self._chirp_cache = self._chirp()
         squeeze = data.ndim == 1
@@ -143,7 +211,7 @@ class Dedisperse(Disperse):
 
     def __init__(self, ih, dm, *, reference_frequency=None,
                  samples_per_frame=None, frequency=None, sideband=None,
-                 pad_margin=256):
+                 pad_margin=256, engine="auto"):
         if not isinstance(dm, u.Quantity):
             dm = DispersionMeasure(dm)
         negated = DispersionMeasure(-dm.to_value(u.DM), u.DM)
@@ -151,7 +219,7 @@ class Dedisperse(Disperse):
                          reference_frequency=reference_frequency,
                          samples_per_frame=samples_per_frame,
                          frequency=frequency, sideband=sideband,
-                         pad_margin=pad_margin)
+                         pad_margin=pad_margin, engine=engine)
 
     @property
     def dedispersion_measure(self):

@@ -63,7 +63,8 @@ class PSRFITSReader(Base):
         tsubint = float(np.asarray(rows["TSUBINT"][0]).ravel()[0])
         offs_sub0 = float(np.asarray(rows["OFFS_SUB"][0]).ravel()[0])
         start = stt + u.Quantity(offs_sub0 - tsubint / 2.0, u.s)
-        freq = np.asarray(rows["DAT_FREQ"][0], dtype=np.float64)[:nchan]
+        freq = np.atleast_1d(np.asarray(rows["DAT_FREQ"][0],
+                                        dtype=np.float64))[:nchan]
         pol_type = str(hdr.get("POL_TYPE", "")).strip()
         pols = _POL_LABELS.get(pol_type)
         super().__init__(
@@ -96,7 +97,8 @@ class PSRFITSReader(Base):
         out = (data - self._zero_off) * scl[:, :, np.newaxis] \
             + offs[:, :, np.newaxis]
         if self._weighted:
-            wts = np.asarray(row["DAT_WTS"], dtype=np.float32)[:nchan]
+            wts = np.atleast_1d(np.asarray(row["DAT_WTS"],
+                                           dtype=np.float32))[:nchan]
             out = out * wts[np.newaxis, :, np.newaxis]
         # (npol, nchan, nbin) -> stream convention (nbin, nchan, npol)
         # (reference core.py:215-217)
@@ -116,10 +118,10 @@ class PSRFITSWriter:
                  pol_type=None):
         self._name = name
         shape = template.shape
-        if len(shape) == 3:
+        while len(shape) < 4:
             shape = shape + (1,)
         if len(shape) != 4:
-            raise ValueError("template must be (nt, nbin, nchan[, npol])")
+            raise ValueError("template must be (nt, nbin[, nchan[, npol]])")
         self._shape = shape
         self._rows = []
         self._template = template
@@ -131,9 +133,9 @@ class PSRFITSWriter:
             raise ValueError("template needs per-channel frequency labels")
         fv = np.asarray(freq.to_value(u.MHz), dtype=np.float64)
         # broadcast against the template's true sample shape (before any
-        # pol-axis padding), then reduce to one frequency per channel
+        # channel/pol padding), then reduce to one frequency per channel
         full = np.broadcast_to(fv, template.shape[1:])
-        if full.ndim == 2:
+        while full.ndim < 3:
             full = full[..., np.newaxis]
         self._freq = np.asarray(full[0, :, 0], dtype=np.float64)
         self._pol_type = pol_type or ("AABBCRCI" if shape[3] == 4
@@ -146,7 +148,7 @@ class PSRFITSWriter:
         sample_ndim = len(self._template.shape) - 1
         if data.ndim == sample_ndim:  # a single subintegration
             data = data[np.newaxis]
-        if data.ndim == 3:  # pad the missing polarization axis
+        while data.ndim < 4:  # pad missing channel/polarization axes
             data = data[..., np.newaxis]
         self._rows.extend(data)
 

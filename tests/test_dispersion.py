@@ -167,3 +167,38 @@ class TestIncoherentDispersion:
         data = np.asarray(rt.read(1000))
         q0 = rt.pad_start + rt.ih.pad_start
         np.testing.assert_allclose(data, raw[q0:q0 + 1000], atol=1e-6)
+
+
+class TestPallasEngine:
+    def test_pallas_matches_xla_engine(self):
+        """engine='pallas' (interpret mode on CPU) must match engine='xla'."""
+        sh1 = SetAttribute(
+            NoiseGenerator(shape=(8192,), start_time=START, sample_rate=RATE,
+                           samples_per_frame=8192, dtype=np.complex64,
+                           seed=6), frequency=F0, sideband=1)
+        sh2 = SetAttribute(
+            NoiseGenerator(shape=(8192,), start_time=START, sample_rate=RATE,
+                           samples_per_frame=8192, dtype=np.complex64,
+                           seed=6), frequency=F0, sideband=1)
+        d_pal = Dedisperse(sh2, DM, samples_per_frame=1024,
+                           engine="pallas")
+        # same (power-of-two) window for the xla engine: identical frames,
+        # so outputs must agree to float noise
+        d_xla = Dedisperse(sh1, DM,
+                           samples_per_frame=d_pal.samples_per_frame,
+                           engine="xla")
+        assert d_xla._padded_samples_per_frame \
+            == d_pal._padded_samples_per_frame
+        n = 2048
+        a = np.asarray(d_xla.read(n))
+        b = np.asarray(d_pal.read(n))
+        assert d_xla.start_time == d_pal.start_time
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=2e-4)
+
+    def test_pallas_rejects_real(self):
+        sh = SetAttribute(
+            NoiseGenerator(shape=(8192,), start_time=START, sample_rate=RATE,
+                           samples_per_frame=8192, dtype=np.float32, seed=6),
+            frequency=F0, sideband=1)
+        with pytest.raises(ValueError, match="complex"):
+            Disperse(sh, DM, engine="pallas")
