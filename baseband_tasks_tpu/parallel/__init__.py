@@ -9,6 +9,7 @@ per-channel work, and psum reductions for integrate/fold.
 
 from .mesh import make_mesh, time_chan_specs
 from .halo import halo_exchange, sharded_overlap_save
+from . import multihost
 
 __all__ = ["make_mesh", "time_chan_specs", "halo_exchange",
-           "sharded_overlap_save"]
+           "sharded_overlap_save", "multihost"]

@@ -93,3 +93,21 @@ class TestMonitors:
         assert "samples/s" in mons[0].report()
         # the underlying generator was also exercised
         assert mons[-1].samples >= 2048
+
+
+class TestMultihost:
+    def test_initialize_noop_single_process(self):
+        from baseband_tasks_tpu.parallel import multihost
+        multihost.initialize()  # must not raise on a single process
+        mesh = multihost.pod_mesh(time=-1, chan=2)
+        assert mesh.shape["chan"] == 2
+        assert mesh.shape["time"] * 2 == len(__import__("jax").devices())
+
+    def test_host_local_roundtrip(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from baseband_tasks_tpu.parallel import multihost
+        mesh = multihost.pod_mesh(time=4, chan=2)
+        x = np.arange(64, dtype=np.float32).reshape(8, 8)
+        arr = multihost.host_local(x, NamedSharding(mesh, P("time", "chan")))
+        np.testing.assert_array_equal(np.asarray(arr), x)
