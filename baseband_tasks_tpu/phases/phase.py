@@ -36,6 +36,22 @@ def _normalize(count, frac):
     return count, frac
 
 
+def _parse_decimal(string):
+    """Parse a decimal-cycle string losslessly into (count, frac)."""
+    string = string.strip()
+    neg = string.startswith("-")
+    body = string.lstrip("+-")
+    if "." in body:
+        ip, fp = body.split(".")
+        count = float(ip or 0)
+        frac = float("0." + fp)
+    else:
+        count, frac = float(body), 0.0
+    if neg:
+        count, frac = -count, -frac
+    return count, frac
+
+
 _SPLITTER = 134217729.0  # 2**27 + 1, Dekker splitting constant
 
 
@@ -81,7 +97,18 @@ class Phase:
             nonlocal imaginary
             if isinstance(ph, u.Quantity):
                 ph = ph.to_value(u.cycle)
+            if isinstance(ph, str):
+                return _parse_decimal(ph)
+            if isinstance(ph, (list, tuple)) and ph and \
+                    isinstance(ph[0], str):
+                pairs = [_parse_decimal(x) for x in ph]
+                return (np.array([a for a, b in pairs]),
+                        np.array([b for a, b in pairs]))
             ph = np.asarray(ph)
+            if ph.dtype.kind == "U":
+                pairs = [_parse_decimal(x) for x in ph.ravel()]
+                return (np.array([a for a, b in pairs]).reshape(ph.shape),
+                        np.array([b for a, b in pairs]).reshape(ph.shape))
             if ph.dtype.kind == "c":
                 # purely imaginary values mark an imaginary phase
                 # (reference check_imaginary, phase.py:113)
@@ -92,16 +119,18 @@ class Phase:
                 ph = ph.imag
             return ph
 
-        if isinstance(phase1, Phase):
-            c1, f1 = phase1.count, phase1.fraction
-            imaginary = imaginary or phase1.imaginary
-        else:
-            c1, f1 = _split(coerce(phase1))
-        if isinstance(phase2, Phase):
-            c2, f2 = phase2.count, phase2.fraction
-            imaginary = imaginary or phase2.imaginary
-        else:
-            c2, f2 = _split(coerce(phase2))
+        def parts(ph):
+            if isinstance(ph, Phase):
+                nonlocal imaginary
+                imaginary = imaginary or ph.imaginary
+                return ph.count, ph.fraction
+            coerced = coerce(ph)
+            if isinstance(coerced, tuple):  # pre-split decimal strings
+                return coerced
+            return _split(coerced)
+
+        c1, f1 = parts(phase1)
+        c2, f2 = parts(phase2)
         count = c1 + c2
         hi, lo = two_sum(f1, f2)
         count, frac = _normalize(count, hi)
@@ -373,9 +402,31 @@ class Phase:
     def __repr__(self):
         return f"Phase({self.count!r}, {self.fraction!r})"
 
+    def to_string(self, precision=16):
+        """Full-precision decimal string(s) (reference phase.py:345-429):
+        integer cycles and fraction concatenated losslessly."""
+        def one(c, f):
+            neg = (c + f) < 0
+            if neg:
+                c, f = -c, -f
+            if f < 0:
+                c -= 1
+                f += 1
+            frac = f"{f:.{precision}f}"
+            if frac.startswith("1"):  # rounded up to 1.000...
+                c += 1
+                frac = f"{0.0:.{precision}f}"
+            return ("-" if neg else "") + f"{int(c)}" + frac[1:]
+        if self.isscalar:
+            return one(float(self.count), float(self.fraction))
+        flat = [one(float(c), float(f))
+                for c, f in zip(np.ravel(self.count),
+                                np.ravel(self.fraction))]
+        return np.array(flat).reshape(self.shape)
+
     def __str__(self):
         if self.isscalar:
-            return f"{int(self.count)}{self.fraction:+.16f}"[:-1]
+            return self.to_string()
         return repr(self)
 
 

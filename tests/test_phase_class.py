@@ -149,3 +149,28 @@ class TestImaginaryPhase:
     def test_real_exp_not_supported(self):
         with pytest.raises(TypeError):
             np.exp(Phase(1.5))
+
+
+class TestDecimalStrings:
+    def test_parse_lossless(self):
+        p = Phase("123456789012.3456789012345678")
+        assert p.count == 123456789012.0
+        assert p.fraction == pytest.approx(0.3456789012345678, abs=1e-16)
+
+    def test_roundtrip(self):
+        p = Phase.from_angles(987654321.0, 0.1234567890123456)
+        s = p.to_string()
+        q = Phase(s)
+        assert abs((q - p).cycle.value) < 1e-15
+
+    def test_negative(self):
+        p = Phase("-10.25")
+        assert p.cycle.value == pytest.approx(-10.25)
+        assert Phase(p.to_string()).cycle.value == pytest.approx(-10.25)
+
+    def test_array_of_strings(self):
+        p = Phase(np.array(["1.5", "2.25"]))
+        np.testing.assert_allclose(p.cycle.value, [1.5, 2.25])
+
+    def test_str(self):
+        assert str(Phase(5.25)).startswith("5.25")
