@@ -198,11 +198,11 @@ class WidebandPulsarPipeline:
         from ..ops.dedisperse_pallas import dedisperse_pow2
         T = xf.shape[0]
         offset_mod = offset_mod.astype(jnp.int32)
-        x = jax.lax.complex(xf[..., 0], xf[..., 1])
-        w = halo_exchange(x, self.pad_start, self.pad_end, "time")
-        n_fft, c_local, n_pol = w.shape
-        wr = jnp.real(w).reshape(n_fft, c_local * n_pol)
-        wi = jnp.imag(w).reshape(n_fft, c_local * n_pol)
+        # halo-extend the f32 pairs directly; complex never materializes
+        w4 = halo_exchange(xf, self.pad_start, self.pad_end, "time")
+        n_fft, c_local, n_pol = w4.shape[:3]
+        wr = w4[..., 0].reshape(n_fft, c_local * n_pol)
+        wi = w4[..., 1].reshape(n_fft, c_local * n_pol)
         p = dedisperse_pow2(
             wr, wi,
             csr.reshape(csr.shape[0], csr.shape[1], -1),
