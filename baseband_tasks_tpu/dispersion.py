@@ -67,8 +67,12 @@ class Disperse(PaddedTaskBase):
         # on TPU for complex data).
         import jax as _jax
         if engine == "auto":
+            # pallas pays off when the flattened channel axes fill a
+            # reasonable share of the 128 TPU lanes
+            lanes = int(np.prod(ih.sample_shape)) if ih.sample_shape else 1
             engine = "pallas" if (_jax.default_backend() == "tpu"
-                                  and ih.dtype.kind == "c") else "xla"
+                                  and ih.dtype.kind == "c"
+                                  and lanes >= 8) else "xla"
         if engine == "pallas" and ih.dtype.kind != "c":
             raise ValueError("the pallas dedispersion engine requires "
                              "complex data")

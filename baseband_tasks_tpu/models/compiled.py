@@ -204,3 +204,11 @@ class CompiledPipeline:
     def run_blocks(self, blocks):
         """Convenience: run the compiled chain over stacked source blocks."""
         return self.run_fn(len(blocks))(jnp.asarray(blocks))
+
+    def read_source_blocks(self, n_blocks, offset=0):
+        """Read ``n_blocks`` blocks from the chain's own source stream
+        (e.g. a VDIF/HDF5 reader), stacked for :meth:`run_blocks`."""
+        src = self.source
+        src.seek(offset)
+        return jnp.stack([jnp.asarray(src.read(self.block_samples))
+                          for _ in range(n_blocks)])

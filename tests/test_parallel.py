@@ -259,3 +259,29 @@ class TestCompiledPipeline:
                       samples_per_frame=1000)
         with pytest.raises(ValueError, match="disagree|incompatible"):
             CompiledPipeline(c2)
+
+    def test_read_source_blocks_from_file(self, tmp_path):
+        """Compiled chain fed from an HDF5 recording."""
+        import jax.numpy as jnp
+        from baseband_tasks_tpu import (Channelize, NoiseGenerator,
+                                        SetAttribute, Square)
+        from baseband_tasks_tpu.io import hdf5
+        from baseband_tasks_tpu.models.compiled import CompiledPipeline
+        from baseband_tasks_tpu.utils import Time
+        t0 = Time("2020-01-01T00:00:00.0")
+        src = SetAttribute(
+            NoiseGenerator(shape=(8192,), start_time=t0,
+                           sample_rate=u.Quantity(1 << 20, u.Hz),
+                           samples_per_frame=2048, seed=4),
+            frequency=600 * u.MHz, sideband=1)
+        path = str(tmp_path / "rec.h5")
+        with hdf5.open(path, "w", template=src) as fw:
+            fw.write(np.asarray(src.read()))
+        recorded = hdf5.open(path)
+        tail = Square(Channelize(recorded, 64))
+        cp = CompiledPipeline(tail)
+        blocks = cp.read_source_blocks(4, offset=0)
+        out = np.asarray(cp.run_blocks(blocks))
+        tail.seek(0)
+        eager = np.asarray(tail.read(len(out)))
+        np.testing.assert_allclose(out, eager, rtol=1e-4, atol=1e-3)
