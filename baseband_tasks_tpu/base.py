@@ -337,14 +337,53 @@ class Base:
     def __exit__(self, *args):
         self.close()
 
+    def _repr_item(self, name):
+        """Value for a constructor parameter, searched as attribute,
+        _attribute, or meta attribute (reference base.py:207-233 inspects
+        signatures the same way)."""
+        for candidate in (name, "_" + name):
+            if hasattr(self, candidate):
+                return getattr(self, candidate)
+        return self._meta.get("__attributes__", {}).get(name)
+
+    @staticmethod
+    def _repr_value(value):
+        if isinstance(value, Time):
+            return value.isot if value.isscalar else f"<Time {value.shape}>"
+        arr = getattr(value, "value", value)
+        if isinstance(arr, np.ndarray) and arr.size > 4:
+            return f"<{type(value).__name__} {arr.shape}>"
+        return repr(value)
+
     def __repr__(self):
-        name = type(self).__name__
+        """Auto-repr from the constructor signature: every parameter that
+        resolves to a set attribute is shown; chained handles indent."""
+        cls = type(self)
         try:
-            start = self._start_time.isot
-        except Exception:
-            start = "?"
-        return (f"<{name} shape={self._shape} dtype={self._dtype} "
-                f"sample_rate={self._sample_rate} start_time={start}>")
+            params = list(inspect.signature(cls.__init__).parameters
+                          .values())[1:]
+        except (TypeError, ValueError):
+            params = []
+        parts = []
+        for par in params:
+            if par.name in ("ih", "ihs") or par.kind in (
+                    par.VAR_POSITIONAL, par.VAR_KEYWORD):
+                continue
+            value = self._repr_item(par.name)
+            if value is None:
+                continue
+            parts.append(f"{par.name}={self._repr_value(value)}")
+        head = f"{cls.__name__}({', '.join(parts)})"
+        ih = getattr(self, "ih", None)
+        ihs = getattr(self, "ihs", None)
+        if ih is not None:
+            sub = repr(ih).replace("\n", "\n   ")
+            head += f"\nih: {sub}"
+        elif ihs:
+            for k, sub_ih in enumerate(ihs):
+                sub = repr(sub_ih).replace("\n", "\n   ")
+                head += f"\nihs[{k}]: {sub}"
+        return head
 
 
 class BaseTaskBase(Base):
@@ -384,10 +423,6 @@ class BaseTaskBase(Base):
         ih = self.__dict__.pop("ih", None)
         if ih is not None:
             pass  # do not close the underlying stream; we only drop our ref.
-
-    def __repr__(self):
-        base = super().__repr__()
-        return base[:-1] + f"\n  ih: {self.ih!r}>"
 
 
 class TaskBase(BaseTaskBase):

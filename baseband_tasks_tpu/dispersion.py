@@ -204,11 +204,6 @@ class Disperse(PaddedTaskBase):
             out = out[:, 0]
         return out
 
-    def __repr__(self):
-        return (f"<{type(self).__name__} dm={self.dm} "
-                f"ref={self.reference_frequency} shape={self.shape}>")
-
-
 class Dedisperse(Disperse):
     """Coherently dedisperse: remove the dispersion of ``dm``
     (sign-flip wrapper, reference dispersion.py:182-190)."""
