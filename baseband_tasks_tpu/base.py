@@ -43,9 +43,7 @@ from .utils import Time, units as u
 
 __all__ = ["Base", "BaseTaskBase", "TaskBase", "PaddedTaskBase", "Task",
            "SetAttribute", "getattr_if_none", "check_broadcast_to",
-           "simplify_shape", "COPY_IF_NEEDED"]
-
-COPY_IF_NEEDED = None if np.__version__.startswith("1.") else False
+           "simplify_shape"]
 
 #: Stream attributes that propagate through tasks via ``meta``.
 META_ATTRIBUTES = ("frequency", "sideband", "polarization")

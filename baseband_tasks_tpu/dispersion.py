@@ -15,9 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
-
 import jax
+import jax.numpy as jnp
 
 from .base import PaddedTaskBase, getattr_if_none
 from .dm import DispersionMeasure
@@ -64,13 +63,10 @@ class Disperse(PaddedTaskBase):
         self.dm = dm
         # engine: 'xla' (jnp.fft overlap-save), 'pallas' (fused four-step
         # VMEM-resident kernels, power-of-two windows), or 'auto' (pallas
-        # on TPU for complex data).
-        import jax as _jax
+        # on TPU for complex data filling >= 8 of the 128 lanes).
         if engine == "auto":
-            # pallas pays off when the flattened channel axes fill a
-            # reasonable share of the 128 TPU lanes
             lanes = int(np.prod(ih.sample_shape)) if ih.sample_shape else 1
-            engine = "pallas" if (_jax.default_backend() == "tpu"
+            engine = "pallas" if (jax.default_backend() == "tpu"
                                   and ih.dtype.kind == "c"
                                   and lanes >= 8) else "xla"
         if engine == "pallas" and ih.dtype.kind != "c":
