@@ -266,6 +266,83 @@ class WidebandPulsarPipeline:
         self._step_cache = step
         return step
 
+    # -- precision folding with host-computed bins -----------------------
+    def _local_step_bins(self, xf, *args):
+        """Like the fused step but folding on externally supplied bins.
+
+        ``args`` = chirp arg(s) followed by ``bins_f`` — (T_local,) float32
+        phase-bin indices computed on the host at full two-double Phase
+        precision (e.g. from a Polyco); int-cast on device.
+        """
+        chirp_args, bins_f = args[:-1], args[-1]
+        T = xf.shape[0]
+        if self.use_pallas:
+            from ..ops.dedisperse_pallas import dedisperse_pow2
+            w4 = halo_exchange(xf, self.pad_start, self.pad_end, "time")
+            n_fft, c_local, n_pol = w4.shape[:3]
+            wr = w4[..., 0].reshape(n_fft, c_local * n_pol)
+            wi = w4[..., 1].reshape(n_fft, c_local * n_pol)
+            csr, csi = chirp_args
+            p = dedisperse_pow2(wr, wi,
+                                csr.reshape(csr.shape[0], csr.shape[1], -1),
+                                csi.reshape(csi.shape[0], csi.shape[1], -1),
+                                power=True)
+            power = p.reshape(n_fft, c_local, n_pol)
+            power = jax.lax.dynamic_slice_in_dim(power, self.pad_start, T,
+                                                 axis=0)
+        else:
+            (chirp_f,) = chirp_args
+            x = jax.lax.complex(xf[..., 0], xf[..., 1])
+            chirp = jax.lax.complex(chirp_f[..., 0], chirp_f[..., 1])
+            w = halo_exchange(x, self.pad_start, self.pad_end, "time")
+            y = jnp.fft.ifft(jnp.fft.fft(w, axis=0) * chirp, axis=0)
+            y = jax.lax.dynamic_slice_in_dim(y, self.pad_start, T, axis=0)
+            power = y.real ** 2 + y.imag ** 2
+        from ..ops import fold_accumulate
+        bins = jnp.clip(bins_f.astype(jnp.int32), 0, self.n_phase - 1)
+        prof, cnt = fold_accumulate(power, bins, self.n_phase)
+        return jax.lax.psum(prof, "time"), jax.lax.psum(cnt, "time")
+
+    def step_bins_fn(self):
+        """Jitted step ``(xf, bins_f) -> (profile, counts)`` where
+        ``bins_f`` are host-computed phase bins (see :meth:`phase_bins`)."""
+        mesh = self.mesh
+        _, chirp_args = self._sharded_and_chirp()
+        chirp_specs = (P(None, None, "chan"),) * 2 if self.use_pallas \
+            else (P(None, "chan"),)
+        sharded = jax.shard_map(
+            self._local_step_bins, mesh=mesh,
+            in_specs=(P("time", "chan"),) + chirp_specs + (P("time"),),
+            out_specs=(P(None, "chan"), P()),
+            check_vma=False)
+        jstep = jax.jit(
+            lambda xf, bins_f, *c: sharded(xf, *c, bins_f))
+
+        def step(xf, bins_f):
+            return jstep(xf, bins_f, *chirp_args)
+
+        return step
+
+    def phase_bins(self, phase, start_time, offset=0):
+        """Host-side phase-bin computation for one global block.
+
+        ``phase``: callable Time -> Phase/Quantity (e.g. PolycoPhase);
+        evaluated at the ``global_block`` sample times starting at stream
+        ``offset``, binned at full two-double precision, returned as the
+        float32 array :meth:`step_bins_fn` expects.
+        """
+        from ..integration import _phase_to_cycles
+        from ..utils import units as u
+        rate = self.chan_rate.to_value(u.Hz)
+        idx = offset + np.arange(self.global_block)
+        t = start_time + u.Quantity(idx / rate, u.s)
+        hi, lo = _phase_to_cycles(phase(t))
+        frac = (hi - np.floor(hi)) + lo
+        frac = frac - np.floor(frac)
+        bins = np.minimum((frac * self.n_phase).astype(np.int64),
+                          self.n_phase - 1)
+        return bins.astype(np.float32)
+
     def run_fn(self, n_iter):
         """A jitted on-device loop of ``n_iter`` pipeline steps.
 

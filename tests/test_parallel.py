@@ -285,3 +285,50 @@ class TestCompiledPipeline:
         tail.seek(0)
         eager = np.asarray(tail.read(len(out)))
         np.testing.assert_allclose(out, eager, rtol=1e-4, atol=1e-3)
+
+
+class TestExternalBinsFold:
+    def test_bins_fold_matches_numpy(self):
+        """dm=0 + external bins: profile equals a direct numpy fold."""
+        pipe = WidebandPulsarPipeline(
+            n_chan=8, n_pol=2, dm=0.0, freq_center=600 * u.MHz,
+            chan_rate=250 * u.kHz, period_samples=(512, 1), n_phase=8,
+            block_samples=1024, mesh=make_mesh(time=2, chan=2))
+        T = pipe.global_block
+        rng = np.random.default_rng(7)
+        xf = rng.standard_normal((T, 8, 2, 2)).astype(np.float32)
+        bins = rng.integers(0, 8, T).astype(np.float32)
+        step = pipe.step_bins_fn()
+        prof, cnt = step(
+            jax.device_put(xf, NamedSharding(pipe.mesh, P("time", "chan"))),
+            jnp.asarray(bins))
+        power = xf[..., 0] ** 2 + xf[..., 1] ** 2
+        expected = np.zeros((8, 8, 2), np.float32)
+        np.add.at(expected, bins.astype(int), power)
+        np.testing.assert_allclose(np.asarray(prof), expected, rtol=1e-3,
+                                   atol=1e-2)
+        np.testing.assert_array_equal(
+            np.asarray(cnt), np.bincount(bins.astype(int), minlength=8))
+
+    def test_phase_bins_from_polyco(self):
+        """Host bins from a linear polyco match the integer-modular fold."""
+        from baseband_tasks_tpu.phases import Polyco, PolycoPhase
+        from baseband_tasks_tpu.utils import Time
+        pipe = WidebandPulsarPipeline(
+            n_chan=8, n_pol=2, dm=0.0, freq_center=600 * u.MHz,
+            chan_rate=250 * u.kHz, period_samples=(1000, 1), n_phase=10,
+            block_samples=1024, mesh=make_mesh(time=1, chan=1))
+        tmid = 58000.0
+        f0 = 250e3 / 1000.0
+        text = ("FAKE        1-JAN-18  000000.00   "
+                f"{tmid:.11f}  0.0 0.0 0.0\n"
+                f"0.050000  {f0:.12E}   xx  1440    1   600.000\n"
+                "0.00000000000000000D+00\n").replace("E+", "D+")
+        pp = PolycoPhase(Polyco(text))
+        bins = pipe.phase_bins(pp, Time.from_mjd(tmid), offset=0)
+        # phase = idx/1000 + 0.05 -> bin = floor(frac*10)
+        idx = np.arange(pipe.global_block)
+        expected = np.minimum(
+            ((idx % 1000) / 1000.0 + 0.05) % 1.0 * 10, 9.999).astype(int)
+        # boundary samples may flip by one bin through float rounding
+        assert np.mean(bins.astype(int) != expected) < 0.02
