@@ -141,22 +141,24 @@ class VDIFStreamReader(Base):
         self._bps = bps
         self._complex = first["complex"]
 
-        # scan for threads and frame count
+        # Index every frame header (seconds, frame_nr, thread) so frames
+        # may appear in ANY order/interleaving in the file.
         size = os.fstat(self._fh.fileno()).st_size
         n_frames_total = size // frame_bytes
+        scan = min(n_frames_total, 1 << 22)
+        headers = []
         threads = set()
         max_frame_nr = 0
         seconds_seen = set()
-        scan = min(n_frames_total, 1 << 20)
         for k in range(scan):
             self._fh.seek(k * frame_bytes)
             h = _parse_header(self._fh.read(HEADER_BYTES))
+            headers.append((h["seconds"], h["frame_nr"], h["thread"]))
             threads.add(h["thread"])
             seconds_seen.add(h["seconds"])
             max_frame_nr = max(max_frame_nr, h["frame_nr"])
         self._threads = sorted(threads)
         n_thread = len(self._threads)
-        frames_per_thread = n_frames_total // n_thread
 
         if sample_rate is None:
             # frames are numbered within each second, so the rate can only
@@ -167,11 +169,21 @@ class VDIFStreamReader(Base):
             frames_per_sec = (max_frame_nr + 1)
             sample_rate = u.Quantity(frames_per_sec * spf, u.Hz)
         self._thread_index = {t: i for i, t in enumerate(self._threads)}
+        fps = int(round(sample_rate.to_value(u.Hz) / spf))
+
+        # first frame in time (not necessarily first in the file)
+        sec0, fnr0 = min((s, f) for s, f, _ in headers)
+        n_times = 0
+        self._frame_locs = {}
+        for k, (s, f, t) in enumerate(headers):
+            time_idx = (s - sec0) * fps + (f - fnr0)
+            self._frame_locs[(time_idx, self._thread_index[t])] = k
+            n_times = max(n_times, time_idx + 1)
+        frames_per_thread = n_times
 
         epoch_time = _ref_epoch_time(first["epoch"])
-        start = epoch_time + u.Quantity(float(first["seconds"]), u.s) \
-            + u.Quantity(first["frame_nr"] * spf
-                         / sample_rate.to_value(u.Hz), u.s)
+        start = epoch_time + u.Quantity(float(sec0), u.s) \
+            + u.Quantity(fnr0 * spf / sample_rate.to_value(u.Hz), u.s)
 
         sample_shape = tuple(s for s in (nchan, n_thread) if s > 1)
         self._squeeze = (nchan, n_thread)
@@ -186,18 +198,16 @@ class VDIFStreamReader(Base):
         spf = self._samples_per_frame_file
         out = np.zeros((spf, nchan, n_thread),
                        np.complex64 if self._complex else np.float32)
-        # frames for all threads of this time index are contiguous groups
-        base = frame_index * n_thread
-        for k in range(n_thread):
-            self._fh.seek((base + k) * self._frame_bytes)
-            hdr = _parse_header(self._fh.read(HEADER_BYTES))
-            if self._hdr0["legacy"]:
-                self._fh.seek((base + k) * self._frame_bytes + 16)
+        header_len = 16 if self._hdr0["legacy"] else 32
+        for ti in range(n_thread):
+            loc = self._frame_locs.get((frame_index, ti))
+            if loc is None:
+                continue  # missing frame: stays zero (invalid data)
+            self._fh.seek(loc * self._frame_bytes + header_len)
             payload = self._fh.read(self._payload_bytes)
             factor = 2 if self._complex else 1
             comp = _decode_payload(payload, self._bps,
                                    spf * nchan * factor)
-            ti = self._thread_index.get(hdr["thread"], k)
             if self._complex:
                 pair = comp.reshape(spf, nchan, 2)
                 out[:, :, ti] = pair[..., 0] + 1j * pair[..., 1]

@@ -108,3 +108,46 @@ class TestVDIFRoundtrip:
             fw.write(np.asarray(sh.read()))
         with pytest.raises(ValueError, match="sample_rate"):
             vdif.open(path)
+
+
+class TestInterleaving:
+    def test_shuffled_frame_order(self, tmp_path):
+        """Frames shuffled on disk must still read correctly (real VDIF
+        files interleave threads arbitrarily)."""
+        sh = stream(shape=(16384, 2))
+        data = np.asarray(sh.read()) * 16
+        path = str(tmp_path / "ord.vdif")
+        with vdif.open(path, "w", template=sh, bps=8) as fw:
+            fw.write(data)
+        raw = open(path, "rb").read()
+        fb = vdif._parse_header(raw[:32])["frame_len8"] * 8
+        frames = [raw[i:i + fb] for i in range(0, len(raw), fb)]
+        rng = np.random.default_rng(0)
+        order = rng.permutation(len(frames))
+        shuffled = str(tmp_path / "shuf.vdif")
+        with open(shuffled, "wb") as fh:
+            for k in order:
+                fh.write(frames[k])
+        a = np.asarray(vdif.open(path, sample_rate=RATE).read())
+        b = np.asarray(vdif.open(shuffled, sample_rate=RATE).read())
+        np.testing.assert_array_equal(a, b)
+
+    def test_missing_frame_zero_filled(self, tmp_path):
+        sh = stream(shape=(8192, 2))
+        data = np.asarray(sh.read()) * 16
+        path = str(tmp_path / "m.vdif")
+        with vdif.open(path, "w", template=sh, bps=8) as fw:
+            fw.write(data)
+        raw = open(path, "rb").read()
+        fb = vdif._parse_header(raw[:32])["frame_len8"] * 8
+        # drop the 3rd frame on disk
+        cut = raw[:2 * fb] + raw[3 * fb:]
+        dropped = str(tmp_path / "drop.vdif")
+        open(dropped, "wb").write(cut)
+        fr = vdif.open(dropped, sample_rate=RATE)
+        out = np.asarray(fr.read())
+        assert out.shape[0] == 8192
+        # one (frame, thread) slab is zero, the rest intact
+        full = np.asarray(vdif.open(path, sample_rate=RATE).read())
+        diff = np.abs(out - full) > 1e-6
+        assert diff.any() and diff.mean() < 0.3
