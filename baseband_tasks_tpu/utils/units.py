@@ -302,7 +302,7 @@ class Quantity:
         if isinstance(other, Unit):
             return Quantity(self.value, self.unit * other)
         other = _as_quantity(other)
-        return Quantity(self.value * other.value, self.unit * other.unit)._maybe_plain()
+        return Quantity(self.value * other.value, self.unit * other.unit)
 
     def __rmul__(self, other):
         return self.__mul__(other)
@@ -311,11 +311,11 @@ class Quantity:
         if isinstance(other, Unit):
             return Quantity(self.value, self.unit / other)
         other = _as_quantity(other)
-        return Quantity(self.value / other.value, self.unit / other.unit)._maybe_plain()
+        return Quantity(self.value / other.value, self.unit / other.unit)
 
     def __rtruediv__(self, other):
         other = _as_quantity(other)
-        return Quantity(other.value / self.value, other.unit / self.unit)._maybe_plain()
+        return Quantity(other.value / self.value, other.unit / self.unit)
 
     def __floordiv__(self, other):
         other = _as_quantity(other)
@@ -337,10 +337,6 @@ class Quantity:
 
     def __abs__(self):
         return Quantity(np.abs(self.value), self.unit)
-
-    def _maybe_plain(self):
-        """Keep as a Quantity; fold scale into value if truly dimensionless."""
-        return self
 
     # -- comparisons -----------------------------------------------------
     def _cmp_value(self, other):
