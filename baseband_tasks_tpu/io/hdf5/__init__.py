@@ -151,6 +151,12 @@ class HDF5StreamReader(Base):
         dtype = np.dtype(hdr["dtype"])
         shape = tuple(hdr["shape"])
         spf = samples_per_frame or hdr.get("samples_per_frame", 1024)
+        if self._encoding == "bps":
+            # frames must start on byte boundaries of the packed payload
+            import math
+            cps = int(np.prod(shape[1:])) * (2 if dtype.kind == "c" else 1)
+            group = (8 // hdr["bps"]) // math.gcd(cps, 8 // hdr["bps"])
+            spf = -(-spf // group) * group
         super().__init__(
             shape=shape,
             start_time=Time(hdr["start_time_jd1"], hdr["start_time_jd2"]),

@@ -108,3 +108,17 @@ class TestBpsRoundtrip:
         with pytest.raises(EOFError):
             fw.write(np.zeros((200, 2), np.complex64))
         fw.close()
+
+
+class TestBitAlignment:
+    def test_pathological_frame_size_realigned(self, tmp_path):
+        """Sub-byte-packed payloads force byte-aligned frame starts."""
+        sh = make_stream(shape=(4096, 2))
+        data = np.asarray(sh.read())
+        path = str(tmp_path / "a.h5")
+        with hdf5.open(path, "w", template=sh, bps=2) as fw:
+            fw.write(data)
+        fr = hdf5.open(path, samples_per_frame=3)
+        full = np.asarray(hdf5.open(path).read())
+        out = np.asarray(fr.read())
+        np.testing.assert_allclose(out, full, atol=1e-6)
