@@ -72,6 +72,10 @@ class Power(TaskBase):
         self._pol_axis = pol_axis
         x, y = (str(p) for p in pols)
         out_pols = np.array([x + x, y + y, x + y, y + x])
+        # position the labels on the polarization axis of the output shape
+        trailing = len(ih.sample_shape) - pol_axis - 1
+        if trailing:
+            out_pols = out_pols.reshape((4,) + (1,) * trailing)
         real_dtype = np.empty(0, dtype=ih.dtype).real.dtype
         super().__init__(ih, shape=None, dtype=real_dtype,
                          polarization=out_pols)

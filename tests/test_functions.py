@@ -72,3 +72,28 @@ class TestPower:
         sh = SetAttribute(noise(dtype=np.float32), polarization=["X", "Y"])
         with pytest.raises(ValueError):
             Power(sh)
+
+
+class TestPowerAxisDiscovery:
+    def test_pol_axis_first(self):
+        """Polarization on the first sample axis, channels after."""
+        import jax.numpy as jnp
+
+        def tone(sh):
+            o = sh.tell()
+            n = min(sh.samples_per_frame, sh.shape[0] - o)
+            i = jnp.arange(o, o + n)[:, None, None]
+            x = jnp.exp(2j * jnp.pi * 0.05 * i)
+            data = jnp.concatenate([x, 2 * x], axis=1)  # (n, 2 pol, 1)
+            return jnp.broadcast_to(data, (n, 2, 3)).astype(jnp.complex64)
+
+        sh = StreamGenerator(tone, (500, 2, 3), START, 1 * u.MHz,
+                             samples_per_frame=100, dtype=np.complex64)
+        labeled = SetAttribute(sh, polarization=np.array([["L"], ["R"]]))
+        pw = Power(labeled)
+        assert pw.shape == (500, 4, 3)
+        data = np.asarray(pw.read(10))
+        np.testing.assert_allclose(data[:, 0], 1.0, rtol=1e-4)  # |L|^2
+        np.testing.assert_allclose(data[:, 1], 4.0, rtol=1e-4)  # |R|^2
+        np.testing.assert_allclose(data[:, 2], 2.0, rtol=1e-4)  # Re(LR*)
+        np.testing.assert_allclose(data[:, 3], 0.0, atol=1e-3)  # Im(LR*)
