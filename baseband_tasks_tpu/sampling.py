@@ -108,6 +108,10 @@ class ShiftAndResample(Convolve):
                 response.shape[:1] + (1,) * (len(sample_shape)
                                              - (response.ndim - 1))
                 + response.shape[1:])
+        elif response.ndim - 1 > len(sample_shape):
+            # scalar shift on a scalar-sample-shape stream: drop the
+            # singleton channel axis atleast_1d introduced
+            response = response.reshape(response.shape[:1] + sample_shape)
         self._shift_samples = shift_samples
         self._pad_sinc = pad
         self._lo = lo

@@ -187,3 +187,45 @@ class TestPipelineConfig1:
         assert data.mean() == pytest.approx(512.0, rel=0.05)
         flat = data.mean(axis=(0, 2)) / 512.0
         np.testing.assert_allclose(flat, 1.0, rtol=0.2)
+
+
+class TestPipelineConfig4:
+    """BASELINE config 4: stream -> dedisperse -> resample -> fold."""
+
+    def test_full_chain(self):
+        import jax
+        from baseband_tasks_tpu import (Dedisperse, Disperse, Resample,
+                                        SetAttribute, Square)
+
+        period = 500  # samples at 1 MHz -> 2 kHz pulsar
+        def psr(sh):
+            o = sh.tell()
+            n = min(sh.samples_per_frame, sh.shape[0] - o)
+            i = jnp.arange(o, o + n)
+            key = jax.random.fold_in(jax.random.key(1), o)
+            noise = jax.random.normal(key, (n, 2)) * 0.02
+            pulse = jnp.where(i % period == 200, 4.0, 0.0)
+            return (noise[:, 0] + 1j * noise[:, 1] + pulse
+                    ).astype(jnp.complex64)
+
+        sh = SetAttribute(
+            StreamGenerator(psr, (1 << 17,), START, 1 * u.MHz,
+                            samples_per_frame=1 << 15, dtype=np.complex64),
+            frequency=300 * u.MHz, sideband=1)
+        observed = Disperse(sh, 0.5)          # the ISM
+        dedispersed = Dedisperse(observed, 0.5)
+        # anchor the sample grid on a specific absolute time
+        target = dedispersed.start_time + 1000.25 / (1 * u.MHz)
+        resampled = Resample(dedispersed, target, samples_per_frame=16384)
+        assert abs((resampled.time - target).sec) < 1e-9
+        resampled.seek(0)
+        def phase(t):
+            return u.Quantity(2000.0 * np.asarray((t - START).sec) + 0.02,
+                              u.cycle)
+        prof = np.asarray(Fold(Square(resampled), 25, phase,
+                               average=True).read())
+        peak = int(np.argmax(prof[0]))
+        snr = prof[0].max() / np.median(prof[0])
+        # pulse at sample 200 of 500 -> phase 0.4+0.02 -> bin 10/25
+        assert peak == 10
+        assert snr > 50
