@@ -202,3 +202,37 @@ class TestPallasEngine:
             frequency=F0, sideband=1)
         with pytest.raises(ValueError, match="complex"):
             Disperse(sh, DM, engine="pallas")
+
+
+class TestChannelizedDedispersion:
+    """BASELINE config 2 topology: full-band dispersion corrected
+    per-channel after channelization (global reference frequency), then
+    dechannelized."""
+
+    def test_burst_restored_through_channelizer(self):
+        center = 40000
+
+        def burst(sh):
+            o = sh.tell()
+            n = min(sh.samples_per_frame, sh.shape[0] - o)
+            i = jnp.arange(o, o + n, dtype=jnp.float32)
+            env = jnp.exp(-0.5 * ((i - center) / 128) ** 2)
+            return (env * jnp.exp(2j * jnp.pi * 0.13 * i)
+                    ).astype(jnp.complex64)
+
+        from baseband_tasks_tpu import Channelize, Dechannelize
+        sh = SetAttribute(
+            StreamGenerator(burst, (1 << 17,), START, RATE,
+                            samples_per_frame=1 << 17, dtype=np.complex64),
+            frequency=F0, sideband=1)
+        disp = Disperse(sh, 2.0)
+        ch = Channelize(disp, 32)
+        ded = Dedisperse(ch, 2.0,
+                         reference_frequency=disp.reference_frequency)
+        out = Dechannelize(ded, 32)
+        data = np.asarray(out.read())
+        peak = int(np.argmax(np.abs(data)))
+        dt = (out.start_time - START).sec
+        expected = center - round(dt * 1e6)
+        assert abs(peak - expected) <= 2
+        assert abs(data[peak]) > 1.0  # burst re-concentrated
