@@ -20,7 +20,10 @@ from ...utils import Time, units as u
 from . import fitsio
 from .fitsio import HDU, Header, bintable_header, read_fits, write_fits
 
-__all__ = ["open", "PSRFITSReader", "PSRFITSWriter"]
+from .search import SearchReader, SearchWriter
+
+__all__ = ["open", "PSRFITSReader", "PSRFITSWriter", "SearchReader",
+           "SearchWriter"]
 
 _POL_LABELS = {
     "AA,BB": ["AA", "BB"],
@@ -226,11 +229,22 @@ class PSRFITSWriter:
         self.close()
 
 
-def open(name, mode="r", **kwargs):
-    """Open a PSRFITS file: 'r' -> subint stream, 'w' -> writer
-    (needs ``template=``)."""
+def open(name, mode="r", obs_mode=None, **kwargs):
+    """Open a PSRFITS file.
+
+    'r' auto-detects fold vs search mode from OBS_MODE; 'w' writes fold
+    mode by default, pass ``obs_mode='search'`` for streaming files.  Both
+    writers need ``template=``.
+    """
     if mode == "r":
+        if obs_mode is None:
+            hdus = read_fits(name)
+            obs_mode = str(hdus[0].header.get("OBS_MODE", "PSR")).strip()
+        if obs_mode.upper() == "SEARCH":
+            return SearchReader(name, **kwargs)
         return PSRFITSReader(name, **kwargs)
     if mode == "w":
+        if obs_mode and obs_mode.upper() == "SEARCH":
+            return SearchWriter(name, **kwargs)
         return PSRFITSWriter(name, **kwargs)
     raise ValueError(f"unknown mode {mode!r}")

@@ -110,3 +110,75 @@ class TestPsrfitsRoundtrip:
         a = np.asarray(fr.read(1))
         b = np.asarray(fr2.read(1))
         np.testing.assert_allclose(a, b, rtol=1e-6)  # all weights are 1
+
+
+class TestSearchMode:
+    def make_intensity_stream(self, n=16384, nchan=8, npol=2):
+        import jax.numpy as jnp
+
+        def f(sh):
+            o = sh.tell()
+            m = min(sh.samples_per_frame, sh.shape[0] - o)
+            i = jnp.arange(o, o + m, dtype=jnp.float32)[:, None, None]
+            base = 10.0 + jnp.sin(2 * jnp.pi * i / 700.0)
+            return jnp.broadcast_to(base, (m, nchan, npol)) \
+                + 0.1 * jnp.arange(nchan)[None, :, None]
+
+        sh = StreamGenerator(f, (n, nchan, npol), START,
+                             u.Quantity(1000.0, u.Hz),
+                             samples_per_frame=4096, dtype=np.float32)
+        freq = (1400.0 + np.arange(nchan)).reshape(nchan, 1) * u.MHz
+        return SetAttribute(sh, frequency=freq, sideband=1)
+
+    def test_write_read_roundtrip(self, tmp_path):
+        sh = self.make_intensity_stream()
+        data = np.asarray(sh.read())
+        path = str(tmp_path / "search.fits")
+        with psrfits.open(path, "w", obs_mode="search", template=sh,
+                          nsblk=2048, source="SRC") as fw:
+            fw.write(data)
+        fr = psrfits.open(path)  # auto-detects SEARCH
+        from baseband_tasks_tpu.io.psrfits import SearchReader
+        assert isinstance(fr, SearchReader)
+        assert fr.shape == (16384, 8, 2)
+        assert fr.sample_rate.to_value(u.Hz) == pytest.approx(1000.0)
+        assert abs((fr.start_time - START).sec) < 1e-6
+        np.testing.assert_allclose(fr.frequency.to_value(u.MHz).ravel(),
+                                   1400.0 + np.arange(8))
+        back = np.asarray(fr.read())
+        # 8-bit quantization per row: relative accuracy ~ range/255
+        np.testing.assert_allclose(back, data,
+                                   atol=np.ptp(data) / 200 + 1e-3)
+
+    def test_seek_by_time(self, tmp_path):
+        sh = self.make_intensity_stream()
+        data = np.asarray(sh.read())
+        path = str(tmp_path / "s2.fits")
+        with psrfits.open(path, "w", obs_mode="search", template=sh,
+                          nsblk=2048) as fw:
+            fw.write(data)
+        fr = psrfits.open(path)
+        fr.seek(START + 2 * u.s)
+        assert fr.tell() == 2000
+        piece = np.asarray(fr.read(16))
+        np.testing.assert_allclose(piece, data[2000:2016],
+                                   atol=np.ptp(data) / 200 + 1e-3)
+
+    def test_single_pol(self, tmp_path):
+        import jax.numpy as jnp
+
+        def f(sh):
+            m = min(sh.samples_per_frame, sh.shape[0] - sh.tell())
+            return jnp.ones((m, 4), jnp.float32) * 7.0
+
+        sh = SetAttribute(
+            StreamGenerator(f, (8192, 4), START, u.Quantity(100.0, u.Hz),
+                            samples_per_frame=2048, dtype=np.float32),
+            frequency=(800.0 + np.arange(4)) * u.MHz, sideband=1)
+        path = str(tmp_path / "s3.fits")
+        with psrfits.open(path, "w", obs_mode="search", template=sh,
+                          nsblk=1024) as fw:
+            fw.write(np.asarray(sh.read()))
+        fr = psrfits.open(path)
+        assert fr.shape == (8192, 4)
+        np.testing.assert_allclose(np.asarray(fr.read(10)), 7.0, atol=0.1)
