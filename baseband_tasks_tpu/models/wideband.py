@@ -222,6 +222,41 @@ class WidebandPulsarPipeline:
         cnt = jax.lax.psum(cnt, "time")
         return prof, cnt
 
+    def _local_step_pallas_planes(self, x2, csr, csi, off):
+        """Planes-first fused step for the on-device run loop.
+
+        ``x2`` : (2, T_local, C_local, P) float32 — complex as *leading*
+        planes.  Compared to :meth:`_local_step_pallas` this removes three
+        full passes over HBM: the stage-A kernel reads the planes array
+        directly (no re/im split), the per-iteration scale ``1 + 1e-6 off``
+        fuses into the halo concat write, and the halo rows fold into a
+        trash phase bin instead of being sliced away first.
+        """
+        from ..ops.dedisperse_pallas import dedisperse_pow2_planes
+        from ..ops import fold_accumulate
+        T = x2.shape[1]
+        w = halo_exchange(x2, self.pad_start, self.pad_end, "time", axis=1)
+        w = w * (1.0 + 1e-6 * off)
+        n_fft, c_local, n_pol = w.shape[1:4]
+        p = dedisperse_pow2_planes(
+            w.reshape(2, n_fft, c_local * n_pol),
+            csr.reshape(csr.shape[0], csr.shape[1], -1),
+            csi.reshape(csi.shape[0], csi.shape[1], -1),
+            power=True)
+        power = p.reshape(n_fft, c_local, n_pol)
+        shard = jax.lax.axis_index("time")
+        j = jnp.arange(n_fft, dtype=jnp.int32)
+        i0 = off.astype(jnp.int32) + shard * T - self.pad_start
+        idx = jnp.mod(i0 + j, self._per_q)
+        num = (idx * self._per_p) % self._per_q
+        bins = (num * self.n_phase) // self._per_q
+        valid = (j >= self.pad_start) & (j < self.pad_start + T)
+        bins = jnp.where(valid, bins, self.n_phase)
+        prof, cnt = fold_accumulate(power, bins, self.n_phase + 1)
+        prof = jax.lax.psum(prof[:self.n_phase], "time")
+        cnt = jax.lax.psum(cnt[:self.n_phase], "time")
+        return prof, cnt
+
     def _sharded_and_chirp(self):
         """(sharded_fn, chirp_args) for the current mode."""
         mesh = self.mesh
@@ -356,8 +391,22 @@ class WidebandPulsarPipeline:
         """
         sharded, chirp_args = self._sharded_and_chirp()
         T = self.global_block
-        shape = (T, self.n_chan, self.n_pol, 2)
         per_q = float(self._per_q)
+        if self.use_pallas:
+            # planes-first loop carry: the per-iteration scale happens
+            # inside the local step (fused with the halo), and the stage-A
+            # kernel consumes the planes array with no split pass
+            sharded = jax.shard_map(
+                self._local_step_pallas_planes, mesh=self.mesh,
+                in_specs=(P(None, "time", "chan"), P(None, None, "chan"),
+                          P(None, None, "chan"), P()),
+                out_specs=(P(None, "chan"), P()),
+                check_vma=False)
+            shape = (2, T, self.n_chan, self.n_pol)
+            scale_outside = False
+        else:
+            shape = (T, self.n_chan, self.n_pol, 2)
+            scale_outside = True
 
         def run_inner(seed, *chirp_f):
             # one noise block generated up front; each iteration rescales
@@ -369,7 +418,7 @@ class WidebandPulsarPipeline:
 
             def body(k, carry):
                 off, acc, cnt_acc = carry
-                xf = base * (1.0 + 1e-6 * off)
+                xf = base * (1.0 + 1e-6 * off) if scale_outside else base
                 prof, cnt = sharded(xf, *chirp_f, off)
                 off = jnp.mod(off + T, per_q)
                 return off, acc + prof, cnt_acc + cnt

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["dedisperse_pow2", "permute_to_storage_order", "stockham_ref"]
+__all__ = ["dedisperse_pow2", "dedisperse_pow2_planes",
+           "permute_to_storage_order", "stockham_ref"]
 
 
 def _is_pow2(n):
@@ -150,10 +151,9 @@ def stockham_ref(x, inverse=False):
 
 # -- kernel bodies -------------------------------------------------------
 
-def _k1_body(n1, n2, n, xr_ref, xi_ref, yr_ref, yi_ref):
-    """Stage-A FFT along axis 0 plus inter-stage twiddle W_N^{c b}."""
-    rr, ii = _stockham(xr_ref[:], xi_ref[:], -1.0)
-    bb = xr_ref.shape[1]
+def _stage_a_twiddle(rr, ii, n1, n, yr_ref, yi_ref):
+    """Apply the inter-stage twiddle W_N^{c b} and store."""
+    bb = rr.shape[1]
     i0 = pl.program_id(0) * bb
     c = jax.lax.broadcasted_iota(jnp.int32, (n1, bb, 1), 0
                                  ).astype(jnp.float32)
@@ -163,6 +163,23 @@ def _k1_body(n1, n2, n, xr_ref, xi_ref, yr_ref, yi_ref):
     wr, wi = jnp.cos(theta), jnp.sin(theta)
     yr_ref[:] = rr * wr - ii * wi
     yi_ref[:] = rr * wi + ii * wr
+
+
+def _k1_body(n1, n2, n, xr_ref, xi_ref, yr_ref, yi_ref):
+    """Stage-A FFT along axis 0 plus inter-stage twiddle W_N^{c b}."""
+    rr, ii = _stockham(xr_ref[:], xi_ref[:], -1.0)
+    _stage_a_twiddle(rr, ii, n1, n, yr_ref, yi_ref)
+
+
+def _k1_body_planes(n1, n2, n, x2_ref, yr_ref, yi_ref):
+    """As `_k1_body` but reading one planes-first (2, N1, bb, L) input.
+
+    Lets the caller feed data stored as a single (2, N, L) array — the
+    natural loop-carry layout when complex never materializes — without
+    an extra HBM pass splitting it into separate re/im planes.
+    """
+    rr, ii = _stockham(x2_ref[0], x2_ref[1], -1.0)
+    _stage_a_twiddle(rr, ii, n1, n, yr_ref, yi_ref)
 
 
 def _k2_body(n1, n2, n, yr_ref, yi_ref, cr_ref, ci_ref, zr_ref, zi_ref):
@@ -202,30 +219,13 @@ def _k3_body(n1, power, zr_ref, zi_ref, *out_refs):
 
 # -- host-side op --------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n1", "n2", "block_b",
-                                             "block_c", "power",
-                                             "interpret"))
-def _dedisperse_impl(xr, xi, chr_, chi, *, n1, n2, block_b, block_c,
-                     power, interpret):
+def _stages_bc(y_r, y_i, chr_, chi, *, n1, n2, block_b, block_c, power,
+               interpret, params):
+    """Shared K2 (stage-B·chirp·inverse-B) and K3 (inverse stage-A)."""
     n = n1 * n2
-    L = xr.shape[-1]
-    v_r = xr.reshape(n1, n2, L)
-    v_i = xi.reshape(n1, n2, L)
-
-    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    L = y_r.shape[-1]
     spec_b = pl.BlockSpec((n1, block_b, L), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
-    y_r, y_i = pl.pallas_call(
-        functools.partial(_k1_body, n1, n2, n),
-        compiler_params=params,
-        grid=(n2 // block_b,),
-        in_specs=[spec_b, spec_b],
-        out_specs=(spec_b, spec_b),
-        out_shape=(jax.ShapeDtypeStruct((n1, n2, L), jnp.float32),
-                   jax.ShapeDtypeStruct((n1, n2, L), jnp.float32)),
-        interpret=interpret,
-    )(v_r, v_i)
-
     spec_c = pl.BlockSpec((block_c, n2, L), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     z_r, z_i = pl.pallas_call(
@@ -261,6 +261,63 @@ def _dedisperse_impl(xr, xi, chr_, chi, *, n1, n2, block_b, block_c,
     return outs[0].reshape(n_total, L), outs[1].reshape(n_total, L)
 
 
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "block_b",
+                                             "block_c", "power",
+                                             "interpret"))
+def _dedisperse_impl(xr, xi, chr_, chi, *, n1, n2, block_b, block_c,
+                     power, interpret):
+    n = n1 * n2
+    L = xr.shape[-1]
+    v_r = xr.reshape(n1, n2, L)
+    v_i = xi.reshape(n1, n2, L)
+
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    spec_b = pl.BlockSpec((n1, block_b, L), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    y_r, y_i = pl.pallas_call(
+        functools.partial(_k1_body, n1, n2, n),
+        compiler_params=params,
+        grid=(n2 // block_b,),
+        in_specs=[spec_b, spec_b],
+        out_specs=(spec_b, spec_b),
+        out_shape=(jax.ShapeDtypeStruct((n1, n2, L), jnp.float32),
+                   jax.ShapeDtypeStruct((n1, n2, L), jnp.float32)),
+        interpret=interpret,
+    )(v_r, v_i)
+    return _stages_bc(y_r, y_i, chr_, chi, n1=n1, n2=n2, block_b=block_b,
+                      block_c=block_c, power=power, interpret=interpret,
+                      params=params)
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "block_b",
+                                             "block_c", "power",
+                                             "interpret"))
+def _dedisperse_impl_planes(x2, chr_, chi, *, n1, n2, block_b, block_c,
+                            power, interpret):
+    n = n1 * n2
+    L = x2.shape[-1]
+    v = x2.reshape(2, n1, n2, L)
+
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    spec_x = pl.BlockSpec((2, n1, block_b, L), lambda i: (0, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_b = pl.BlockSpec((n1, block_b, L), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    y_r, y_i = pl.pallas_call(
+        functools.partial(_k1_body_planes, n1, n2, n),
+        compiler_params=params,
+        grid=(n2 // block_b,),
+        in_specs=[spec_x],
+        out_specs=(spec_b, spec_b),
+        out_shape=(jax.ShapeDtypeStruct((n1, n2, L), jnp.float32),
+                   jax.ShapeDtypeStruct((n1, n2, L), jnp.float32)),
+        interpret=interpret,
+    )(v)
+    return _stages_bc(y_r, y_i, chr_, chi, n1=n1, n2=n2, block_b=block_b,
+                      block_c=block_c, power=power, interpret=interpret,
+                      params=params)
+
+
 def dedisperse_pow2(xr, xi, chirp_storage_r, chirp_storage_i, *,
                     power=False, block_b=None, block_c=None,
                     interpret=None):
@@ -284,25 +341,53 @@ def dedisperse_pow2(xr, xi, chirp_storage_r, chirp_storage_i, *,
     if not _is_pow2(n):
         raise ValueError(f"N={n} must be a power of two")
     n1, n2 = _split_n(n)
-    if block_b is None:
-        block_b = max(1, min(8, n2))
-    if block_c is None:
-        # K2 holds 6 (block_c, N2, L) f32 tiles double-buffered; prefer
-        # block_c=8 (sublane-aligned after the in-kernel transpose) but
-        # shrink to keep the total scoped VMEM around <=24 MiB (measured:
-        # 2 MiB tiles compile and run fastest, 4 MiB tiles OOM)
-        budget = 24 << 20
-        block_c = max(1, min(8, n1, budget // (n2 * L * 4 * 12)))
-    while n2 % block_b:
-        block_b //= 2
-    while n1 % block_c:
-        block_c //= 2
+    # K2 holds 6 (block_c, N2, L) f32 tiles double-buffered; prefer
+    # block_c=8 (sublane-aligned after the in-kernel transpose) but
+    # shrink to keep the total scoped VMEM around <=24 MiB (measured:
+    # 2 MiB tiles compile and run fastest, 4 MiB tiles OOM)
+    block_b, block_c = _choose_blocks(n, n1, n2, L, block_b, block_c)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _dedisperse_impl(xr, xi, chirp_storage_r, chirp_storage_i,
                             n1=n1, n2=n2, block_b=block_b,
                             block_c=block_c, power=power,
                             interpret=interpret)
+
+
+def _choose_blocks(n, n1, n2, L, block_b, block_c):
+    if block_b is None:
+        block_b = max(1, min(8, n2))
+    if block_c is None:
+        budget = 24 << 20
+        block_c = max(1, min(8, n1, budget // (n2 * L * 4 * 12)))
+    while n2 % block_b:
+        block_b //= 2
+    while n1 % block_c:
+        block_c //= 2
+    return block_b, block_c
+
+
+def dedisperse_pow2_planes(x2, chirp_storage_r, chirp_storage_i, *,
+                           power=False, block_b=None, block_c=None,
+                           interpret=None):
+    """As :func:`dedisperse_pow2` but taking one planes-first input.
+
+    ``x2`` : (2, N, L) float32 with ``x2[0]`` the real and ``x2[1]`` the
+    imaginary plane.  This is the layout to carry through device loops:
+    the stage-A kernel reads it directly, so no separate re/im split pass
+    over HBM is needed.
+    """
+    _, n, L = x2.shape
+    if not _is_pow2(n):
+        raise ValueError(f"N={n} must be a power of two")
+    n1, n2 = _split_n(n)
+    block_b, block_c = _choose_blocks(n, n1, n2, L, block_b, block_c)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _dedisperse_impl_planes(x2, chirp_storage_r, chirp_storage_i,
+                                   n1=n1, n2=n2, block_b=block_b,
+                                   block_c=block_c, power=power,
+                                   interpret=interpret)
 
 
 def split_n(n):

@@ -16,21 +16,30 @@ from jax.sharding import PartitionSpec as P
 __all__ = ["halo_exchange", "sharded_overlap_save"]
 
 
-def halo_exchange(x, pad_start, pad_end, axis_name="time", periodic=False):
-    """Extend a per-shard block with neighbors' edge samples along axis 0.
+def halo_exchange(x, pad_start, pad_end, axis_name="time", periodic=False,
+                  axis=0):
+    """Extend a per-shard block with neighbors' edge samples along ``axis``.
 
     Inside ``shard_map``: returns an array of
-    ``pad_start + local_n + pad_end`` samples.  Non-periodic edge shards
-    receive zeros (matching a zero-padded stream edge); with
+    ``pad_start + local_n + pad_end`` samples along ``axis``.  Non-periodic
+    edge shards receive zeros (matching a zero-padded stream edge); with
     ``periodic=True`` the ring wraps.
     """
     n_shards = jax.lax.axis_size(axis_name)
-    local_n = x.shape[0]
+    local_n = x.shape[axis]
+
+    def edge(start, stop):
+        return jax.lax.slice_in_dim(x, start, stop, axis=axis)
+
+    def zeros(n):
+        shape = list(x.shape)
+        shape[axis] = n
+        return jnp.zeros(tuple(shape), x.dtype)
+
     if pad_start + pad_end == 0 or n_shards == 1:
         if pad_start or pad_end:
-            zeros_front = jnp.zeros((pad_start,) + x.shape[1:], x.dtype)
-            zeros_back = jnp.zeros((pad_end,) + x.shape[1:], x.dtype)
-            return jnp.concatenate([zeros_front, x, zeros_back], axis=0)
+            return jnp.concatenate(
+                [zeros(pad_start), x, zeros(pad_end)], axis=axis)
         return x
     if pad_start > local_n or pad_end > local_n:
         raise ValueError(
@@ -42,16 +51,17 @@ def halo_exchange(x, pad_start, pad_end, axis_name="time", periodic=False):
         fwd = [(i, i + 1) for i in range(n_shards - 1)]
         if periodic:
             fwd.append((n_shards - 1, 0))
-        from_left = jax.lax.ppermute(x[-pad_start:], axis_name, perm=fwd)
+        from_left = jax.lax.ppermute(edge(local_n - pad_start, local_n),
+                                     axis_name, perm=fwd)
         pieces.insert(0, from_left)
     if pad_end:
         # my right neighbor's leading pad_end samples
         bwd = [(i + 1, i) for i in range(n_shards - 1)]
         if periodic:
             bwd.append((0, n_shards - 1))
-        from_right = jax.lax.ppermute(x[:pad_end], axis_name, perm=bwd)
+        from_right = jax.lax.ppermute(edge(0, pad_end), axis_name, perm=bwd)
         pieces.append(from_right)
-    return jnp.concatenate(pieces, axis=0)
+    return jnp.concatenate(pieces, axis=axis)
 
 
 def sharded_overlap_save(fn, mesh, pad_start, pad_end, *, in_spec=None,

@@ -188,6 +188,46 @@ class TestPallasPipeline:
         assert prof.shape == (8, 8, 2)
         assert float(np.asarray(cnt).sum()) == pal.global_block
 
+    def test_planes_step_matches_pairs(self):
+        """The planes-first run-loop step (no split/scale/slice passes)
+        must equal the pairs step up to the fused iteration scale."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        pal = WidebandPulsarPipeline(
+            n_chan=8, n_pol=2, dm=0.5, freq_center=600 * u.MHz,
+            chan_rate=250 * u.kHz, period_samples=(512, 1), n_phase=8,
+            block_samples=1024, mesh=make_mesh(time=2, chan=2),
+            use_pallas=True)
+        xf, _ = pal.example_inputs()
+        off = jnp.float32(128)
+        prof_a, cnt_a = pal.step_fn()(xf, off)
+        sharded = jax.shard_map(
+            pal._local_step_pallas_planes, mesh=pal.mesh,
+            in_specs=(P(None, "time", "chan"), P(None, None, "chan"),
+                      P(None, None, "chan"), P()),
+            out_specs=(P(None, "chan"), P()), check_vma=False)
+        csr, csi = pal._chirp_storage_np()
+        x2 = jnp.moveaxis(jnp.asarray(xf), -1, 0)
+        prof_b, cnt_b = jax.jit(sharded)(
+            x2, jnp.asarray(csr), jnp.asarray(csi), off)
+        scale = (1.0 + 1e-6 * 128) ** 2   # power of the scaled voltages
+        np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))
+        np.testing.assert_allclose(np.asarray(prof_b),
+                                   np.asarray(prof_a) * scale,
+                                   rtol=2e-4, atol=1e-3)
+
+    def test_run_fn_pallas_counts(self):
+        import jax.numpy as jnp
+        pal = WidebandPulsarPipeline(
+            n_chan=8, n_pol=2, dm=0.5, freq_center=600 * u.MHz,
+            chan_rate=250 * u.kHz, period_samples=(512, 1), n_phase=8,
+            block_samples=1024, mesh=make_mesh(time=2, chan=2),
+            use_pallas=True)
+        prof, cnt = pal.run_fn(2)()
+        assert np.isfinite(np.asarray(prof)).all()
+        assert float(np.asarray(cnt).sum()) == 2 * pal.global_block
+
 
 class TestCompiledPipeline:
     """Scan-compiled chains must match the eager Stream computation."""
