@@ -232,28 +232,22 @@ class WidebandPulsarPipeline:
         fuses into the halo concat write, and the halo rows fold into a
         trash phase bin instead of being sliced away first.
         """
-        from ..ops.dedisperse_pallas import dedisperse_pow2_planes
-        from ..ops import fold_accumulate
+        from ..ops.dedisperse_pallas import dedisperse_fold_pow2
         T = x2.shape[1]
         w = halo_exchange(x2, self.pad_start, self.pad_end, "time", axis=1)
         w = w * (1.0 + 1e-6 * off)
         n_fft, c_local, n_pol = w.shape[1:4]
-        p = dedisperse_pow2_planes(
+        shard = jax.lax.axis_index("time")
+        i0 = jnp.mod(off.astype(jnp.int32) + shard * T - self.pad_start,
+                     self._per_q).reshape(1)
+        prof, cnt = dedisperse_fold_pow2(
             w.reshape(2, n_fft, c_local * n_pol),
             csr.reshape(csr.shape[0], csr.shape[1], -1),
             csi.reshape(csi.shape[0], csi.shape[1], -1),
-            power=True)
-        power = p.reshape(n_fft, c_local, n_pol)
-        shard = jax.lax.axis_index("time")
-        j = jnp.arange(n_fft, dtype=jnp.int32)
-        i0 = off.astype(jnp.int32) + shard * T - self.pad_start
-        idx = jnp.mod(i0 + j, self._per_q)
-        num = (idx * self._per_p) % self._per_q
-        bins = (num * self.n_phase) // self._per_q
-        valid = (j >= self.pad_start) & (j < self.pad_start + T)
-        bins = jnp.where(valid, bins, self.n_phase)
-        prof, cnt = fold_accumulate(power, bins, self.n_phase + 1)
-        prof = jax.lax.psum(prof[:self.n_phase], "time")
+            i0, per_p=self._per_p, per_q=self._per_q,
+            n_phase=self.n_phase, pad_start=self.pad_start, n_valid=T)
+        prof = prof[:self.n_phase].reshape(self.n_phase, c_local, n_pol)
+        prof = jax.lax.psum(prof, "time")
         cnt = jax.lax.psum(cnt[:self.n_phase], "time")
         return prof, cnt
 

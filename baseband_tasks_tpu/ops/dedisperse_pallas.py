@@ -31,7 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["dedisperse_pow2", "dedisperse_pow2_planes",
-           "permute_to_storage_order", "stockham_ref"]
+           "dedisperse_fold_pow2", "permute_to_storage_order",
+           "stockham_ref"]
 
 
 def _is_pow2(n):
@@ -217,18 +218,65 @@ def _k3_body(n1, power, zr_ref, zi_ref, *out_refs):
         out_refs[1][:] = ii
 
 
+def _k3_fold_body(n1, n2, pad_start, n_valid, per_p, per_q, n_phase,
+                  i0_ref, zr_ref, zi_ref, prof_ref, cnt_ref):
+    """Inverse stage-A fused with detection *and* phase folding.
+
+    Instead of writing the (N, L) power array back to HBM for a separate
+    fold pass, each tile's power is folded here with a one-hot matmul on
+    the MXU, accumulating a (n_phase+1, L) profile across the sequential
+    grid; row ``n_phase`` is the trash bin holding the overlap-save halo
+    rows (time index outside [pad_start, pad_start + n_valid)).
+
+    ``i0_ref`` (SMEM, one int32): the non-negative global fold offset of
+    local time index 0, already reduced mod ``per_q``.  The fold is the
+    integer-modular map bin = ((t·p mod q)·n_phase) // q for pulse period
+    p/q samples.
+    """
+    rr, ii = _stockham(zr_ref[:], zi_ref[:], +1.0, scale=1.0 / n1)
+    power = rr * rr + ii * ii                       # (n1, bb, L)
+    bb = power.shape[1]
+    L = power.shape[2]
+    rows = n1 * bb
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    c = r // bb
+    b = r - c * bb + pl.program_id(0) * bb
+    t_idx = c * n2 + b                              # local time index
+    g = i0_ref[0] + t_idx                           # >= 0 by construction
+    idx = g % per_q
+    num = (idx * per_p) % per_q
+    bins = (num * n_phase) // per_q
+    valid = (t_idx >= pad_start) & (t_idx < pad_start + n_valid)
+    bins = jnp.where(valid, bins, n_phase)
+    phase_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (rows, n_phase + 1), 1)
+    onehot = (bins == phase_iota).astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        onehot, power.reshape(rows, L),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (n_phase+1, L)
+    ccnt = jnp.sum(onehot, axis=0, keepdims=True)   # (1, n_phase+1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        prof_ref[:] = contrib
+        cnt_ref[:] = ccnt
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        prof_ref[:] = prof_ref[:] + contrib
+        cnt_ref[:] = cnt_ref[:] + ccnt
+
+
 # -- host-side op --------------------------------------------------------
 
-def _stages_bc(y_r, y_i, chr_, chi, *, n1, n2, block_b, block_c, power,
-               interpret, params):
-    """Shared K2 (stage-B·chirp·inverse-B) and K3 (inverse stage-A)."""
+def _stage_b(y_r, y_i, chr_, chi, *, n1, n2, block_c, interpret, params):
+    """K2: stage-B FFT · chirp · inverse stage-B · conj twiddle."""
     n = n1 * n2
     L = y_r.shape[-1]
-    spec_b = pl.BlockSpec((n1, block_b, L), lambda i: (0, i, 0),
-                          memory_space=pltpu.VMEM)
     spec_c = pl.BlockSpec((block_c, n2, L), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    z_r, z_i = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_k2_body, n1, n2, n),
         compiler_params=params,
         grid=(n1 // block_c,),
@@ -238,6 +286,16 @@ def _stages_bc(y_r, y_i, chr_, chi, *, n1, n2, block_b, block_c, power,
                    jax.ShapeDtypeStruct((n1, n2, L), jnp.float32)),
         interpret=interpret,
     )(y_r, y_i, chr_, chi)
+
+
+def _stages_bc(y_r, y_i, chr_, chi, *, n1, n2, block_b, block_c, power,
+               interpret, params):
+    """Shared K2 (stage-B·chirp·inverse-B) and K3 (inverse stage-A)."""
+    L = y_r.shape[-1]
+    spec_b = pl.BlockSpec((n1, block_b, L), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
+                        block_c=block_c, interpret=interpret, params=params)
 
     if power:
         out_shape = (jax.ShapeDtypeStruct((n1, n2, L), jnp.float32),)
@@ -289,21 +347,16 @@ def _dedisperse_impl(xr, xi, chr_, chi, *, n1, n2, block_b, block_c,
                       params=params)
 
 
-@functools.partial(jax.jit, static_argnames=("n1", "n2", "block_b",
-                                             "block_c", "power",
-                                             "interpret"))
-def _dedisperse_impl_planes(x2, chr_, chi, *, n1, n2, block_b, block_c,
-                            power, interpret):
+def _stage_a_planes(x2, *, n1, n2, block_b, interpret, params):
+    """K1 from a planes-first (2, N, L) input."""
     n = n1 * n2
     L = x2.shape[-1]
     v = x2.reshape(2, n1, n2, L)
-
-    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     spec_x = pl.BlockSpec((2, n1, block_b, L), lambda i: (0, 0, i, 0),
                           memory_space=pltpu.VMEM)
     spec_b = pl.BlockSpec((n1, block_b, L), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
-    y_r, y_i = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_k1_body_planes, n1, n2, n),
         compiler_params=params,
         grid=(n2 // block_b,),
@@ -313,9 +366,52 @@ def _dedisperse_impl_planes(x2, chr_, chi, *, n1, n2, block_b, block_c,
                    jax.ShapeDtypeStruct((n1, n2, L), jnp.float32)),
         interpret=interpret,
     )(v)
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "block_b",
+                                             "block_c", "power",
+                                             "interpret"))
+def _dedisperse_impl_planes(x2, chr_, chi, *, n1, n2, block_b, block_c,
+                            power, interpret):
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    y_r, y_i = _stage_a_planes(x2, n1=n1, n2=n2, block_b=block_b,
+                               interpret=interpret, params=params)
     return _stages_bc(y_r, y_i, chr_, chi, n1=n1, n2=n2, block_b=block_b,
                       block_c=block_c, power=power, interpret=interpret,
                       params=params)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n1", "n2", "block_b", "block_c", "per_p", "per_q", "n_phase",
+    "pad_start", "n_valid", "interpret"))
+def _dedisperse_fold_impl(x2, chr_, chi, i0, *, n1, n2, block_b, block_c,
+                          per_p, per_q, n_phase, pad_start, n_valid,
+                          interpret):
+    L = x2.shape[-1]
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    y_r, y_i = _stage_a_planes(x2, n1=n1, n2=n2, block_b=block_b,
+                               interpret=interpret, params=params)
+    z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
+                        block_c=block_c, interpret=interpret, params=params)
+    spec_b = pl.BlockSpec((n1, block_b, L), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_i0 = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    prof, cnt = pl.pallas_call(
+        functools.partial(_k3_fold_body, n1, n2, pad_start, n_valid,
+                          per_p, per_q, n_phase),
+        compiler_params=params,
+        grid=(n2 // block_b,),
+        in_specs=[spec_i0, spec_b, spec_b],
+        out_specs=(spec_prof, spec_cnt),
+        out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
+        interpret=interpret,
+    )(i0, z_r, z_i)
+    return prof, cnt[0]
 
 
 def dedisperse_pow2(xr, xi, chirp_storage_r, chirp_storage_i, *,
@@ -388,6 +484,47 @@ def dedisperse_pow2_planes(x2, chirp_storage_r, chirp_storage_i, *,
                                    n1=n1, n2=n2, block_b=block_b,
                                    block_c=block_c, power=power,
                                    interpret=interpret)
+
+
+def dedisperse_fold_pow2(x2, chirp_storage_r, chirp_storage_i, i0, *,
+                         per_p, per_q, n_phase, pad_start, n_valid,
+                         block_b=None, block_c=None, interpret=None):
+    """Fully fused dedisperse → detect → fold for one padded window.
+
+    Like :func:`dedisperse_pow2_planes` with ``power=True``, but the final
+    kernel folds the detected power straight into pulse-phase bins on the
+    MXU instead of writing the (N, L) power array to HBM — the whole
+    pipeline step becomes three passes over the data with only a
+    (n_phase+1, L) profile coming out.
+
+    Parameters beyond :func:`dedisperse_pow2_planes`:
+
+    i0 : (1,) int32 array
+        Global fold offset of local time index 0, reduced mod ``per_q``
+        (must be non-negative).
+    per_p, per_q : int
+        Pulse period as the rational ``per_p``/``per_q`` expressed via
+        bin = ((t mod q)·p mod q)·n_phase // q.
+    pad_start, n_valid : int
+        Valid (non-halo) rows are ``[pad_start, pad_start + n_valid)``;
+        everything else lands in trash row ``n_phase``.
+
+    Returns ``(profile, counts)``: (n_phase+1, L) float32 and
+    (n_phase+1,) float32.
+    """
+    _, n, L = x2.shape
+    if not _is_pow2(n):
+        raise ValueError(f"N={n} must be a power of two")
+    n1, n2 = _split_n(n)
+    block_b, block_c = _choose_blocks(n, n1, n2, L, block_b, block_c)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _dedisperse_fold_impl(
+        x2, chirp_storage_r, chirp_storage_i, i0,
+        n1=n1, n2=n2, block_b=block_b, block_c=block_c,
+        per_p=int(per_p), per_q=int(per_q), n_phase=int(n_phase),
+        pad_start=int(pad_start), n_valid=int(n_valid),
+        interpret=interpret)
 
 
 def split_n(n):

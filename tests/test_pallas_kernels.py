@@ -1,0 +1,120 @@
+"""Direct unit tests of the pallas dedispersion kernels (interpret mode on
+CPU; the same code paths run compiled on TPU).  Reference results come from
+plain numpy FFTs — the kernels must reproduce FFT → chirp → IFFT exactly
+up to float32 noise."""
+
+import numpy as np
+import pytest
+
+from baseband_tasks_tpu.ops.dedisperse_pallas import (
+    dedisperse_pow2, dedisperse_pow2_planes, dedisperse_fold_pow2,
+    permute_to_storage_order, stockham_ref, split_n)
+
+
+def make_case(n=1024, L=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal((n, L)) + 1j * rng.standard_normal((n, L))
+         ).astype(np.complex64)
+    chirp = np.exp(2j * np.pi * rng.standard_normal((n, L)) * 0.1
+                   ).astype(np.complex64)
+    expected = np.fft.ifft(np.fft.fft(x, axis=0) * chirp, axis=0)
+    n1, n2 = split_n(n)
+    cs = permute_to_storage_order(chirp, n1, n2)
+    return x, cs, expected
+
+
+class TestStockhamRef:
+    @pytest.mark.parametrize("n", [8, 64, 256, 512])
+    def test_matches_numpy_fft(self, n):
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal((n, 4)) + 1j * rng.standard_normal((n, 4))
+             ).astype(np.complex64)
+        np.testing.assert_allclose(np.asarray(stockham_ref(x)),
+                                   np.fft.fft(x, axis=0),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(stockham_ref(x, inverse=True)),
+                                   np.fft.ifft(x, axis=0),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestDedispersePow2:
+    def test_matches_numpy(self):
+        x, cs, expected = make_case()
+        yr, yi = dedisperse_pow2(
+            np.real(x).astype(np.float32), np.imag(x).astype(np.float32),
+            np.real(cs).astype(np.float32), np.imag(cs).astype(np.float32))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        np.testing.assert_allclose(got, expected, rtol=1e-3, atol=2e-3)
+
+    def test_power_output(self):
+        x, cs, expected = make_case(seed=2)
+        p = dedisperse_pow2(
+            np.real(x).astype(np.float32), np.imag(x).astype(np.float32),
+            np.real(cs).astype(np.float32), np.imag(cs).astype(np.float32),
+            power=True)
+        np.testing.assert_allclose(np.asarray(p), np.abs(expected) ** 2,
+                                   rtol=1e-3, atol=2e-3)
+
+    def test_planes_input_matches(self):
+        x, cs, expected = make_case(seed=3)
+        x2 = np.stack([np.real(x), np.imag(x)]).astype(np.float32)
+        p = dedisperse_pow2_planes(
+            x2, np.real(cs).astype(np.float32),
+            np.imag(cs).astype(np.float32), power=True)
+        np.testing.assert_allclose(np.asarray(p), np.abs(expected) ** 2,
+                                   rtol=1e-3, atol=2e-3)
+
+    def test_rejects_non_pow2(self):
+        with pytest.raises(ValueError, match="power of two"):
+            dedisperse_pow2(np.zeros((100, 8), np.float32),
+                            np.zeros((100, 8), np.float32),
+                            None, None)
+
+
+class TestFusedFold:
+    def test_matches_power_plus_host_fold(self):
+        n, L = 1024, 8
+        per_p, per_q, n_phase = 3, 700, 16
+        pad_start, n_valid = 128, 768
+        i0 = 55
+        x, cs, expected = make_case(n, L, seed=4)
+        power = np.abs(expected) ** 2
+        # host fold over the valid rows only
+        j = np.arange(n)
+        idx = (i0 + j - 0) % per_q
+        num = (idx * per_p) % per_q
+        bins = (num * n_phase) // per_q
+        valid = (j >= pad_start) & (j < pad_start + n_valid)
+        prof_ref = np.zeros((n_phase + 1, L), np.float32)
+        cnt_ref = np.zeros(n_phase + 1, np.float32)
+        for jj in range(n):
+            b = bins[jj] if valid[jj] else n_phase
+            prof_ref[b] += power[jj]
+            cnt_ref[b] += 1
+        x2 = np.stack([np.real(x), np.imag(x)]).astype(np.float32)
+        import jax.numpy as jnp
+        prof, cnt = dedisperse_fold_pow2(
+            x2, np.real(cs).astype(np.float32),
+            np.imag(cs).astype(np.float32),
+            jnp.asarray([i0], jnp.int32),
+            per_p=per_p, per_q=per_q, n_phase=n_phase,
+            pad_start=pad_start, n_valid=n_valid)
+        np.testing.assert_allclose(np.asarray(cnt), cnt_ref, atol=0)
+        np.testing.assert_allclose(np.asarray(prof), prof_ref,
+                                   rtol=1e-3, atol=2e-3)
+
+    def test_trash_bin_collects_halo(self):
+        n, L = 512, 8
+        n_phase = 8
+        x, cs, _ = make_case(n, L, seed=5)
+        x2 = np.stack([np.real(x), np.imag(x)]).astype(np.float32)
+        import jax.numpy as jnp
+        prof, cnt = dedisperse_fold_pow2(
+            x2, np.real(cs).astype(np.float32),
+            np.imag(cs).astype(np.float32),
+            jnp.asarray([0], jnp.int32),
+            per_p=1, per_q=100, n_phase=n_phase,
+            pad_start=64, n_valid=n - 128)
+        cnt = np.asarray(cnt)
+        assert cnt[n_phase] == 128          # pad_start + pad_end rows
+        assert cnt[:n_phase].sum() == n - 128
