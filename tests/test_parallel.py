@@ -372,3 +372,51 @@ class TestExternalBinsFold:
             ((idx % 1000) / 1000.0 + 0.05) % 1.0 * 10, 9.999).astype(int)
         # boundary samples may flip by one bin through float rounding
         assert np.mean(bins.astype(int) != expected) < 0.02
+
+
+class TestCornerTurn:
+    """all_to_all channelize reshard (SURVEY §5 corner turn)."""
+
+    def test_channelize_matches_local(self):
+        import jax
+        import jax.numpy as jnp
+        from baseband_tasks_tpu.parallel import (sharded_channelize,
+                                                 sharded_dechannelize)
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("time",))
+        n = 8
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal((1024, 2))
+             + 1j * rng.standard_normal((1024, 2))).astype(np.complex64)
+        fn = sharded_channelize(mesh, n)
+        got = np.asarray(jax.jit(fn)(jnp.asarray(x)))
+        expected = np.fft.fft(x.reshape(128, 8, 2), axis=1)
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+    def test_roundtrip(self):
+        import jax
+        import jax.numpy as jnp
+        from baseband_tasks_tpu.parallel import (sharded_channelize,
+                                                 sharded_dechannelize)
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("time",))
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal((512,))
+             + 1j * rng.standard_normal((512,))).astype(np.complex64)
+        ch = sharded_channelize(mesh, 16)
+        de = sharded_dechannelize(mesh)
+        back = np.asarray(jax.jit(lambda v: de(ch(v)))(jnp.asarray(x)))
+        np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-4)
+
+    def test_output_sharding(self):
+        import jax
+        import jax.numpy as jnp
+        from baseband_tasks_tpu.parallel import sharded_channelize
+        from jax.sharding import Mesh
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("time",))
+        fn = sharded_channelize(mesh, 8)
+        out = jax.jit(fn)(jnp.ones((256,), jnp.complex64))
+        assert out.shape == (32, 8)
+        # channel axis sharded over the former time axis
+        spec = out.sharding.spec
+        assert tuple(spec) [1] == "time"
