@@ -148,14 +148,14 @@ class WidebandPulsarPipeline:
 
     def _chirp_storage_np(self):
         """Chirp planes in pallas four-step storage order:
-        two float32 arrays (N1, N2, n_chan, n_pol)."""
+        two float32 arrays (N2, N1, n_chan, n_pol)."""
         from ..ops.dedisperse_pallas import (permute_to_storage_order,
                                              split_n)
         n1, n2 = split_n(self._n_fft)
         pair = self._chirp_np[:, :, 0, :]          # (n_fft, n_chan, 2)
-        stor = permute_to_storage_order(pair, n1, n2)  # (n1, n2, nc, 2)
+        stor = permute_to_storage_order(pair, n1, n2)  # (n2, n1, nc, 2)
         full = np.broadcast_to(stor[:, :, :, np.newaxis, :],
-                               (n1, n2, self.n_chan, self.n_pol, 2))
+                               (n2, n1, self.n_chan, self.n_pol, 2))
         return (np.ascontiguousarray(full[..., 0]),
                 np.ascontiguousarray(full[..., 1]))
 
@@ -193,7 +193,7 @@ class WidebandPulsarPipeline:
     def _local_step_pallas(self, xf, csr, csi, offset_mod):
         """Per-shard computation via the fused pallas dedisperse kernels.
 
-        csr, csi : (N1, N2, C_local, P) float32 chirp storage planes.
+        csr, csi : (N2, N1, C_local, P) float32 chirp storage planes.
         """
         from ..ops.dedisperse_pallas import dedisperse_pow2
         T = xf.shape[0]

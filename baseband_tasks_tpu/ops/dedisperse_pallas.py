@@ -10,9 +10,12 @@ transform, and the whole dedispersion becomes three fused passes over HBM:
   K2: stage-B FFT (length N2) × chirp × inverse stage-B × conj twiddle
   K3: inverse stage-A (optionally fused with |·|² detection)
 
-Frequency bins live in "digit-transposed" storage order (c, d) ↔
+Frequency bins live in "digit-transposed" d-major storage order (d, c) ↔
 k = d·N1 + c between K1 and K3; the chirp is pre-permuted to match, so the
-classic four-step transpose never materializes.
+classic four-step transpose never materializes in HBM.  K1 writes its
+result transposed (one in-VMEM swap) so that K2 — the VMEM-pressure
+hotspot with six live tiles — runs with no transposes at all; K3 swaps
+once on load.
 
 Complex data is carried as separate float32 real/imag planes with the
 channel axis on the 128 TPU lanes.  All twiddles are computed in-kernel
@@ -54,13 +57,14 @@ def _split_n(n):
 
 
 def permute_to_storage_order(arr, n1, n2):
-    """Natural frequency order k -> four-step storage order (c, d).
+    """Natural frequency order k -> four-step storage order (d, c).
 
-    storage[c, d] = arr[d * n1 + c]; arr has the frequency axis first.
+    storage[d, c] = arr[d * n1 + c]; arr has the frequency axis first.
+    The d-major (N2, N1, ...) layout matches the transposed stage-A
+    output, so the stage-B kernel reads everything swap-free.
     """
     rest = arr.shape[1:]
-    return np.ascontiguousarray(
-        arr.reshape((n2, n1) + rest).swapaxes(0, 1))
+    return np.ascontiguousarray(arr.reshape((n2, n1) + rest))
 
 
 def _stockham(re, im, sign, scale=None):
@@ -153,7 +157,13 @@ def stockham_ref(x, inverse=False):
 # -- kernel bodies -------------------------------------------------------
 
 def _stage_a_twiddle(rr, ii, n1, n, yr_ref, yi_ref):
-    """Apply the inter-stage twiddle W_N^{c b} and store."""
+    """Apply the inter-stage twiddle W_N^{c b} and store *transposed*.
+
+    The (n1, bb, L) stage-A result is written as (bb, n1, L) tiles of a
+    d-major (N2, N1, L) array: this single transpose here lets the
+    stage-B kernel (which transforms along N2, and is the VMEM-pressure
+    hotspot) run with no transposes at all on its six tiles.
+    """
     bb = rr.shape[1]
     i0 = pl.program_id(0) * bb
     c = jax.lax.broadcasted_iota(jnp.int32, (n1, bb, 1), 0
@@ -162,8 +172,8 @@ def _stage_a_twiddle(rr, ii, n1, n, yr_ref, yi_ref):
                                  ).astype(jnp.float32) + i0
     theta = (-2.0 * np.pi / n) * c * b
     wr, wi = jnp.cos(theta), jnp.sin(theta)
-    yr_ref[:] = rr * wr - ii * wi
-    yi_ref[:] = rr * wi + ii * wr
+    yr_ref[:] = (rr * wr - ii * wi).swapaxes(0, 1)
+    yi_ref[:] = (rr * wi + ii * wr).swapaxes(0, 1)
 
 
 def _k1_body(n1, n2, n, xr_ref, xi_ref, yr_ref, yi_ref):
@@ -184,17 +194,19 @@ def _k1_body_planes(n1, n2, n, x2_ref, yr_ref, yi_ref):
 
 
 def _k2_body(n1, n2, n, yr_ref, yi_ref, cr_ref, ci_ref, zr_ref, zi_ref):
-    """Stage-B FFT, chirp multiply, inverse stage-B, conj twiddle."""
-    # tiles are (Bc, N2, L); transform along N2 -> move it to axis 0
-    yr = yr_ref[:].swapaxes(0, 1)
-    yi = yi_ref[:].swapaxes(0, 1)
-    rr, ii = _stockham(yr, yi, -1.0)
-    cr = cr_ref[:].swapaxes(0, 1)
-    ci = ci_ref[:].swapaxes(0, 1)
+    """Stage-B FFT, chirp multiply, inverse stage-B, conj twiddle.
+
+    All tiles live in the d-major (N2, bc, L) layout the stage-A kernel
+    wrote (and the chirp is pre-stored in), so the transform axis is
+    already axis 0: no transposes anywhere in this kernel.
+    """
+    rr, ii = _stockham(yr_ref[:], yi_ref[:], -1.0)
+    cr = cr_ref[:]
+    ci = ci_ref[:]
     mr = rr * cr - ii * ci
     mi = rr * ci + ii * cr
     rr, ii = _stockham(mr, mi, +1.0, scale=1.0 / n2)
-    bc = yr_ref.shape[0]
+    bc = yr_ref.shape[1]
     i0 = pl.program_id(0) * bc
     b = jax.lax.broadcasted_iota(jnp.int32, (n2, bc, 1), 0
                                  ).astype(jnp.float32)
@@ -202,15 +214,18 @@ def _k2_body(n1, n2, n, yr_ref, yi_ref, cr_ref, ci_ref, zr_ref, zi_ref):
                                  ).astype(jnp.float32) + i0
     theta = (+2.0 * np.pi / n) * c * b
     wr, wi = jnp.cos(theta), jnp.sin(theta)
-    zr = rr * wr - ii * wi
-    zi = rr * wi + ii * wr
-    zr_ref[:] = zr.swapaxes(0, 1)
-    zi_ref[:] = zi.swapaxes(0, 1)
+    zr_ref[:] = rr * wr - ii * wi
+    zi_ref[:] = rr * wi + ii * wr
 
 
 def _k3_body(n1, power, zr_ref, zi_ref, *out_refs):
-    """Inverse stage-A; optionally emit detected power instead of re/im."""
-    rr, ii = _stockham(zr_ref[:], zi_ref[:], +1.0, scale=1.0 / n1)
+    """Inverse stage-A; optionally emit detected power instead of re/im.
+
+    Reads d-major (bb, n1, L) tiles of the stage-B output (one transpose
+    on load) and writes natural (n1, bb, L) time-order tiles.
+    """
+    rr, ii = _stockham(zr_ref[:].swapaxes(0, 1), zi_ref[:].swapaxes(0, 1),
+                       +1.0, scale=1.0 / n1)
     if power:
         out_refs[0][:] = rr * rr + ii * ii
     else:
@@ -231,9 +246,11 @@ def _k3_fold_body(n1, n2, pad_start, n_valid, per_p, per_q, n_phase,
     ``i0_ref`` (SMEM, one int32): the non-negative global fold offset of
     local time index 0, already reduced mod ``per_q``.  The fold is the
     integer-modular map bin = ((t·p mod q)·n_phase) // q for pulse period
-    p/q samples.
+    p/q samples.  Input tiles are d-major (bb, n1, L); one transpose on
+    load (the stage-B kernel is transpose-free in exchange).
     """
-    rr, ii = _stockham(zr_ref[:], zi_ref[:], +1.0, scale=1.0 / n1)
+    rr, ii = _stockham(zr_ref[:].swapaxes(0, 1), zi_ref[:].swapaxes(0, 1),
+                       +1.0, scale=1.0 / n1)
     power = rr * rr + ii * ii                       # (n1, bb, L)
     bb = power.shape[1]
     L = power.shape[2]
@@ -271,10 +288,12 @@ def _k3_fold_body(n1, n2, pad_start, n_valid, per_p, per_q, n_phase,
 # -- host-side op --------------------------------------------------------
 
 def _stage_b(y_r, y_i, chr_, chi, *, n1, n2, block_c, interpret, params):
-    """K2: stage-B FFT · chirp · inverse stage-B · conj twiddle."""
+    """K2: stage-B FFT · chirp · inverse stage-B · conj twiddle.
+
+    Operands and results are d-major (N2, N1, L); tiles block over N1."""
     n = n1 * n2
     L = y_r.shape[-1]
-    spec_c = pl.BlockSpec((block_c, n2, L), lambda i: (i, 0, 0),
+    spec_c = pl.BlockSpec((n2, block_c, L), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_k2_body, n1, n2, n),
@@ -282,8 +301,8 @@ def _stage_b(y_r, y_i, chr_, chi, *, n1, n2, block_c, interpret, params):
         grid=(n1 // block_c,),
         in_specs=[spec_c, spec_c, spec_c, spec_c],
         out_specs=(spec_c, spec_c),
-        out_shape=(jax.ShapeDtypeStruct((n1, n2, L), jnp.float32),
-                   jax.ShapeDtypeStruct((n1, n2, L), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), jnp.float32),
+                   jax.ShapeDtypeStruct((n2, n1, L), jnp.float32)),
         interpret=interpret,
     )(y_r, y_i, chr_, chi)
 
@@ -292,6 +311,8 @@ def _stages_bc(y_r, y_i, chr_, chi, *, n1, n2, block_b, block_c, power,
                interpret, params):
     """Shared K2 (stage-B·chirp·inverse-B) and K3 (inverse stage-A)."""
     L = y_r.shape[-1]
+    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
     spec_b = pl.BlockSpec((n1, block_b, L), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
     z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
@@ -308,7 +329,7 @@ def _stages_bc(y_r, y_i, chr_, chi, *, n1, n2, block_b, block_c, power,
         functools.partial(_k3_body, n1, power),
         compiler_params=params,
         grid=(n2 // block_b,),
-        in_specs=[spec_b, spec_b],
+        in_specs=[spec_bT, spec_bT],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
@@ -332,14 +353,16 @@ def _dedisperse_impl(xr, xi, chr_, chi, *, n1, n2, block_b, block_c,
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     spec_b = pl.BlockSpec((n1, block_b, L), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
+    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
     y_r, y_i = pl.pallas_call(
         functools.partial(_k1_body, n1, n2, n),
         compiler_params=params,
         grid=(n2 // block_b,),
         in_specs=[spec_b, spec_b],
-        out_specs=(spec_b, spec_b),
-        out_shape=(jax.ShapeDtypeStruct((n1, n2, L), jnp.float32),
-                   jax.ShapeDtypeStruct((n1, n2, L), jnp.float32)),
+        out_specs=(spec_bT, spec_bT),
+        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), jnp.float32),
+                   jax.ShapeDtypeStruct((n2, n1, L), jnp.float32)),
         interpret=interpret,
     )(v_r, v_i)
     return _stages_bc(y_r, y_i, chr_, chi, n1=n1, n2=n2, block_b=block_b,
@@ -354,16 +377,16 @@ def _stage_a_planes(x2, *, n1, n2, block_b, interpret, params):
     v = x2.reshape(2, n1, n2, L)
     spec_x = pl.BlockSpec((2, n1, block_b, L), lambda i: (0, 0, i, 0),
                           memory_space=pltpu.VMEM)
-    spec_b = pl.BlockSpec((n1, block_b, L), lambda i: (0, i, 0),
-                          memory_space=pltpu.VMEM)
+    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_k1_body_planes, n1, n2, n),
         compiler_params=params,
         grid=(n2 // block_b,),
         in_specs=[spec_x],
-        out_specs=(spec_b, spec_b),
-        out_shape=(jax.ShapeDtypeStruct((n1, n2, L), jnp.float32),
-                   jax.ShapeDtypeStruct((n1, n2, L), jnp.float32)),
+        out_specs=(spec_bT, spec_bT),
+        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), jnp.float32),
+                   jax.ShapeDtypeStruct((n2, n1, L), jnp.float32)),
         interpret=interpret,
     )(v)
 
@@ -393,8 +416,8 @@ def _dedisperse_fold_impl(x2, chr_, chi, i0, *, n1, n2, block_b, block_c,
                                interpret=interpret, params=params)
     z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
                         block_c=block_c, interpret=interpret, params=params)
-    spec_b = pl.BlockSpec((n1, block_b, L), lambda i: (0, i, 0),
-                          memory_space=pltpu.VMEM)
+    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
     spec_i0 = pl.BlockSpec(memory_space=pltpu.SMEM)
     spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
@@ -405,7 +428,7 @@ def _dedisperse_fold_impl(x2, chr_, chi, i0, *, n1, n2, block_b, block_c,
                           per_p, per_q, n_phase),
         compiler_params=params,
         grid=(n2 // block_b,),
-        in_specs=[spec_i0, spec_b, spec_b],
+        in_specs=[spec_i0, spec_bT, spec_bT],
         out_specs=(spec_prof, spec_cnt),
         out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
                    jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
@@ -423,8 +446,8 @@ def dedisperse_pow2(xr, xi, chirp_storage_r, chirp_storage_i, *,
     ----------
     xr, xi : (N, L) float32
         Real/imag planes; N a power of two, L the lane (channel) axis.
-    chirp_storage_r/i : (N1, N2, L) float32
-        The chirp in four-step storage order: use
+    chirp_storage_r/i : (N2, N1, L) float32
+        The chirp in d-major four-step storage order: use
         ``permute_to_storage_order(chirp_natural, N1, N2)`` (per-L planes).
     power : bool
         If True return |y|² (single plane) instead of (re, im).
