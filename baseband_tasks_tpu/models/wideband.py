@@ -124,8 +124,18 @@ class WidebandPulsarPipeline:
         from ..fourier import next_fast_len
         self.use_pallas = bool(use_pallas)
         n_min = block_samples + self.pad_start + self.pad_end
-        n_fft = (1 << (n_min - 1).bit_length()) \
-            if (fft_pow2 or self.use_pallas) else next_fast_len(n_min)
+        if fft_pow2 or self.use_pallas:
+            n_fft = 1 << (n_min - 1).bit_length()
+            # round pads up to multiples of N2 so the shifted window
+            # reshape aligns with the (N1, N2) grid: the stream kernel
+            # can then assemble windows in VMEM from block + halo edges
+            # instead of materializing the padded window in HBM
+            from ..ops.dedisperse_pallas import split_n
+            _, n2 = split_n(n_fft)
+            self.pad_start = -(-self.pad_start // n2) * n2
+            self.pad_end = -(-self.pad_end // n2) * n2
+        else:
+            n_fft = next_fast_len(n_min)
         self.block_samples = n_fft - self.pad_start - self.pad_end
         self._n_fft = n_fft
         self._chirp_np = self._build_chirp()
@@ -232,19 +242,23 @@ class WidebandPulsarPipeline:
         fuses into the halo concat write, and the halo rows fold into a
         trash phase bin instead of being sliced away first.
         """
-        from ..ops.dedisperse_pallas import dedisperse_fold_pow2
-        T = x2.shape[1]
-        w = halo_exchange(x2, self.pad_start, self.pad_end, "time", axis=1)
-        w = w * (1.0 + 1e-6 * off)
-        n_fft, c_local, n_pol = w.shape[1:4]
+        from ..ops.dedisperse_pallas import dedisperse_fold_stream
+        from ..parallel.halo import halo_edges
+        T, c_local, n_pol = x2.shape[1:4]
+        L = c_local * n_pol
+        front, end = halo_edges(x2, self.pad_start, self.pad_end, "time",
+                                axis=1)
+        scale = (1.0 + 1e-6 * off).reshape(1)
         shard = jax.lax.axis_index("time")
         i0 = jnp.mod(off.astype(jnp.int32) + shard * T - self.pad_start,
                      self._per_q).reshape(1)
-        prof, cnt = dedisperse_fold_pow2(
-            w.reshape(2, n_fft, c_local * n_pol),
+        prof, cnt = dedisperse_fold_stream(
+            x2.reshape(2, T, L),
+            front.reshape(2, self.pad_start, L),
+            end.reshape(2, self.pad_end, L),
             csr.reshape(csr.shape[0], csr.shape[1], -1),
             csi.reshape(csi.shape[0], csi.shape[1], -1),
-            i0, per_p=self._per_p, per_q=self._per_q,
+            i0, scale, per_p=self._per_p, per_q=self._per_q,
             n_phase=self.n_phase, pad_start=self.pad_start, n_valid=T)
         prof = prof[:self.n_phase].reshape(self.n_phase, c_local, n_pol)
         prof = jax.lax.psum(prof, "time")

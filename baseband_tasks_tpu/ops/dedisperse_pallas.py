@@ -34,8 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["dedisperse_pow2", "dedisperse_pow2_planes",
-           "dedisperse_fold_pow2", "permute_to_storage_order",
-           "stockham_ref"]
+           "dedisperse_fold_pow2", "dedisperse_fold_stream",
+           "permute_to_storage_order", "stockham_ref"]
 
 
 def _is_pow2(n):
@@ -190,6 +190,25 @@ def _k1_body_planes(n1, n2, n, x2_ref, yr_ref, yi_ref):
     an extra HBM pass splitting it into separate re/im planes.
     """
     rr, ii = _stockham(x2_ref[0], x2_ref[1], -1.0)
+    _stage_a_twiddle(rr, ii, n1, n, yr_ref, yi_ref)
+
+
+def _k1_body_stream(n1, n2, n, s_ref, f_ref, x_ref, e_ref, yr_ref, yi_ref):
+    """Stage-A reading the *unpadded* source block plus halo edge buffers.
+
+    When the overlap-save pads are multiples of N2, the shifted window
+    reshape aligns with the (n1, n2) grid: window row c of any column
+    tile is source row c - kf (with the first kf rows coming from the
+    left halo edge and the last ke from the right).  So instead of the
+    caller materializing a padded window in HBM (a full extra read+write
+    pass), this kernel assembles each tile in VMEM from three inputs and
+    also applies the per-iteration scale from SMEM — the pipeline step
+    touches the raw data exactly once before the FFT.
+    """
+    s = s_ref[0]
+    xr = jnp.concatenate([f_ref[0], x_ref[0], e_ref[0]], axis=0) * s
+    xi = jnp.concatenate([f_ref[1], x_ref[1], e_ref[1]], axis=0) * s
+    rr, ii = _stockham(xr, xi, -1.0)
     _stage_a_twiddle(rr, ii, n1, n, yr_ref, yi_ref)
 
 
@@ -404,6 +423,71 @@ def _dedisperse_impl_planes(x2, chr_, chi, *, n1, n2, block_b, block_c,
                       params=params)
 
 
+def _stage_a_stream(x2, front, end, scale, *, n1, n2, block_b, interpret,
+                    params):
+    """K1 assembling padded windows in VMEM from block + halo edges."""
+    n = n1 * n2
+    L = x2.shape[-1]
+    kf = front.shape[1] // n2
+    ke = end.shape[1] // n2
+    nm = n1 - kf - ke
+    v = x2.reshape(2, nm, n2, L)
+    vf = front.reshape(2, kf, n2, L)
+    ve = end.reshape(2, ke, n2, L)
+
+    def blk(rows):
+        return pl.BlockSpec((2, rows, block_b, L), lambda i: (0, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    spec_s = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_k1_body_stream, n1, n2, n),
+        compiler_params=params,
+        grid=(n2 // block_b,),
+        in_specs=[spec_s, blk(kf), blk(nm), blk(ke)],
+        out_specs=(spec_bT, spec_bT),
+        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), jnp.float32),
+                   jax.ShapeDtypeStruct((n2, n1, L), jnp.float32)),
+        interpret=interpret,
+    )(scale, vf, v, ve)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n1", "n2", "block_b", "block_c", "per_p", "per_q", "n_phase",
+    "pad_start", "n_valid", "interpret"))
+def _dedisperse_fold_stream_impl(x2, front, end, chr_, chi, i0, scale, *,
+                                 n1, n2, block_b, block_c, per_p, per_q,
+                                 n_phase, pad_start, n_valid, interpret):
+    L = x2.shape[-1]
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    y_r, y_i = _stage_a_stream(x2, front, end, scale, n1=n1, n2=n2,
+                               block_b=block_b, interpret=interpret,
+                               params=params)
+    z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
+                        block_c=block_c, interpret=interpret, params=params)
+    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_i0 = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    prof, cnt = pl.pallas_call(
+        functools.partial(_k3_fold_body, n1, n2, pad_start, n_valid,
+                          per_p, per_q, n_phase),
+        compiler_params=params,
+        grid=(n2 // block_b,),
+        in_specs=[spec_i0, spec_bT, spec_bT],
+        out_specs=(spec_prof, spec_cnt),
+        out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
+        interpret=interpret,
+    )(i0, z_r, z_i)
+    return prof, cnt[0]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n1", "n2", "block_b", "block_c", "per_p", "per_q", "n_phase",
     "pad_start", "n_valid", "interpret"))
@@ -544,6 +628,45 @@ def dedisperse_fold_pow2(x2, chirp_storage_r, chirp_storage_i, i0, *,
         interpret = jax.default_backend() != "tpu"
     return _dedisperse_fold_impl(
         x2, chirp_storage_r, chirp_storage_i, i0,
+        n1=n1, n2=n2, block_b=block_b, block_c=block_c,
+        per_p=int(per_p), per_q=int(per_q), n_phase=int(n_phase),
+        pad_start=int(pad_start), n_valid=int(n_valid),
+        interpret=interpret)
+
+
+def dedisperse_fold_stream(x2, front, end, chirp_storage_r,
+                           chirp_storage_i, i0, scale, *, per_p, per_q,
+                           n_phase, pad_start, n_valid, block_b=None,
+                           block_c=None, interpret=None):
+    """As :func:`dedisperse_fold_pow2` but windowless: the padded
+    overlap-save window is assembled *inside* the stage-A kernel from the
+    raw block and two halo edge buffers, and the per-iteration ``scale``
+    (SMEM, (1,) float32) is applied there too — no XLA pass ever touches
+    the full block before the FFT.
+
+    ``x2`` : (2, T, L); ``front`` : (2, pad_start, L); ``end`` :
+    (2, pad_end, L).  ``pad_start``, ``pad_end`` and ``T`` must be
+    multiples of N2 with T + pads a power of two (round pads up with
+    :func:`split_n`).
+    """
+    _, t_main, L = x2.shape
+    p0 = front.shape[1]
+    p1 = end.shape[1]
+    n = t_main + p0 + p1
+    if not _is_pow2(n):
+        raise ValueError(f"window {n} must be a power of two")
+    n1, n2 = _split_n(n)
+    for name, val in (("pad_start", p0), ("pad_end", p1), ("block", t_main)):
+        if val % n2 or val == 0:
+            raise ValueError(f"{name}={val} must be a non-zero multiple "
+                             f"of N2={n2}")
+    if p0 != pad_start:
+        raise ValueError("front buffer length must equal pad_start")
+    block_b, block_c = _choose_blocks(n, n1, n2, L, block_b, block_c)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _dedisperse_fold_stream_impl(
+        x2, front, end, chirp_storage_r, chirp_storage_i, i0, scale,
         n1=n1, n2=n2, block_b=block_b, block_c=block_c,
         per_p=int(per_p), per_q=int(per_q), n_phase=int(n_phase),
         pad_start=int(pad_start), n_valid=int(n_valid),

@@ -118,3 +118,57 @@ class TestFusedFold:
         cnt = np.asarray(cnt)
         assert cnt[n_phase] == 128          # pad_start + pad_end rows
         assert cnt[:n_phase].sum() == n - 128
+
+
+class TestStreamWindow:
+    def test_stream_matches_padded_window(self):
+        """The windowless kernel (block + edge buffers + in-kernel scale)
+        must equal the padded-window fold on the assembled window."""
+        from baseband_tasks_tpu.ops.dedisperse_pallas import (
+            dedisperse_fold_stream)
+        import jax.numpy as jnp
+        n, L = 2048, 8
+        n1, n2 = split_n(n)                 # 32, 64
+        p0, p1 = 2 * n2, 3 * n2
+        t_main = n - p0 - p1
+        rng = np.random.default_rng(7)
+        xm = rng.standard_normal((2, t_main, L)).astype(np.float32)
+        fr = rng.standard_normal((2, p0, L)).astype(np.float32)
+        en = rng.standard_normal((2, p1, L)).astype(np.float32)
+        chirp = np.exp(2j * np.pi * rng.standard_normal((n, L)) * 0.05
+                       ).astype(np.complex64)
+        cs = permute_to_storage_order(chirp, n1, n2)
+        scale = np.float32(1.25)
+        window = np.concatenate([fr, xm, en], axis=1) * scale
+        i0 = jnp.asarray([17], jnp.int32)
+        kw = dict(per_p=3, per_q=500, n_phase=16, pad_start=p0,
+                  n_valid=t_main)
+        prof_ref, cnt_ref = dedisperse_fold_pow2(
+            window, np.real(cs).astype(np.float32),
+            np.imag(cs).astype(np.float32), i0, **kw)
+        prof, cnt = dedisperse_fold_stream(
+            xm, fr, en, np.real(cs).astype(np.float32),
+            np.imag(cs).astype(np.float32), i0,
+            jnp.asarray([scale], jnp.float32), **kw)
+        np.testing.assert_allclose(np.asarray(cnt), np.asarray(cnt_ref),
+                                   atol=0)
+        np.testing.assert_allclose(np.asarray(prof), np.asarray(prof_ref),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_rejects_misaligned_pads(self):
+        from baseband_tasks_tpu.ops.dedisperse_pallas import (
+            dedisperse_fold_stream)
+        import jax.numpy as jnp
+        n = 1024
+        n1, n2 = split_n(n)
+        with pytest.raises(ValueError, match="multiple"):
+            dedisperse_fold_stream(
+                np.zeros((2, n - n2 - 3, 8), np.float32),
+                np.zeros((2, n2, 8), np.float32),
+                np.zeros((2, 3, 8), np.float32),
+                np.zeros((n2, n1, 8), np.float32),
+                np.zeros((n2, n1, 8), np.float32),
+                jnp.asarray([0], jnp.int32),
+                jnp.asarray([1.0], jnp.float32),
+                per_p=1, per_q=100, n_phase=8, pad_start=n2,
+                n_valid=n - n2 - 3)
