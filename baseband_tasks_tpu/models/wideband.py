@@ -151,6 +151,10 @@ class WidebandPulsarPipeline:
                                     self.reference_frequency)
         cyc = np.asarray(phase.to_value(u.cycle), dtype=np.float64)
         cyc -= np.round(cyc)
+        # single-plane phase (cycles, mod-1 done here in float64): the
+        # pallas stage-B kernel computes cos/sin on the VPU, halving the
+        # chirp's HBM read traffic
+        self._theta_np = (-cyc).astype(np.float32)
         chirp = np.exp(-2j * np.pi * cyc)  # conjugate: REMOVE dispersion
         # stored as trailing float32 pairs: the TPU boundary is f32-only
         pair = np.stack([chirp.real, chirp.imag], axis=-1)
@@ -168,6 +172,17 @@ class WidebandPulsarPipeline:
                                (n2, n1, self.n_chan, self.n_pol, 2))
         return (np.ascontiguousarray(full[..., 0]),
                 np.ascontiguousarray(full[..., 1]))
+
+    def _chirp_theta_storage_np(self):
+        """Chirp phase plane (cycles) in d-major storage order:
+        one float32 array (N2, N1, n_chan, n_pol)."""
+        from ..ops.dedisperse_pallas import (permute_to_storage_order,
+                                             split_n)
+        n1, n2 = split_n(self._n_fft)
+        stor = permute_to_storage_order(self._theta_np, n1, n2)
+        full = np.broadcast_to(stor[:, :, :, np.newaxis],
+                               (n2, n1, self.n_chan, self.n_pol))
+        return np.ascontiguousarray(full)
 
     # -- the fused step --------------------------------------------------
     def _local_step(self, xf, chirp_f, offset_mod):
@@ -232,15 +247,18 @@ class WidebandPulsarPipeline:
         cnt = jax.lax.psum(cnt, "time")
         return prof, cnt
 
-    def _local_step_pallas_planes(self, x2, csr, csi, off):
+    def _local_step_pallas_planes(self, x2, cth, off):
         """Planes-first fused step for the on-device run loop.
 
         ``x2`` : (2, T_local, C_local, P) float32 — complex as *leading*
-        planes.  Compared to :meth:`_local_step_pallas` this removes three
-        full passes over HBM: the stage-A kernel reads the planes array
-        directly (no re/im split), the per-iteration scale ``1 + 1e-6 off``
-        fuses into the halo concat write, and the halo rows fold into a
-        trash phase bin instead of being sliced away first.
+        planes; ``cth`` the (N2, N1, C_local, P) chirp phase plane.
+        Compared to :meth:`_local_step_pallas` this removes four full
+        passes over HBM: the stage-A kernel assembles windows in VMEM
+        from the raw block + halo edge buffers (no padded-window concat),
+        reads the planes array directly (no re/im split), applies the
+        per-iteration scale ``1 + 1e-6 off`` from SMEM, and the halo rows
+        fold into a trash phase bin instead of being sliced away first;
+        the chirp travels as one phase plane with in-kernel cos/sin.
         """
         from ..ops.dedisperse_pallas import dedisperse_fold_stream
         from ..parallel.halo import halo_edges
@@ -256,8 +274,7 @@ class WidebandPulsarPipeline:
             x2.reshape(2, T, L),
             front.reshape(2, self.pad_start, L),
             end.reshape(2, self.pad_end, L),
-            csr.reshape(csr.shape[0], csr.shape[1], -1),
-            csi.reshape(csi.shape[0], csi.shape[1], -1),
+            cth.reshape(cth.shape[0], cth.shape[1], -1), None,
             i0, scale, per_p=self._per_p, per_q=self._per_q,
             n_phase=self.n_phase, pad_start=self.pad_start, n_valid=T)
         prof = prof[:self.n_phase].reshape(self.n_phase, c_local, n_pol)
@@ -397,22 +414,26 @@ class WidebandPulsarPipeline:
 
         Returns ``run(seed) -> (profile_sum, count_sum)``.
         """
-        sharded, chirp_args = self._sharded_and_chirp()
         T = self.global_block
         per_q = float(self._per_q)
         if self.use_pallas:
-            # planes-first loop carry: the per-iteration scale happens
-            # inside the local step (fused with the halo), and the stage-A
-            # kernel consumes the planes array with no split pass
+            # planes-first loop carry: windows are assembled inside the
+            # stage-A kernel from block + halo edges, the per-iteration
+            # scale is applied there from SMEM, and the chirp travels as
+            # a single phase plane
             sharded = jax.shard_map(
                 self._local_step_pallas_planes, mesh=self.mesh,
                 in_specs=(P(None, "time", "chan"), P(None, None, "chan"),
-                          P(None, None, "chan"), P()),
+                          P()),
                 out_specs=(P(None, "chan"), P()),
                 check_vma=False)
+            chirp_args = (jax.device_put(
+                self._chirp_theta_storage_np(),
+                NamedSharding(self.mesh, P(None, None, "chan"))),)
             shape = (2, T, self.n_chan, self.n_pol)
             scale_outside = False
         else:
+            sharded, chirp_args = self._sharded_and_chirp()
             shape = (T, self.n_chan, self.n_pol, 2)
             scale_outside = True
 

@@ -86,8 +86,49 @@ def _stockham(re, im, sign, scale=None):
     n, s = n_total, 1
     cur_r = re.reshape((n_total, 1) + trailing)
     cur_i = im.reshape((n_total, 1) + trailing)
+    r2 = float(np.sqrt(0.5))
     while n > 1:
-        if n % 4 == 0:
+        if n % 8 == 0:
+            # radix-8 = two DFT-4s over (X_k ± X_{k+4}) with an omega_8
+            # layer; covers three levels per stack/reshape relayout
+            # (512 = 8^3: three stages instead of five).
+            m = n // 8
+            X = [(cur_r[k * m:(k + 1) * m], cur_i[k * m:(k + 1) * m])
+                 for k in range(8)]
+
+            def dft4(z0, z1, z2, z3):
+                (a_r, a_i), (b_r, b_i), (c_r, c_i), (d_r, d_i) = \
+                    z0, z1, z2, z3
+                pr, pi = a_r + c_r, a_i + c_i
+                qr, qi = a_r - c_r, a_i - c_i
+                ur, ui = b_r + d_r, b_i + d_i
+                vr, vi = -sign * (b_i - d_i), sign * (b_r - d_r)
+                return [(pr + ur, pi + ui), (qr + vr, qi + vi),
+                        (pr - ur, pi - ui), (qr - vr, qi - vi)]
+
+            B = [(X[k][0] + X[k + 4][0], X[k][1] + X[k + 4][1])
+                 for k in range(4)]
+            Dk = [(X[k][0] - X[k + 4][0], X[k][1] - X[k + 4][1])
+                  for k in range(4)]
+            # C_k = D_k * omega8^k, omega8 = (1 + sign*i)/sqrt(2)
+            c1r = r2 * (Dk[1][0] - sign * Dk[1][1])
+            c1i = r2 * (Dk[1][1] + sign * Dk[1][0])
+            c2r, c2i = -sign * Dk[2][1], sign * Dk[2][0]
+            c3r = r2 * (-Dk[3][0] - sign * Dk[3][1])
+            c3i = r2 * (-Dk[3][1] + sign * Dk[3][0])
+            E = dft4(B[0], B[1], B[2], B[3])
+            O = dft4(Dk[0], (c1r, c1i), (c2r, c2i), (c3r, c3i))
+            th = iota_theta(m, n)
+            ys_r, ys_i = [E[0][0]], [E[0][1]]
+            interleaved = [O[0], E[1], O[1], E[2], O[2], E[3], O[3]]
+            for j, (zr, zi) in enumerate(interleaved, start=1):
+                wr, wi = jnp.cos(j * th), jnp.sin(j * th)
+                ys_r.append(zr * wr - zi * wi)
+                ys_i.append(zr * wi + zi * wr)
+            cur_r = jnp.stack(ys_r, axis=1).reshape((m, 8 * s) + trailing)
+            cur_i = jnp.stack(ys_i, axis=1).reshape((m, 8 * s) + trailing)
+            n, s = m, 8 * s
+        elif n % 4 == 0:
             m = n // 4
             Ar, Ai = cur_r[:m], cur_i[:m]
             Br, Bi = cur_r[m:2 * m], cur_i[m:2 * m]
@@ -237,6 +278,33 @@ def _k2_body(n1, n2, n, yr_ref, yi_ref, cr_ref, ci_ref, zr_ref, zi_ref):
     zi_ref[:] = rr * wi + ii * wr
 
 
+def _k2_body_theta(n1, n2, n, yr_ref, yi_ref, th_ref, zr_ref, zi_ref):
+    """As `_k2_body` but with the chirp stored as one phase plane.
+
+    ``th_ref`` holds the chirp angle in cycles (mod 1, float32 — the mod-1
+    reduction happened on the host in float64, so no precision is lost);
+    cos/sin are computed here on the VPU, halving the chirp's HBM read
+    traffic relative to separate cos+sin planes.
+    """
+    rr, ii = _stockham(yr_ref[:], yi_ref[:], -1.0)
+    ang = (2.0 * np.pi) * th_ref[:]
+    cr = jnp.cos(ang)
+    ci = jnp.sin(ang)
+    mr = rr * cr - ii * ci
+    mi = rr * ci + ii * cr
+    rr, ii = _stockham(mr, mi, +1.0, scale=1.0 / n2)
+    bc = yr_ref.shape[1]
+    i0 = pl.program_id(0) * bc
+    b = jax.lax.broadcasted_iota(jnp.int32, (n2, bc, 1), 0
+                                 ).astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n2, bc, 1), 1
+                                 ).astype(jnp.float32) + i0
+    theta = (+2.0 * np.pi / n) * c * b
+    wr, wi = jnp.cos(theta), jnp.sin(theta)
+    zr_ref[:] = rr * wr - ii * wi
+    zi_ref[:] = rr * wi + ii * wr
+
+
 def _k3_body(n1, power, zr_ref, zi_ref, *out_refs):
     """Inverse stage-A; optionally emit detected power instead of re/im.
 
@@ -324,6 +392,24 @@ def _stage_b(y_r, y_i, chr_, chi, *, n1, n2, block_c, interpret, params):
                    jax.ShapeDtypeStruct((n2, n1, L), jnp.float32)),
         interpret=interpret,
     )(y_r, y_i, chr_, chi)
+
+
+def _stage_b_theta(y_r, y_i, th, *, n1, n2, block_c, interpret, params):
+    """K2 with the single-plane phase chirp."""
+    n = n1 * n2
+    L = y_r.shape[-1]
+    spec_c = pl.BlockSpec((n2, block_c, L), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_k2_body_theta, n1, n2, n),
+        compiler_params=params,
+        grid=(n1 // block_c,),
+        in_specs=[spec_c, spec_c, spec_c],
+        out_specs=(spec_c, spec_c),
+        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), jnp.float32),
+                   jax.ShapeDtypeStruct((n2, n1, L), jnp.float32)),
+        interpret=interpret,
+    )(y_r, y_i, th)
 
 
 def _stages_bc(y_r, y_i, chr_, chi, *, n1, n2, block_b, block_c, power,
@@ -491,6 +577,42 @@ def _dedisperse_fold_stream_impl(x2, front, end, chr_, chi, i0, scale, *,
 @functools.partial(jax.jit, static_argnames=(
     "n1", "n2", "block_b", "block_c", "per_p", "per_q", "n_phase",
     "pad_start", "n_valid", "interpret"))
+def _dedisperse_fold_stream_theta_impl(x2, front, end, th, i0, scale, *,
+                                       n1, n2, block_b, block_c, per_p,
+                                       per_q, n_phase, pad_start, n_valid,
+                                       interpret):
+    L = x2.shape[-1]
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    y_r, y_i = _stage_a_stream(x2, front, end, scale, n1=n1, n2=n2,
+                               block_b=block_b, interpret=interpret,
+                               params=params)
+    z_r, z_i = _stage_b_theta(y_r, y_i, th, n1=n1, n2=n2,
+                              block_c=block_c, interpret=interpret,
+                              params=params)
+    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_i0 = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    prof, cnt = pl.pallas_call(
+        functools.partial(_k3_fold_body, n1, n2, pad_start, n_valid,
+                          per_p, per_q, n_phase),
+        compiler_params=params,
+        grid=(n2 // block_b,),
+        in_specs=[spec_i0, spec_bT, spec_bT],
+        out_specs=(spec_prof, spec_cnt),
+        out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
+        interpret=interpret,
+    )(i0, z_r, z_i)
+    return prof, cnt[0]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n1", "n2", "block_b", "block_c", "per_p", "per_q", "n_phase",
+    "pad_start", "n_valid", "interpret"))
 def _dedisperse_fold_impl(x2, chr_, chi, i0, *, n1, n2, block_b, block_c,
                           per_p, per_q, n_phase, pad_start, n_valid,
                           interpret):
@@ -558,11 +680,14 @@ def dedisperse_pow2(xr, xi, chirp_storage_r, chirp_storage_i, *,
 
 
 def _choose_blocks(n, n1, n2, L, block_b, block_c):
+    import os
     if block_b is None:
-        block_b = max(1, min(8, n2))
+        block_b = int(os.environ.get("BBT_PALLAS_BLOCK_B", 0)) \
+            or max(1, min(8, n2))
     if block_c is None:
         budget = 24 << 20
-        block_c = max(1, min(8, n1, budget // (n2 * L * 4 * 12)))
+        block_c = int(os.environ.get("BBT_PALLAS_BLOCK_C", 0)) \
+            or max(1, min(8, n1, budget // (n2 * L * 4 * 12)))
     while n2 % block_b:
         block_b //= 2
     while n1 % block_c:
@@ -648,6 +773,10 @@ def dedisperse_fold_stream(x2, front, end, chirp_storage_r,
     (2, pad_end, L).  ``pad_start``, ``pad_end`` and ``T`` must be
     multiples of N2 with T + pads a power of two (round pads up with
     :func:`split_n`).
+
+    If ``chirp_storage_i`` is None, ``chirp_storage_r`` is interpreted as
+    the chirp *phase in cycles* (mod 1, float32, host-reduced in float64)
+    and cos/sin are computed in-kernel — half the chirp HBM traffic.
     """
     _, t_main, L = x2.shape
     p0 = front.shape[1]
@@ -665,12 +794,15 @@ def dedisperse_fold_stream(x2, front, end, chirp_storage_r,
     block_b, block_c = _choose_blocks(n, n1, n2, L, block_b, block_c)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    kw = dict(n1=n1, n2=n2, block_b=block_b, block_c=block_c,
+              per_p=int(per_p), per_q=int(per_q), n_phase=int(n_phase),
+              pad_start=int(pad_start), n_valid=int(n_valid),
+              interpret=interpret)
+    if chirp_storage_i is None:
+        return _dedisperse_fold_stream_theta_impl(
+            x2, front, end, chirp_storage_r, i0, scale, **kw)
     return _dedisperse_fold_stream_impl(
-        x2, front, end, chirp_storage_r, chirp_storage_i, i0, scale,
-        n1=n1, n2=n2, block_b=block_b, block_c=block_c,
-        per_p=int(per_p), per_q=int(per_q), n_phase=int(n_phase),
-        pad_start=int(pad_start), n_valid=int(n_valid),
-        interpret=interpret)
+        x2, front, end, chirp_storage_r, chirp_storage_i, i0, scale, **kw)
 
 
 def split_n(n):

@@ -172,3 +172,35 @@ class TestStreamWindow:
                 jnp.asarray([1.0], jnp.float32),
                 per_p=1, per_q=100, n_phase=8, pad_start=n2,
                 n_valid=n - n2 - 3)
+
+    def test_theta_plane_matches_cos_sin(self):
+        """Single-phase-plane chirp (in-kernel cos/sin) must match the
+        two-plane cos/sin chirp."""
+        from baseband_tasks_tpu.ops.dedisperse_pallas import (
+            dedisperse_fold_stream)
+        import jax.numpy as jnp
+        n, L = 2048, 8
+        n1, n2 = split_n(n)
+        p0 = p1 = 2 * n2
+        t_main = n - p0 - p1
+        rng = np.random.default_rng(9)
+        xm = rng.standard_normal((2, t_main, L)).astype(np.float32)
+        fr = rng.standard_normal((2, p0, L)).astype(np.float32)
+        en = rng.standard_normal((2, p1, L)).astype(np.float32)
+        theta = (rng.standard_normal((n, L)) * 0.3).astype(np.float64)
+        chirp = np.exp(2j * np.pi * theta)
+        cs = permute_to_storage_order(chirp.astype(np.complex64), n1, n2)
+        ts = permute_to_storage_order(theta.astype(np.float32), n1, n2)
+        i0 = jnp.asarray([3], jnp.int32)
+        sc = jnp.asarray([1.0], jnp.float32)
+        kw = dict(per_p=1, per_q=300, n_phase=8, pad_start=p0,
+                  n_valid=t_main)
+        prof_ref, cnt_ref = dedisperse_fold_stream(
+            xm, fr, en, np.real(cs).astype(np.float32),
+            np.imag(cs).astype(np.float32), i0, sc, **kw)
+        prof, cnt = dedisperse_fold_stream(xm, fr, en, ts, None, i0, sc,
+                                           **kw)
+        np.testing.assert_allclose(np.asarray(cnt), np.asarray(cnt_ref),
+                                   atol=0)
+        np.testing.assert_allclose(np.asarray(prof), np.asarray(prof_ref),
+                                   rtol=1e-4, atol=1e-3)
