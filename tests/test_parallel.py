@@ -205,11 +205,12 @@ class TestPallasPipeline:
         sharded = jax.shard_map(
             pal._local_step_pallas_planes, mesh=pal.mesh,
             in_specs=(P(None, "time", "chan"), P(None, None, "chan"),
-                      P()),
+                      P(None, None, "chan"), P()),
             out_specs=(P(None, "chan"), P()), check_vma=False)
-        cth = pal._chirp_theta_storage_np()
+        csr, csi = pal._chirp_storage_np()
         x2 = jnp.moveaxis(jnp.asarray(xf), -1, 0)
-        prof_b, cnt_b = jax.jit(sharded)(x2, jnp.asarray(cth), off)
+        prof_b, cnt_b = jax.jit(sharded)(
+            x2, jnp.asarray(csr), jnp.asarray(csi), off)
         scale = (1.0 + 1e-6 * 128) ** 2   # power of the scaled voltages
         np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))
         np.testing.assert_allclose(np.asarray(prof_b),
