@@ -100,16 +100,34 @@ class SearchReader(Base):
         return out
 
 
+def _pack_bits(q, nbits):
+    """Pack quantized levels (uint8, flat, C-order) LSB-first per byte —
+    the exact inverse of ``_unpack_bits``."""
+    q = q.astype(np.uint8).ravel()
+    if nbits == 8:
+        return q
+    if nbits == 4:
+        return (q[0::2] | (q[1::2] << 4)).astype(np.uint8)
+    if nbits == 2:
+        return (q[0::4] | (q[1::4] << 2) | (q[2::4] << 4)
+                | (q[3::4] << 6)).astype(np.uint8)
+    if nbits == 1:
+        return np.packbits(q, bitorder="little")
+    raise ValueError(f"unsupported nbits {nbits}")
+
+
 class SearchWriter:
-    """Write a detected stream to search-mode PSRFITS (8-bit DATA).
+    """Write a detected stream to search-mode PSRFITS.
 
     ``template``: stream with shape (n, nchan[, npol]), per-channel
     ``frequency``, and the sample rate defining TBIN; samples accumulate
     via ``write`` into rows of ``nsblk`` and the file is emitted on close.
+    ``nbits`` may be 8 (default), 4, 2 or 1; sub-byte modes pack LSB-first
+    with per-row DAT_SCL/DAT_OFFS min/max scaling.
     """
 
     def __init__(self, name, template, *, nsblk=4096, source="",
-                 telescope=""):
+                 telescope="", nbits=8):
         self._name = name
         shape = template.shape
         if len(shape) == 2:
@@ -117,7 +135,13 @@ class SearchWriter:
         if len(shape) != 3:
             raise ValueError("template must be (n, nchan[, npol])")
         self._shape = shape
-        self._nsblk = int(nsblk)
+        if nbits not in (1, 2, 4, 8):
+            raise ValueError("nbits must be 1, 2, 4 or 8")
+        self._nbits = int(nbits)
+        nsblk = int(nsblk)
+        if (nsblk * shape[1] * shape[2] * nbits) % 8:
+            raise ValueError("nsblk*nchan*npol*nbits must fill whole bytes")
+        self._nsblk = nsblk
         self._template = template
         self._source = source
         self._telescope = telescope
@@ -172,7 +196,9 @@ class SearchWriter:
         primary.set("STT_SMJD", smjd)
         primary.set("STT_OFFS", round(offs, 12))
 
-        nbytes = nsblk * nchan * npol
+        nbits = self._nbits
+        nbytes = nsblk * nchan * npol * nbits // 8
+        data_dim = (nchan, npol, nsblk) if nbits == 8 else (nbytes,)
         columns = [
             ("TSUBINT", "1D", None, "s"),
             ("OFFS_SUB", "1D", None, "s"),
@@ -180,10 +206,10 @@ class SearchWriter:
             ("DAT_WTS", f"{nchan}E", None, None),
             ("DAT_OFFS", f"{nchan * npol}E", None, None),
             ("DAT_SCL", f"{nchan * npol}E", None, None),
-            ("DATA", f"{nbytes}B", (nchan, npol, nsblk), None),
+            ("DATA", f"{nbytes}B", data_dim, None),
         ]
         hdr = bintable_header(columns, nt, "SUBINT")
-        hdr.set("NBITS", 8)
+        hdr.set("NBITS", nbits)
         hdr.set("NCHAN", nchan)
         hdr.set("NPOL", npol)
         hdr.set("NSBLK", nsblk)
@@ -194,21 +220,23 @@ class SearchWriter:
         dtype = fitsio._table_dtype(hdr)
         rows = np.zeros(nt, dtype=dtype)
         tsub = nsblk * tbin
+        maxval = (1 << nbits) - 1
         for i, block in enumerate(self._rows):
             d = block.transpose(0, 2, 1)        # (nsblk, npol, nchan)
             dmin = d.min(axis=0)
             dmax = d.max(axis=0)
-            scl = (dmax - dmin) / 255.0
+            scl = (dmax - dmin) / maxval
             scl[scl == 0] = 1.0
             offs_pc = dmin
             q = np.round((d - offs_pc[np.newaxis]) / scl[np.newaxis])
+            q = np.clip(q, 0, maxval).astype(np.uint8)
             rows[i]["TSUBINT"] = tsub
             rows[i]["OFFS_SUB"] = (i + 0.5) * tsub
             rows[i]["DAT_FREQ"] = self._freq.astype(np.float32)
             rows[i]["DAT_WTS"] = 1.0
             rows[i]["DAT_OFFS"] = offs_pc.reshape(-1)
             rows[i]["DAT_SCL"] = scl.reshape(-1)
-            rows[i]["DATA"] = np.clip(q, 0, 255).astype(np.uint8).reshape(
+            rows[i]["DATA"] = _pack_bits(q, nbits).reshape(
                 rows[i]["DATA"].shape)
         write_fits(self._name, [HDU(primary, None), HDU(hdr, rows)])
         self._closed = True

@@ -182,3 +182,19 @@ class TestSearchMode:
         fr = psrfits.open(path)
         assert fr.shape == (8192, 4)
         np.testing.assert_allclose(np.asarray(fr.read(10)), 7.0, atol=0.1)
+
+    @pytest.mark.parametrize("nbits,tol", [(4, 1 / 14), (2, 1 / 2.8),
+                                           (1, 1.1)])
+    def test_low_bit_roundtrip(self, tmp_path, nbits, tol):
+        sh = self.make_intensity_stream(n=8192)
+        data = np.asarray(sh.read())
+        path = str(tmp_path / f"s{nbits}.fits")
+        with psrfits.open(path, "w", obs_mode="search", template=sh,
+                          nsblk=2048, nbits=nbits) as fw:
+            fw.write(data)
+        fr = psrfits.open(path)
+        assert fr.shape == (8192, 8, 2)
+        back = np.asarray(fr.read())
+        # quantization noise scales as range / (2^nbits - 1)
+        np.testing.assert_allclose(back, data,
+                                   atol=np.ptp(data) * tol + 1e-3)
