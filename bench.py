@@ -43,10 +43,15 @@ def _measure(use_pallas):
     prof, cnt = run(0)
     np.asarray(cnt)
 
-    t0 = time.perf_counter()
-    prof, cnt = run(1)
-    np.asarray(cnt)
-    dt = time.perf_counter() - t0
+    # best of three timed repeats: the tunnel device is shared, and a
+    # single repeat can land during someone else's burst (observed 2x
+    # swings between back-to-back runs of identical code)
+    dt = float("inf")
+    for rep in (1, 2, 3):
+        t0 = time.perf_counter()
+        prof, cnt = run(rep)
+        np.asarray(cnt)
+        dt = min(dt, time.perf_counter() - t0)
     return n_iter * pipe.block_samples * n_chan * n_pol / dt
 
 
