@@ -32,14 +32,36 @@ class _ConvolveBase(PaddedTaskBase):
     """
 
     def __init__(self, ih, response, *, offset=0, samples_per_frame=None,
-                 **kwargs):
+                 engine="xla", **kwargs):
         response = np.asarray(response)
         if response.ndim < 1:
             raise ValueError("response must have at least 1 dimension")
+        # engine: 'xla' (jnp.fft overlap-save) or 'pallas' (fused
+        # four-step VMEM-resident kernels, power-of-two windows — same
+        # kernels as Disperse: a frequency-response multiply is a chirp
+        # multiply); 'auto' picks pallas on TPU for complex data filling
+        # >= 8 lanes.
+        if engine == "auto":
+            lanes = int(np.prod(ih.sample_shape)) if ih.sample_shape else 1
+            engine = "pallas" if (jax.default_backend() == "tpu"
+                                  and ih.dtype.kind == "c"
+                                  and lanes >= 8) else "xla"
+        if engine == "pallas" and ih.dtype.kind != "c":
+            raise ValueError("the pallas convolution engine requires "
+                             "complex data")
+        self.engine = engine
         pad = response.shape[0] - 1
+        if engine == "pallas":
+            from .dispersion import _pow2_len
+            fast_len = _pow2_len
+            if samples_per_frame is not None:
+                samples_per_frame = _pow2_len(samples_per_frame
+                                              + pad) - pad
+        else:
+            fast_len = fft_maker.get().next_fast_len
         super().__init__(ih, pad_start=pad - offset, pad_end=offset,
                          samples_per_frame=samples_per_frame,
-                         next_fast_len=fft_maker.get().next_fast_len,
+                         next_fast_len=fast_len,
                          **kwargs)
         self._response = response
         self._response_offset = offset
@@ -98,8 +120,9 @@ class Convolve(_ConvolveBase):
     """
 
     _ft_response_cache = None
+    _storage_response_cache = None
 
-    def _ft_response(self):
+    def _ft_response(self, host=False):
         """FT of the zero-padded response, aligned so that trimming
         ``pad_start`` from the IFFT start yields the convolution."""
         n = self._padded_samples_per_frame
@@ -113,9 +136,44 @@ class Convolve(_ConvolveBase):
         padded[:resp.shape[0]] = np.broadcast_to(
             r, (resp.shape[0],) + sample_shape)
         fft = fft_maker(full_shape, np.complex64, axis=0)
-        return jnp.asarray(np.asarray(fft(padded)))
+        ft = np.asarray(fft(padded))
+        return ft if host else jnp.asarray(ft)
+
+    def _task_pallas(self, data):
+        from .ops.dedisperse_pallas import (dedisperse_pow2,
+                                            permute_to_storage_order,
+                                            split_n)
+        if self._storage_response_cache is None:
+            n = self._padded_samples_per_frame
+            n1, n2 = split_n(n)
+            ft = np.broadcast_to(
+                self._ft_response(host=True),
+                (n,) + tuple(self.ih.sample_shape or (1,)))
+            stor = permute_to_storage_order(ft.reshape(n, -1), n1, n2)
+            self._storage_response_cache = (
+                jnp.asarray(np.ascontiguousarray(
+                    stor.real.astype(np.float32))),
+                jnp.asarray(np.ascontiguousarray(
+                    stor.imag.astype(np.float32))))
+        squeeze = data.ndim == 1
+        if squeeze:
+            data = data[:, None]
+        n = data.shape[0]
+        sample_shape = data.shape[1:]
+        x = jnp.asarray(data).astype(jnp.complex64)
+        csr, csi = self._storage_response_cache
+        yr, yi = dedisperse_pow2(jnp.real(x).reshape(n, -1),
+                                 jnp.imag(x).reshape(n, -1), csr, csi)
+        out = jax.lax.complex(yr, yi).reshape((n,) + sample_shape)
+        out = out[self._pad_start + self._pad_end:]
+        if squeeze:
+            out = out[:, 0]
+        return out
 
     def task(self, data):
+        if self.engine == "pallas" and \
+                data.shape[0] == self._padded_samples_per_frame:
+            return self._task_pallas(data)
         if self._ft_response_cache is None:
             self._ft_response_cache = self._ft_response()
         n = data.shape[0]

@@ -81,7 +81,8 @@ class ShiftAndResample(Convolve):
     """
 
     def __init__(self, ih, shift, offset=None, whence=0, *, lo=None,
-                 pad=64, samples_per_frame=None, sideband=None):
+                 pad=64, samples_per_frame=None, sideband=None,
+                 engine="xla"):
         shift_samples = _shift_to_samples(ih, shift)
         # Grid anchoring: choose a sub-sample grid offset g in [0, 1) such
         # that sample g + k of the *shifted* stream lands on the requested
@@ -124,7 +125,8 @@ class ShiftAndResample(Convolve):
         else:
             self._lo_factor = None
         super().__init__(ih, response, offset=-k_min,
-                         samples_per_frame=samples_per_frame)
+                         samples_per_frame=samples_per_frame,
+                         engine=engine)
         # The output grid is the input grid shifted by g sub-samples:
         # relabel the start time accordingly.
         if g:
@@ -147,9 +149,10 @@ class Resample(ShiftAndResample):
     """
 
     def __init__(self, ih, offset, whence=0, *, pad=64,
-                 samples_per_frame=None):
+                 samples_per_frame=None, engine="xla"):
         super().__init__(ih, 0, offset=offset, whence=whence, pad=pad,
-                         samples_per_frame=samples_per_frame)
+                         samples_per_frame=samples_per_frame,
+                         engine=engine)
         target = seek_float(ih, offset, whence)
         # Position the pointer on the anchored sample.
         self.seek(int(round(float(np.mean(target)) - self._grid_offset))

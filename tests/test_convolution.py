@@ -84,3 +84,33 @@ class TestCrossImplementation:
         b = np.asarray(ConvolveSamples(sh2, response,
                                        samples_per_frame=500).read())
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+class TestPallasEngine:
+    def test_pallas_matches_xla(self):
+        """Convolve(engine='pallas') (interpret on CPU) == engine='xla'."""
+        import jax.numpy as jnp
+        r = np.zeros(33, np.complex64)
+        r[0], r[7], r[32] = 0.5, 1.0, -0.25
+        def mk():
+            return NoiseGenerator(shape=(8192, 8), start_time=START,
+                                  sample_rate=1 * u.kHz,
+                                  samples_per_frame=8192,
+                                  dtype=np.complex64, seed=11)
+        c_pal = Convolve(mk(), r, samples_per_frame=1024, engine="pallas")
+        c_xla = Convolve(mk(), r,
+                         samples_per_frame=c_pal.samples_per_frame,
+                         engine="xla")
+        assert c_pal._padded_samples_per_frame \
+            == c_xla._padded_samples_per_frame
+        a = np.asarray(c_xla.read(2048))
+        b = np.asarray(c_pal.read(2048))
+        assert c_pal.start_time == c_xla.start_time
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-3)
+
+    def test_pallas_rejects_real(self):
+        sh = NoiseGenerator(shape=(4096,), start_time=START,
+                            sample_rate=1 * u.kHz, samples_per_frame=4096,
+                            dtype=np.float32, seed=2)
+        with pytest.raises(ValueError, match="complex"):
+            Convolve(sh, np.ones(9, np.float32), engine="pallas")
