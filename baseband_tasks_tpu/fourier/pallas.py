@@ -1,0 +1,67 @@
+"""Pallas four-step FFT engine (registered as 'pallas').
+
+The pluggable-engine slot SURVEY.md §2 L2 prescribes: select with
+``fft_maker.set('pallas')`` (context-manageable) and every task built
+under it plans transforms through the VMEM-resident four-step kernels
+(`ops/fft_pallas.py`).  Transforms the kernels do not cover — real input,
+non-power-of-two lengths, fewer than 8 trailing lanes, or tiny sizes —
+transparently fall back to the XLA engine, so 'pallas' is always safe to
+select globally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .base import FFTBase, FFTMakerBase
+from .xla import _xla_fft
+
+__all__ = ["PallasFFTMaker", "PallasFFTBase"]
+
+_MIN_N = 512
+_MIN_LANES = 8
+
+
+class PallasFFTBase(FFTBase):
+    """One planned transform through the four-step pallas kernels."""
+
+    @property
+    def _use_pallas(self):
+        n = self._time_shape[self._axis]
+        lanes = int(np.prod(self._time_shape)) // max(n, 1)
+        return (self._time_dtype == np.dtype("complex64")
+                and n >= _MIN_N and (n & (n - 1)) == 0
+                and lanes >= _MIN_LANES)
+
+    def _fft(self, data):
+        if self._direction == "forward":
+            expected = self._time_dtype
+        else:
+            expected = self._frequency_dtype
+        data = jnp.asarray(data)
+        if data.dtype != expected:
+            data = data.astype(expected)
+        if not self._use_pallas:
+            return _xla_fft(data, axis=self._axis, ortho=self._ortho,
+                            real=self.real_input,
+                            direction=self._direction,
+                            n=self._time_shape[self._axis])
+        from ..ops.fft_pallas import fft_pow2_planes
+        x = jnp.moveaxis(data, self._axis, 0)
+        batch_shape = x.shape[1:]
+        n = x.shape[0]
+        x2 = x.reshape(n, -1)
+        yr, yi = fft_pow2_planes(jnp.real(x2), jnp.imag(x2),
+                                 inverse=self._direction != "forward",
+                                 ortho=self._ortho)
+        out = jax.lax.complex(yr, yi).reshape((n,) + batch_shape)
+        return jnp.moveaxis(out, 0, self._axis)
+
+
+class PallasFFTMaker(FFTMakerBase):
+    """Engine factory for the pallas four-step FFT (registered 'pallas')."""
+
+    _fft_class = PallasFFTBase

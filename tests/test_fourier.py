@@ -117,3 +117,64 @@ class TestFFTEngines:
         ours = np.asarray(self._maker(maker_name)(x.shape, x.dtype, axis=0)(x))
         host = np.asarray(NumpyFFTMaker()(x.shape, x.dtype, axis=0)(x))
         np.testing.assert_allclose(ours, host, rtol=2e-4, atol=2e-3)
+
+
+class TestPallasEngine:
+    def test_registered(self):
+        from baseband_tasks_tpu.fourier import FFT_MAKER_CLASSES
+        assert "pallas" in FFT_MAKER_CLASSES
+
+    @pytest.mark.parametrize("ortho", [False, True])
+    def test_forward_inverse_match_numpy(self, ortho):
+        from baseband_tasks_tpu.fourier import PallasFFTMaker
+        maker = PallasFFTMaker()
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal((1024, 16))
+             + 1j * rng.standard_normal((1024, 16))).astype(np.complex64)
+        fwd = maker((1024, 16), np.complex64, ortho=ortho)
+        assert fwd._use_pallas
+        got = np.asarray(fwd(x))
+        norm = "ortho" if ortho else None
+        np.testing.assert_allclose(got, np.fft.fft(x, axis=0, norm=norm),
+                                   rtol=1e-3, atol=1e-2)
+        back = np.asarray(fwd.inverse()(got))
+        np.testing.assert_allclose(back, x, rtol=1e-3, atol=1e-3)
+
+    def test_fallback_paths(self):
+        from baseband_tasks_tpu.fourier import PallasFFTMaker
+        maker = PallasFFTMaker()
+        rng = np.random.default_rng(1)
+        # non-pow2 length and real input both fall back to XLA
+        x = rng.standard_normal((600, 16)).astype(np.float32)
+        fft = maker((600, 16), np.float32)
+        assert not fft._use_pallas
+        np.testing.assert_allclose(np.asarray(fft(x)),
+                                   np.fft.rfft(x, axis=0),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_with_fft_maker_context(self):
+        from baseband_tasks_tpu.fourier import fft_maker
+        rng = np.random.default_rng(2)
+        x = (rng.standard_normal((512, 8))
+             + 1j * rng.standard_normal((512, 8))).astype(np.complex64)
+        with fft_maker.set("pallas"):
+            fft = fft_maker((512, 8), np.complex64)
+            got = np.asarray(fft(x))
+        np.testing.assert_allclose(got, np.fft.fft(x, axis=0),
+                                   rtol=1e-3, atol=1e-2)
+
+    def test_channelize_under_pallas_engine(self):
+        from baseband_tasks_tpu.fourier import fft_maker
+        from baseband_tasks_tpu import Channelize, NoiseGenerator
+        from baseband_tasks_tpu.utils import Time, units as u
+        sh = NoiseGenerator(shape=(16384,),
+                            start_time=Time("2018-01-01T00:00:00.0"),
+                            sample_rate=1 * u.MHz, samples_per_frame=16384,
+                            dtype=np.complex64, seed=7)
+        raw = np.asarray(sh.read())
+        sh.seek(0)
+        with fft_maker.set("pallas"):
+            ch = Channelize(sh, 512)
+            data = np.asarray(ch.read(8))
+        expected = np.fft.fft(raw[:8 * 512].reshape(8, 512), axis=1)
+        np.testing.assert_allclose(data, expected, rtol=1e-3, atol=1e-2)
