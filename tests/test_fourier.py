@@ -178,3 +178,32 @@ class TestPallasEngine:
             data = np.asarray(ch.read(8))
         expected = np.fft.fft(raw[:8 * 512].reshape(8, 512), axis=1)
         np.testing.assert_allclose(data, expected, rtol=1e-3, atol=1e-2)
+
+    def test_pfb_under_pallas_engine(self):
+        """PolyphaseFilterBank + inverse roundtrip under the 'pallas'
+        engine (small sizes fall back to XLA; the point is the global
+        engine switch leaves the whole PFB stack numerically intact)."""
+        from baseband_tasks_tpu.fourier import fft_maker
+        from baseband_tasks_tpu import (sinc_hamming, PolyphaseFilterBank,
+                                        InversePolyphaseFilterBank,
+                                        NoiseGenerator)
+        from baseband_tasks_tpu.utils import Time, units as u
+        h = sinc_hamming(4, 32)
+        with fft_maker.set("pallas"):
+            sh = NoiseGenerator(shape=(65536,),
+                                start_time=Time("2018-01-01T00:00:00.0"),
+                                sample_rate=1 * u.MHz,
+                                samples_per_frame=65536,
+                                dtype=np.complex64, seed=5)
+            raw = np.asarray(sh.read())
+            sh.seek(0)
+            pfb = PolyphaseFilterBank(sh, h)
+            inv = InversePolyphaseFilterBank(pfb, h, sn=1e4,
+                                             dtype=np.complex64)
+            data = np.asarray(inv.read(4096))
+        dt = int(round(float((inv.start_time
+                              - sh.start_time).sec) * 1e6))
+        expected = raw[dt:dt + 4096]
+        err = np.mean(np.abs(data - expected) ** 2) \
+            / np.mean(np.abs(expected) ** 2)
+        assert err < 1e-6
