@@ -286,6 +286,36 @@ class WidebandPulsarPipeline:
         cnt = jax.lax.psum(cnt[:self.n_phase], "time")
         return prof, cnt
 
+    def _local_step_pallas_split(self, xr, xi, csr, csi, off):
+        """Split-plane fused step: like :meth:`_local_step_pallas_planes`
+        but carrying separate (T, C, P) re/im arrays — flat planes stream
+        at ~2x the HBM bandwidth of a packed leading-(2, ...) array on
+        the tunnel v5e (measured 293 vs 157 GB/s), and the kernels read
+        them with no relayout.
+        """
+        from ..ops.dedisperse_pallas import dedisperse_fold_split
+        from ..parallel.halo import halo_edges
+        T, c_local, n_pol = xr.shape
+        L = c_local * n_pol
+        fr, er = halo_edges(xr, self.pad_start, self.pad_end, "time")
+        fi, ei = halo_edges(xi, self.pad_start, self.pad_end, "time")
+        scale = (1.0 + 1e-6 * off).reshape(1)
+        shard = jax.lax.axis_index("time")
+        i0 = jnp.mod(off.astype(jnp.int32) + shard * T - self.pad_start,
+                     self._per_q).reshape(1)
+        prof, cnt = dedisperse_fold_split(
+            xr.reshape(T, L), xi.reshape(T, L),
+            fr.reshape(self.pad_start, L), fi.reshape(self.pad_start, L),
+            er.reshape(self.pad_end, L), ei.reshape(self.pad_end, L),
+            csr.reshape(csr.shape[0], csr.shape[1], -1),
+            csi.reshape(csi.shape[0], csi.shape[1], -1),
+            i0, scale, per_p=self._per_p, per_q=self._per_q,
+            n_phase=self.n_phase, pad_start=self.pad_start, n_valid=T)
+        prof = prof[:self.n_phase].reshape(self.n_phase, c_local, n_pol)
+        prof = jax.lax.psum(prof, "time")
+        cnt = jax.lax.psum(cnt[:self.n_phase], "time")
+        return prof, cnt
+
     def _sharded_and_chirp(self):
         """(sharded_fn, chirp_args) for the current mode."""
         mesh = self.mesh
@@ -421,38 +451,48 @@ class WidebandPulsarPipeline:
         T = self.global_block
         per_q = float(self._per_q)
         if self.use_pallas:
-            # planes-first loop carry: windows are assembled inside the
-            # stage-A kernel from block + halo edges, and the
-            # per-iteration scale is applied there from SMEM
+            # split-plane loop carry: windows are assembled inside the
+            # stage-A kernel from block + halo edges, the per-iteration
+            # scale is applied there from SMEM, and re/im travel as two
+            # flat arrays (full-bandwidth layout)
             sharded = jax.shard_map(
-                self._local_step_pallas_planes, mesh=self.mesh,
-                in_specs=(P(None, "time", "chan"), P(None, None, "chan"),
-                          P(None, None, "chan"), P()),
+                self._local_step_pallas_split, mesh=self.mesh,
+                in_specs=(P("time", "chan"), P("time", "chan"),
+                          P(None, None, "chan"), P(None, None, "chan"),
+                          P()),
                 out_specs=(P(None, "chan"), P()),
                 check_vma=False)
             csr, csi = self._chirp_storage_np()
             spec = NamedSharding(self.mesh, P(None, None, "chan"))
             chirp_args = (jax.device_put(csr, spec),
                           jax.device_put(csi, spec))
-            shape = (2, T, self.n_chan, self.n_pol)
-            scale_outside = False
+            shape = (T, self.n_chan, self.n_pol)
+            split_planes = True
         else:
             sharded, chirp_args = self._sharded_and_chirp()
             shape = (T, self.n_chan, self.n_pol, 2)
-            scale_outside = True
+            split_planes = False
 
         def run_inner(seed, *chirp_f):
             # one noise block generated up front; each iteration rescales
             # it by a data-dependent factor so the dedispersion can never
             # be hoisted out of the loop, while the loop cost stays the
             # pipeline's (RNG generation is ingest, not pipeline work)
-            base = jax.random.normal(
-                jax.random.key(seed.astype(jnp.int32)), shape, jnp.float32)
+            key = jax.random.key(seed.astype(jnp.int32))
+            if split_planes:
+                base_r = jax.random.normal(key, shape, jnp.float32)
+                base_i = jax.random.normal(jax.random.fold_in(key, 1),
+                                           shape, jnp.float32)
+            else:
+                base = jax.random.normal(key, shape, jnp.float32)
 
             def body(k, carry):
                 off, acc, cnt_acc = carry
-                xf = base * (1.0 + 1e-6 * off) if scale_outside else base
-                prof, cnt = sharded(xf, *chirp_f, off)
+                if split_planes:
+                    prof, cnt = sharded(base_r, base_i, *chirp_f, off)
+                else:
+                    xf = base * (1.0 + 1e-6 * off)
+                    prof, cnt = sharded(xf, *chirp_f, off)
                 off = jnp.mod(off + T, per_q)
                 return off, acc + prof, cnt_acc + cnt
             init = (jnp.float32(0),

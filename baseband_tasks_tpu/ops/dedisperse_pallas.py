@@ -509,6 +509,124 @@ def _dedisperse_impl_planes(x2, chr_, chi, *, n1, n2, block_b, block_c,
                       params=params)
 
 
+def _k1_body_stream2(n1, n2, n, s_ref, fr_ref, fi_ref, xr_ref, xi_ref,
+                     er_ref, ei_ref, yr_ref, yi_ref):
+    """As `_k1_body_stream` but with separate re/im inputs.
+
+    Measured on the tunnel v5e: XLA streams a leading-(2, N, L) planes
+    array at only ~157 GB/s vs ~293 GB/s for flat (N, L) layouts, so
+    carrying two separate planes through the loop (and into this kernel)
+    avoids both the slow layout and any relayout copy before the call.
+    """
+    s = s_ref[0]
+    xr = jnp.concatenate([fr_ref[:], xr_ref[:], er_ref[:]], axis=0) * s
+    xi = jnp.concatenate([fi_ref[:], xi_ref[:], ei_ref[:]], axis=0) * s
+    rr, ii = _stockham(xr, xi, -1.0)
+    _stage_a_twiddle(rr, ii, n1, n, yr_ref, yi_ref)
+
+
+def _stage_a_stream2(xr, xi, fr, fi, er, ei, scale, *, n1, n2, block_b,
+                     interpret, params):
+    """K1 from separate re/im planes plus per-plane halo edge buffers."""
+    n = n1 * n2
+    L = xr.shape[-1]
+    kf = fr.shape[0] // n2
+    ke = er.shape[0] // n2
+    nm = n1 - kf - ke
+
+    def blk(rows):
+        return pl.BlockSpec((rows, block_b, L), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    spec_s = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_k1_body_stream2, n1, n2, n),
+        compiler_params=params,
+        grid=(n2 // block_b,),
+        in_specs=[spec_s, blk(kf), blk(kf), blk(nm), blk(nm), blk(ke),
+                  blk(ke)],
+        out_specs=(spec_bT, spec_bT),
+        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), jnp.float32),
+                   jax.ShapeDtypeStruct((n2, n1, L), jnp.float32)),
+        interpret=interpret,
+    )(scale, fr.reshape(kf, n2, L), fi.reshape(kf, n2, L),
+      xr.reshape(nm, n2, L), xi.reshape(nm, n2, L),
+      er.reshape(ke, n2, L), ei.reshape(ke, n2, L))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n1", "n2", "block_b", "block_c", "per_p", "per_q", "n_phase",
+    "pad_start", "n_valid", "interpret"))
+def _dedisperse_fold_split_impl(xr, xi, fr, fi, er, ei, chr_, chi, i0,
+                                scale, *, n1, n2, block_b, block_c, per_p,
+                                per_q, n_phase, pad_start, n_valid,
+                                interpret):
+    L = xr.shape[-1]
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    y_r, y_i = _stage_a_stream2(xr, xi, fr, fi, er, ei, scale, n1=n1,
+                                n2=n2, block_b=block_b,
+                                interpret=interpret, params=params)
+    z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
+                        block_c=block_c, interpret=interpret, params=params)
+    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_i0 = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    prof, cnt = pl.pallas_call(
+        functools.partial(_k3_fold_body, n1, n2, pad_start, n_valid,
+                          per_p, per_q, n_phase),
+        compiler_params=params,
+        grid=(n2 // block_b,),
+        in_specs=[spec_i0, spec_bT, spec_bT],
+        out_specs=(spec_prof, spec_cnt),
+        out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
+        interpret=interpret,
+    )(i0, z_r, z_i)
+    return prof, cnt[0]
+
+
+def dedisperse_fold_split(xr, xi, fr, fi, er, ei, chirp_storage_r,
+                          chirp_storage_i, i0, scale, *, per_p, per_q,
+                          n_phase, pad_start, n_valid, block_b=None,
+                          block_c=None, interpret=None):
+    """As :func:`dedisperse_fold_stream` with separate re/im planes.
+
+    ``xr``/``xi`` : (T, L); ``fr``/``fi`` : (pad_start, L);
+    ``er``/``ei`` : (pad_end, L).  Prefer this on TPU: flat planes
+    stream at full HBM bandwidth where a leading-(2, ...) packed array
+    measures ~2x slower.
+    """
+    t_main, L = xr.shape
+    p0 = fr.shape[0]
+    p1 = er.shape[0]
+    n = t_main + p0 + p1
+    if not _is_pow2(n):
+        raise ValueError(f"window {n} must be a power of two")
+    n1, n2 = _split_n(n)
+    for name, val in (("pad_start", p0), ("pad_end", p1),
+                      ("block", t_main)):
+        if val % n2 or val == 0:
+            raise ValueError(f"{name}={val} must be a non-zero multiple "
+                             f"of N2={n2}")
+    if p0 != pad_start:
+        raise ValueError("front buffer length must equal pad_start")
+    block_b, block_c = _choose_blocks(n, n1, n2, L, block_b, block_c)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _dedisperse_fold_split_impl(
+        xr, xi, fr, fi, er, ei, chirp_storage_r, chirp_storage_i, i0,
+        scale, n1=n1, n2=n2, block_b=block_b, block_c=block_c,
+        per_p=int(per_p), per_q=int(per_q), n_phase=int(n_phase),
+        pad_start=int(pad_start), n_valid=int(n_valid),
+        interpret=interpret)
+
+
 def _stage_a_stream(x2, front, end, scale, *, n1, n2, block_b, interpret,
                     params):
     """K1 assembling padded windows in VMEM from block + halo edges."""

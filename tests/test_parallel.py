@@ -420,3 +420,33 @@ class TestCornerTurn:
         # channel axis sharded over the former time axis
         spec = out.sharding.spec
         assert tuple(spec) [1] == "time"
+
+    def test_split_step_matches_pairs(self):
+        """The split-plane run-loop step must equal the pairs step up to
+        the fused iteration scale (same check as the planes test)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        pal = WidebandPulsarPipeline(
+            n_chan=8, n_pol=2, dm=0.5, freq_center=600 * u.MHz,
+            chan_rate=250 * u.kHz, period_samples=(512, 1), n_phase=8,
+            block_samples=1024, mesh=make_mesh(time=2, chan=2),
+            use_pallas=True)
+        xf, _ = pal.example_inputs()
+        off = jnp.float32(64)
+        prof_a, cnt_a = pal.step_fn()(xf, off)
+        sharded = jax.shard_map(
+            pal._local_step_pallas_split, mesh=pal.mesh,
+            in_specs=(P("time", "chan"), P("time", "chan"),
+                      P(None, None, "chan"), P(None, None, "chan"), P()),
+            out_specs=(P(None, "chan"), P()), check_vma=False)
+        csr, csi = pal._chirp_storage_np()
+        xfa = jnp.asarray(xf)
+        prof_b, cnt_b = jax.jit(sharded)(
+            xfa[..., 0], xfa[..., 1], jnp.asarray(csr), jnp.asarray(csi),
+            off)
+        scale = (1.0 + 1e-6 * 64) ** 2
+        np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))
+        np.testing.assert_allclose(np.asarray(prof_b),
+                                   np.asarray(prof_a) * scale,
+                                   rtol=2e-4, atol=1e-3)
