@@ -242,6 +242,12 @@ class _FFTMakerState:
         from .xla import XLAFFTMaker
         return XLAFFTMaker()
 
+    @property
+    def system_default(self):
+        """The engine used when none has been set (reference
+        fourier/base.py:403-416)."""
+        return self._system_default()
+
     def get(self):
         if self._value is None:
             self._value = self._system_default()
