@@ -22,7 +22,13 @@ import yaml
 from ...base import Base
 from ...utils import Time, units as u
 
-__all__ = ["open", "HDF5StreamReader", "HDF5StreamWriter"]
+__all__ = ["open", "HDF5StreamReader", "HDF5StreamWriter", "DTYPE_C4"]
+
+# Public name for the half-precision complex storage dtype (two float16
+# planes per sample; reference io/hdf5/payload.py:19 'c4').  Our payload
+# stores the trailing-pair layout; this dtype describes one stored sample.
+import numpy as _np
+DTYPE_C4 = _np.dtype([("r", "<f2"), ("i", "<f2")])
 
 #: VDIF 2-bit decoding levels (offset-binary 0..3).
 _TWO_BIT_LEVELS = np.array([-3.3359, -1.0, 1.0, 3.3359], dtype=np.float32)
