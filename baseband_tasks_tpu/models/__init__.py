@@ -1,5 +1,6 @@
 """Pre-built flagship pipelines (fused, shardable, benchmarkable)."""
 
 from .wideband import WidebandPulsarPipeline
+from .dmsearch import DMTrialSearch
 
-__all__ = ["WidebandPulsarPipeline"]
+__all__ = ["WidebandPulsarPipeline", "DMTrialSearch"]
