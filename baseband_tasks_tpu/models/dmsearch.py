@@ -124,6 +124,49 @@ class DMTrialSearch:
                 f"{len(self.frequency)}), got {power.shape}")
         return self._jsearch(power, self._phase_r, self._phase_i)
 
+    def detect(self, power, widths=(1, 2, 4, 8, 16, 32)):
+        """Matched-filter the trial bank with boxcars and return S/N.
+
+        For each trial DM and boxcar width ``w`` (samples), computes the
+        running ``w``-sample mean via cumulative sums (O(1) per width, no
+        convolutions), normalizes by the per-trial off-pulse noise
+        (median/MAD-free: mean and std over the valid region), and
+        returns the best S/N over widths.
+
+        Returns ``(snr, best_width)``: two (n_valid, n_dm) float32
+        arrays, where ``snr[t, j]`` is the significance of a pulse
+        *starting* at sample ``t`` in trial ``j``.
+        """
+        d = self.search(power)
+        valid = self.n_time - self.max_delay_samples
+        d = d[:valid]
+        widths = tuple(int(w) for w in widths)
+
+        @jax.jit
+        def _detect(d):
+            mu = jnp.mean(d, axis=0, keepdims=True)
+            sd = jnp.std(d, axis=0, keepdims=True) + 1e-30
+            z = (d - mu) / sd
+            c = jnp.concatenate(
+                [jnp.zeros((1,) + z.shape[1:], z.dtype),
+                 jnp.cumsum(z, axis=0)])
+            best_snr = jnp.full(z.shape, -jnp.inf, z.dtype)
+            best_w = jnp.zeros(z.shape, jnp.float32)
+            for w in widths:
+                # sum over [t, t+w) then back to significance: the sum of
+                # w unit-variance samples has std sqrt(w)
+                s = (c[w:] - c[:-w]) / np.sqrt(w)
+                s = jnp.concatenate(
+                    [s, jnp.full((w - 1,) + s.shape[1:], -jnp.inf,
+                                 s.dtype)]) if w > 1 else s
+                take = s > best_snr
+                best_snr = jnp.where(take, s, best_snr)
+                best_w = jnp.where(take, jnp.float32(w), best_w)
+            return best_snr, best_w
+
+        snr, bw = _detect(d)
+        return np.asarray(snr), np.asarray(bw)
+
     def search_stream(self, ih, count=None):
         """Overlap-save search over a stream of channelized power.
 

@@ -105,3 +105,21 @@ class TestDMTrialSearch:
             DMTrialSearch(u.Quantity(self.freq, u.MHz),
                           u.Quantity(self.rate, u.Hz),
                           [2000.0], 512)
+
+    def test_detect_boxcar_snr(self):
+        """A wide (8-sample) dispersed pulse must be detected with the
+        matching boxcar at the right trial and time, at high S/N."""
+        dm_true = 60.0
+        s = DMTrialSearch(u.Quantity(self.freq, u.MHz),
+                          u.Quantity(self.rate, u.Hz),
+                          self.trials, self.n)
+        rng = np.random.default_rng(3)
+        power = dispersed_pulse(dm_true, self.freq, self.rate, self.n,
+                                t0=700.0, width=4.0) * 0.5
+        power += rng.standard_normal(power.shape).astype(np.float32) * 0.3
+        snr, bw = s.detect(power)
+        t, j = np.unravel_index(np.argmax(snr), snr.shape)
+        assert self.trials[j] == pytest.approx(dm_true, abs=2.6)
+        assert abs(t - 700) <= 12          # boxcar start near the pulse
+        assert snr[t, j] > 8.0             # strong detection
+        assert bw[t, j] >= 4               # picked a matched-width boxcar
