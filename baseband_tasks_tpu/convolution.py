@@ -139,22 +139,24 @@ class Convolve(_ConvolveBase):
         ft = np.asarray(fft(padded))
         return ft if host else jnp.asarray(ft)
 
-    def _task_pallas(self, data):
-        from .ops.dedisperse_pallas import (dedisperse_pow2,
-                                            permute_to_storage_order,
+    def _storage_response(self):
+        from .ops.dedisperse_pallas import (permute_to_storage_order,
                                             split_n)
-        if self._storage_response_cache is None:
-            n = self._padded_samples_per_frame
-            n1, n2 = split_n(n)
-            ft = np.broadcast_to(
-                self._ft_response(host=True),
-                (n,) + tuple(self.ih.sample_shape or (1,)))
-            stor = permute_to_storage_order(ft.reshape(n, -1), n1, n2)
-            self._storage_response_cache = (
-                jnp.asarray(np.ascontiguousarray(
+        n = self._padded_samples_per_frame
+        n1, n2 = split_n(n)
+        ft = np.broadcast_to(
+            self._ft_response(host=True),
+            (n,) + tuple(self.ih.sample_shape or (1,)))
+        stor = permute_to_storage_order(ft.reshape(n, -1), n1, n2)
+        return (jnp.asarray(np.ascontiguousarray(
                     stor.real.astype(np.float32))),
                 jnp.asarray(np.ascontiguousarray(
                     stor.imag.astype(np.float32))))
+
+    def _task_pallas(self, data):
+        from .ops.dedisperse_pallas import dedisperse_pow2
+        if self._storage_response_cache is None:
+            self._storage_response_cache = self._storage_response()
         squeeze = data.ndim == 1
         if squeeze:
             data = data[:, None]

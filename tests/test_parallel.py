@@ -450,3 +450,36 @@ class TestCornerTurn:
         np.testing.assert_allclose(np.asarray(prof_b),
                                    np.asarray(prof_a) * scale,
                                    rtol=2e-4, atol=1e-3)
+
+
+class TestCompiledPallasChain:
+    def test_pallas_engine_chain_matches_eager(self):
+        """CompiledPipeline over a Dedisperse(engine='pallas') chain:
+        the scan-compiled output must equal the eager stream."""
+        from baseband_tasks_tpu import Dedisperse, NoiseGenerator, \
+            SetAttribute, Square
+        from baseband_tasks_tpu.models.compiled import CompiledPipeline
+        from baseband_tasks_tpu.utils import Time
+
+        def make_src():
+            return SetAttribute(
+                NoiseGenerator(shape=(65536,),
+                               start_time=Time("2020-01-01T00:00:00.0"),
+                               sample_rate=1 * u.MHz,
+                               samples_per_frame=8192, seed=9),
+                frequency=600 * u.MHz, sideband=1)
+
+        tail = Square(Dedisperse(make_src(), 1.0, samples_per_frame=4096,
+                                 engine="pallas"))
+        cp = CompiledPipeline(tail)
+        delay = int(cp.delay)
+        n_blocks = 6
+        src = make_src()
+        src.seek(0)
+        blocks = np.stack([np.asarray(src.read(cp.block_samples))
+                           for _ in range(n_blocks)])
+        out = np.asarray(cp.run_blocks(blocks))
+        tail.seek(0)
+        eager = np.asarray(tail.read(len(out) - delay))
+        err = np.mean((out[delay:] - eager) ** 2) / np.mean(eager ** 2)
+        assert err < 2e-3
