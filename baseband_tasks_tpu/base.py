@@ -490,6 +490,16 @@ class TaskBase(BaseTaskBase):
         return self.task(data)
 
 
+class FrameSizeWarning(UserWarning):
+    """Advisory: a user-chosen frame size is FFT-slow or pad-inefficient.
+
+    Purely informational — the computation is still correct.  Kept as a
+    distinct category so test suites that deliberately stress odd sizes
+    (mirroring the reference's prime-length FFT tests) can filter it
+    without hiding real warnings.
+    """
+
+
 class PaddedTaskBase(TaskBase):
     """Overlap-save stream node: frames need padding samples on both sides.
 
@@ -519,12 +529,12 @@ class PaddedTaskBase(TaskBase):
                 warnings.warn(
                     f"padded frame size {total} is not an FFT-fast length; "
                     f"consider samples_per_frame="
-                    f"{next_fast_len(total) - pad}")
+                    f"{next_fast_len(total) - pad}", FrameSizeWarning)
             if pad > 0 and samples_per_frame < 3 * pad:
                 warnings.warn(
                     f"{type(self).__name__} efficiency below 75%: padding "
                     f"{pad} vs frame {samples_per_frame}; increase "
-                    f"samples_per_frame.")
+                    f"samples_per_frame.", FrameSizeWarning)
         n_out = ih.shape[0] - pad
         if n_out < 1:
             raise ValueError(

@@ -83,6 +83,11 @@ class Noise:
         n = min(sh.samples_per_frame, sh.shape[0] - offset)
         shape = (n,) + sh.sample_shape
         key = jax.random.fold_in(self._key, offset)
+        if self._dtype.itemsize > 8 and not jax.config.jax_enable_x64:
+            # float64/complex128 would silently downcast to 32-bit
+            raise ValueError(
+                f"dtype {self._dtype} requires jax x64 mode "
+                f"(jax.config.update('jax_enable_x64', True))")
         if self._dtype.kind == "c":
             real_dtype = jnp.float32 if self._dtype.itemsize == 8 else jnp.float64
             pair = jax.random.normal(key, shape + (2,), real_dtype)

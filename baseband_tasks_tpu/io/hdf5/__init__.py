@@ -12,6 +12,14 @@ conventions.
 This doubles as the framework's checkpoint/resume format (SURVEY.md §5):
 streams are seekable by absolute time, so processing can resume at any
 timestamp from an intermediate product.
+
+.. note:: *Not byte-compatible with the reference's HDF5 container.*  The
+   reference serializes astropy objects into its yaml header
+   (``sample_shape``/``sample_rate``/``time``) and stores 'c4' payloads as
+   a structured complex dtype; this framework has no astropy dependency
+   and uses plain-scalar header keys (``shape``/``sample_rate_hz``/
+   ``start_time_jd1,jd2``) and trailing float16-pair 'c4' samples.  Files
+   written by one cannot be opened by the other.
 """
 
 from __future__ import annotations

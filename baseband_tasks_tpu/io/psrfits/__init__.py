@@ -212,12 +212,19 @@ class PSRFITSWriter:
             scl[scl == 0] = 1.0
             offs_pc = (dmax + dmin) / 2.0
             q = np.round((d - offs_pc[:, :, None]) / scl[:, :, None])
+            # Repeat-1 table columns make scalar structured fields; assign
+            # a 0-d value there (ndim>0 -> scalar assignment is a numpy
+            # deprecation on its way to an error).
+            def _put(field, value):
+                value = np.asarray(value).reshape(-1)
+                rows[i][field] = value if rows[i][field].ndim else value[0]
+
             rows[i]["TSUBINT"] = tsubint
             rows[i]["OFFS_SUB"] = (i + 0.5) * tsubint
-            rows[i]["DAT_FREQ"] = self._freq.astype(np.float32)
+            _put("DAT_FREQ", self._freq.astype(np.float32))
             rows[i]["DAT_WTS"] = 1.0
-            rows[i]["DAT_OFFS"] = offs_pc.reshape(-1)
-            rows[i]["DAT_SCL"] = scl.reshape(-1)
+            _put("DAT_OFFS", offs_pc)
+            _put("DAT_SCL", scl)
             rows[i]["DATA"] = q.astype(">i2")
         write_fits(self._name, [HDU(primary, None), HDU(hdr, rows)])
         self._closed = True

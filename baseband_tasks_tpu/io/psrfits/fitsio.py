@@ -199,7 +199,12 @@ def read_fits(name):
                 break
             blocks = [raw]
             while b"END" not in _card_keys(blocks[-1]):
-                blocks.append(fh.read(BLOCK))
+                cont = fh.read(BLOCK)
+                if len(cont) < BLOCK:
+                    raise ValueError(
+                        f"truncated FITS header in {name}: EOF before END "
+                        f"card")
+                blocks.append(cont)
             header = Header.from_bytes(b"".join(blocks))
             data = None
             nbytes = _data_nbytes(header)

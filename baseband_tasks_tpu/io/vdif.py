@@ -126,6 +126,14 @@ class VDIFStreamReader(Base):
 
     def __init__(self, name, sample_rate=None):
         self._fh = open_file(name, "rb")
+        try:
+            self._init_from_file(sample_rate)
+        except Exception:
+            self._fh.close()
+            self._fh = None
+            raise
+
+    def _init_from_file(self, sample_rate):
         first = _parse_header(self._fh.read(HEADER_BYTES))
         self._hdr0 = first
         frame_bytes = first["frame_len8"] * 8
@@ -305,6 +313,18 @@ class VDIFStreamWriter:
 
     def close(self):
         if self._fh is not None:
+            if len(self._buffer):
+                # flush the tail as a zero-padded final frame rather than
+                # silently truncating a non-frame-multiple stream
+                import warnings
+                n = len(self._buffer)
+                warnings.warn(
+                    f"zero-padding final VDIF frame: {n} buffered samples "
+                    f"< samples_per_frame={self._spf}")
+                pad = np.zeros((self._spf - n,) + self._buffer.shape[1:],
+                               self._buffer.dtype)
+                self._emit(np.concatenate([self._buffer, pad]))
+                self._buffer = self._buffer[:0]
             self._fh.close()
             self._fh = None
 

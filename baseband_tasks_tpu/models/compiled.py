@@ -160,11 +160,16 @@ class CompiledPipeline:
                     hasattr(n, "_make_gain"):
                 n._gain_cache = n._make_gain(
                     n._padded_samples_per_frame // n._n)
-            # pallas-engine storage-order caches (Disperse / Convolve)
-            if getattr(n, "_storage_chirp_cache", 1) is None:
-                n._storage_chirp_cache = n._storage_chirp()
-            if getattr(n, "_storage_response_cache", 1) is None:
-                n._storage_response_cache = n._storage_response()
+            # pallas-engine storage-order caches (Disperse / Convolve);
+            # only that engine's task() consumes them, and the split-radix
+            # layout requires a pow2-splittable window, so never build them
+            # for engine='xla' nodes (whose next_fast_len windows need not
+            # split).
+            if getattr(n, "engine", None) == "pallas":
+                if getattr(n, "_storage_chirp_cache", 1) is None:
+                    n._storage_chirp_cache = n._storage_chirp()
+                if getattr(n, "_storage_response_cache", 1) is None:
+                    n._storage_response_cache = n._storage_response()
 
     def step_fn(self):
         """(carry, block) -> (carry, out_block), jittable."""

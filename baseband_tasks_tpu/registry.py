@@ -9,6 +9,8 @@ this module provides the equivalent single entry point:
 
 from __future__ import annotations
 
+import builtins
+
 __all__ = ["open", "FORMATS"]
 
 
@@ -47,8 +49,7 @@ def open(name, mode="r", format=None, **kwargs):
     if format is None:
         if "w" in mode:
             raise ValueError("writing requires an explicit format=")
-        with __builtins__["open"](name, "rb") if isinstance(
-                __builtins__, dict) else _bopen(name) as fh:
+        with builtins.open(name, "rb") as fh:
             head = fh.read(16)
         for fmt, (opener, detect) in FORMATS.items():
             if detect(head, str(name)):
@@ -62,8 +63,3 @@ def open(name, mode="r", format=None, **kwargs):
         raise ValueError(f"unknown format {format!r}; "
                          f"known: {sorted(FORMATS)}") from None
     return opener(name, mode, **kwargs)
-
-
-def _bopen(name):
-    import builtins
-    return builtins.open(name, "rb")

@@ -36,8 +36,8 @@ class TestOpenDispatch:
         path = str(tmp_path / "x.vdif")
         with vdif.open(path, "w", template=sh, bps=8) as fw:
             fw.write(np.asarray(sh.read()) * 16)
-        fr = bbt.open(path, sample_rate=u.Quantity(1 << 20, u.Hz))
-        assert fr.shape == (4096, 2)
+        with bbt.open(path, sample_rate=u.Quantity(1 << 20, u.Hz)) as fr:
+            assert fr.shape == (4096, 2)
 
     def test_explicit_format(self, tmp_path):
         from baseband_tasks_tpu.io import hdf5

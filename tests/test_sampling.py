@@ -18,10 +18,11 @@ def pure_tone(nu_cycles_per_sample, shape=(4096, 2), spf=1024):
     def tone(sh):
         o = sh.tell()
         n = min(sh.samples_per_frame, sh.shape[0] - o)
-        i = jnp.arange(o, o + n, dtype=jnp.float64)
-        x = jnp.exp(2j * jnp.pi * nu_cycles_per_sample * i)
-        return jnp.broadcast_to(x[:, None], (n,) + sh.sample_shape
-                                ).astype(jnp.complex64)
+        # phase computed on host in real float64 (jax x64 is off)
+        i = np.arange(o, o + n, dtype=np.float64)
+        x = np.exp(2j * np.pi * nu_cycles_per_sample * i).astype(np.complex64)
+        return jnp.broadcast_to(jnp.asarray(x)[:, None],
+                                (n,) + sh.sample_shape)
     return StreamGenerator(tone, shape, START, RATE, samples_per_frame=spf,
                            dtype=np.complex64)
 

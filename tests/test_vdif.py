@@ -29,12 +29,12 @@ class TestVDIFRoundtrip:
         path = str(tmp_path / f"b{bps}.vdif")
         with vdif.open(path, "w", template=sh, bps=bps) as fw:
             fw.write(data)
-        fr = vdif.open(path, sample_rate=RATE)
-        assert fr.shape == (32768, 2)
-        assert fr.dtype == np.complex64
-        assert fr.sample_rate == RATE
-        assert abs((fr.start_time - START).sec) < 1e-9
-        back = np.asarray(fr.read())
+        with vdif.open(path, sample_rate=RATE) as fr:
+            assert fr.shape == (32768, 2)
+            assert fr.dtype == np.complex64
+            assert fr.sample_rate == RATE
+            assert abs((fr.start_time - START).sec) < 1e-9
+            back = np.asarray(fr.read())
         corr = np.abs(np.vdot(back, data)) / np.sqrt(
             np.vdot(back, back).real * np.vdot(data, data).real)
         assert corr > (0.995 if bps == 8 else 0.98 if bps == 4 else 0.85)
@@ -45,10 +45,10 @@ class TestVDIFRoundtrip:
         path = str(tmp_path / "real.vdif")
         with vdif.open(path, "w", template=sh, bps=8) as fw:
             fw.write(data)
-        fr = vdif.open(path, sample_rate=RATE)
-        assert fr.shape == (16384,)
-        assert fr.dtype == np.float32
-        back = np.asarray(fr.read())
+        with vdif.open(path, sample_rate=RATE) as fr:
+            assert fr.shape == (16384,)
+            assert fr.dtype == np.float32
+            back = np.asarray(fr.read())
         assert np.corrcoef(back, data)[0, 1] > 0.995
 
     def test_seek_and_partial_reads(self, tmp_path):
@@ -58,9 +58,9 @@ class TestVDIFRoundtrip:
         with vdif.open(path, "w", template=sh, bps=8) as fw:
             for i in range(0, 32768, 4096):
                 fw.write(data[i:i + 4096])
-        fr = vdif.open(path, sample_rate=RATE)
-        fr.seek(10000)
-        a = np.asarray(fr.read(100))
+        with vdif.open(path, sample_rate=RATE) as fr:
+            fr.seek(10000)
+            a = np.asarray(fr.read(100))
         corr = np.abs(np.vdot(a, data[10000:10100])) / np.sqrt(
             np.vdot(a, a).real
             * np.vdot(data[10000:10100], data[10000:10100]).real)
@@ -86,8 +86,8 @@ class TestVDIFRoundtrip:
         path = str(tmp_path / "m.vdif")
         with vdif.open(path, "w", template=sh, bps=8) as fw:
             fw.write(np.asarray(sh.read()))
-        fr = vdif.open(path, sample_rate=RATE)
-        assert abs((fr.start_time - t0).sec) < 1e-9
+        with vdif.open(path, sample_rate=RATE) as fr:
+            assert abs((fr.start_time - t0).sec) < 1e-9
 
 
     def test_rate_inference_across_seconds(self, tmp_path):
@@ -98,8 +98,8 @@ class TestVDIFRoundtrip:
         path = str(tmp_path / "infer.vdif")
         with vdif.open(path, "w", template=sh, bps=8) as fw:
             fw.write(np.asarray(sh.read()) * 16)
-        fr = vdif.open(path)  # no sample_rate given
-        assert fr.sample_rate.to_value(u.Hz) == pytest.approx(8192)
+        with vdif.open(path) as fr:  # no sample_rate given
+            assert fr.sample_rate.to_value(u.Hz) == pytest.approx(8192)
 
     def test_short_file_requires_rate(self, tmp_path):
         sh = stream(shape=(8192, 2))
@@ -119,7 +119,8 @@ class TestInterleaving:
         path = str(tmp_path / "ord.vdif")
         with vdif.open(path, "w", template=sh, bps=8) as fw:
             fw.write(data)
-        raw = open(path, "rb").read()
+        with open(path, "rb") as fh:
+            raw = fh.read()
         fb = vdif._parse_header(raw[:32])["frame_len8"] * 8
         frames = [raw[i:i + fb] for i in range(0, len(raw), fb)]
         rng = np.random.default_rng(0)
@@ -128,8 +129,10 @@ class TestInterleaving:
         with open(shuffled, "wb") as fh:
             for k in order:
                 fh.write(frames[k])
-        a = np.asarray(vdif.open(path, sample_rate=RATE).read())
-        b = np.asarray(vdif.open(shuffled, sample_rate=RATE).read())
+        with vdif.open(path, sample_rate=RATE) as fa:
+            a = np.asarray(fa.read())
+        with vdif.open(shuffled, sample_rate=RATE) as fb_:
+            b = np.asarray(fb_.read())
         np.testing.assert_array_equal(a, b)
 
     def test_missing_frame_zero_filled(self, tmp_path):
@@ -138,16 +141,19 @@ class TestInterleaving:
         path = str(tmp_path / "m.vdif")
         with vdif.open(path, "w", template=sh, bps=8) as fw:
             fw.write(data)
-        raw = open(path, "rb").read()
+        with open(path, "rb") as fh:
+            raw = fh.read()
         fb = vdif._parse_header(raw[:32])["frame_len8"] * 8
         # drop the 3rd frame on disk
         cut = raw[:2 * fb] + raw[3 * fb:]
         dropped = str(tmp_path / "drop.vdif")
-        open(dropped, "wb").write(cut)
-        fr = vdif.open(dropped, sample_rate=RATE)
-        out = np.asarray(fr.read())
+        with open(dropped, "wb") as fh:
+            fh.write(cut)
+        with vdif.open(dropped, sample_rate=RATE) as fr:
+            out = np.asarray(fr.read())
         assert out.shape[0] == 8192
         # one (frame, thread) slab is zero, the rest intact
-        full = np.asarray(vdif.open(path, sample_rate=RATE).read())
+        with vdif.open(path, sample_rate=RATE) as fr:
+            full = np.asarray(fr.read())
         diff = np.abs(out - full) > 1e-6
         assert diff.any() and diff.mean() < 0.3
