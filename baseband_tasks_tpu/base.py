@@ -465,11 +465,36 @@ class TaskBase(BaseTaskBase):
 
     @staticmethod
     def _rate_ratio(sample_rate, ih_sample_rate):
-        r = float((sample_rate / ih_sample_rate).to_value(u.one))
-        frac = Fraction(r).limit_denominator(10 ** 9)
-        if abs(float(frac) - r) > 1e-9 * abs(r):
-            raise ValueError(f"sample rate ratio {r} is not a simple fraction")
-        return frac
+        """Exact output/input sample-rate ratio as a Fraction.
+
+        float64 values and unit scales are themselves exact binary
+        rationals, so the quotient is formed in exact integer arithmetic
+        — no float division ever rounds (reference keeps ratios exact
+        from Quantities, base.py:662-687).  Integer-valued rates (the
+        normal case) therefore give the exact reduced fraction however
+        extreme (e.g. 44100/48000 → 147/160, 10**9+1 over 10**9).  Only
+        when the exact ratio is not simple — float-noise inputs like
+        44.1 kHz whose binary expansion is not the intended decimal —
+        is it snapped to the nearest simple fraction, and only if that
+        reproduces the exact ratio to 1 part in 1e12.
+        """
+        def as_fraction(q):
+            v = np.asarray(q.value)
+            if v.ndim:
+                raise ValueError("sample rates must be scalar")
+            return Fraction(float(v)) * Fraction(q.unit.scale)
+
+        exact = as_fraction(sample_rate) / as_fraction(ih_sample_rate)
+        if exact <= 0:
+            raise ValueError(f"sample rate ratio {float(exact)} must be "
+                             f"positive")
+        if exact.denominator <= 1 << 40:
+            return exact
+        approx = exact.limit_denominator(10 ** 9)
+        if abs(approx - exact) <= exact / 10 ** 12:
+            return approx
+        raise ValueError(f"sample rate ratio {float(exact)} is not a "
+                         f"simple fraction")
 
     def _output_sample_shape(self, ih):
         return ih.sample_shape

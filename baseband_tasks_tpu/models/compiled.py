@@ -19,6 +19,14 @@ samples; it therefore needs one window of history before its output
 matches the offline (eager) computation.  ``warmup`` gives the number of
 leading output samples affected by the zero-initialized carries; outputs
 beyond it are identical to the eager chain's.
+
+Exactness: when every padded stage's ``samples_per_frame`` divides its
+``pad``, each streaming window [k·spf − pad, k·spf + spf) coincides with
+an eager frame window, so compiled output equals the eager output delayed
+by ``delay`` samples *to float roundoff* — not just up to overlap-save
+truncation leakage.  For other frame sizes the windows sit at different
+offsets and outputs agree only to the task's leakage level (for chirp
+tasks, the Gibbs-tail margin).
 """
 
 from __future__ import annotations

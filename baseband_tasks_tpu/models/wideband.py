@@ -66,7 +66,7 @@ class WidebandPulsarPipeline:
                  freq_center=None, chan_rate=None,
                  period_samples=(16000, 3), n_phase=64,
                  block_samples=16384, mesh=None, fft_pow2=False,
-                 use_pallas=False):
+                 use_pallas=False, phase_model=None, start_time=None):
         if freq_center is None:
             freq_center = 1400 * u.MHz
         if chan_rate is None:
@@ -90,6 +90,18 @@ class WidebandPulsarPipeline:
             frac = Fraction(q, p)
         self._per_q = int(frac.numerator)    # q samples per p periods
         self._per_p = int(frac.denominator)
+        # Optional drifting phase model (e.g. PolycoPhase): per block the
+        # host refreshes an exact-integer (i0, p, q) encoding of the
+        # linearized phase (models/foldmodel.py); when None the fixed
+        # rational period above is used forever.
+        if phase_model is not None:
+            from .foldmodel import FoldModel
+            if start_time is None:
+                raise ValueError("phase_model requires start_time")
+            self.fold_model = FoldModel(phase_model, start_time,
+                                        chan_rate, n_phase)
+        else:
+            self.fold_model = None
 
         dm = dm if isinstance(dm, DispersionMeasure) else DispersionMeasure(dm)
         self.dm = dm
@@ -186,17 +198,43 @@ class WidebandPulsarPipeline:
         return np.ascontiguousarray(full)
 
     # -- the fused step --------------------------------------------------
-    def _local_step(self, xf, chirp_f, offset_mod):
+    def _shard_fold3(self, foldv, shard, T, include_pad):
+        """Per-shard (3,) int32 [i0, p, q] from the global (3,) float32
+        ``foldv`` whose i0 encodes the pulse phase at the block's first
+        *valid* sample (models/foldmodel.py).  Adds the shard offset and,
+        for the kernel path whose local time index 0 is the start of the
+        overlap-save halo, subtracts pad_start."""
+        f = foldv.astype(jnp.int32)
+        base = f[0] + shard * T
+        if include_pad:
+            base = base - self.pad_start
+        return jnp.stack([jnp.mod(base, f[2]), f[1], f[2]])
+
+    def _fold_bins(self, fold3, T):
+        """Exact integer-modular phase bins for T valid samples."""
+        g = fold3[0] + jnp.arange(T, dtype=jnp.int32)
+        idx = g % fold3[2]
+        num = (idx * fold3[1]) % fold3[2]
+        return (num * self.n_phase) // fold3[2]
+
+    def _fixed_foldv(self, offset_mod):
+        """(3,) float32 foldv for the fixed rational period mode, from a
+        float32 sample offset (phase zero at global sample 0)."""
+        off = jnp.mod(offset_mod.astype(jnp.float32),
+                      jnp.float32(self._per_q))
+        return jnp.stack([off, jnp.float32(self._per_p),
+                          jnp.float32(self._per_q)])
+
+    def _local_step(self, xf, chirp_f, foldv):
         """Per-shard computation.
 
         xf : (T_local, C_local, P, 2) float32 — complex as trailing pairs
         chirp_f : (n_fft, C_local, 1, 2) float32 — chirp as trailing pairs
-        offset_mod : () float32 — global sample index of this block's first
-            sample, modulo the fold period numerator q (carried as float32
-            because the TPU transfer boundary is f32-only; cast on device).
+        foldv : (3,) float32 [i0, p, q] — exact-integer fold parameters
+            (carried as float32 because the TPU transfer boundary is
+            f32-only; all entries < 2^24 so the round-trip is exact).
         """
         T = xf.shape[0]
-        offset_mod = offset_mod.astype(jnp.int32)
         x = jax.lax.complex(xf[..., 0], xf[..., 1])
         chirp = jax.lax.complex(chirp_f[..., 0], chirp_f[..., 1])
         w = halo_exchange(x, self.pad_start, self.pad_end, "time")
@@ -204,26 +242,22 @@ class WidebandPulsarPipeline:
         y = jnp.fft.ifft(X * chirp, axis=0)
         y = jax.lax.dynamic_slice_in_dim(y, self.pad_start, T, axis=0)
         power = y.real ** 2 + y.imag ** 2                # detection
-        # fold with exact integer modular phase: phi = i * p / q cycles
         shard = jax.lax.axis_index("time")
-        i0 = offset_mod + shard * T
-        idx = (i0 + jnp.arange(T, dtype=jnp.int32)) % self._per_q
-        num = (idx * self._per_p) % self._per_q
-        bins = (num * self.n_phase) // self._per_q
+        fold3 = self._shard_fold3(foldv, shard, T, include_pad=False)
+        bins = self._fold_bins(fold3, T)
         from ..ops import fold_accumulate
         prof, cnt = fold_accumulate(power, bins, self.n_phase)
         prof = jax.lax.psum(prof, "time")
         cnt = jax.lax.psum(cnt, "time")
         return prof, cnt
 
-    def _local_step_pallas(self, xf, csr, csi, offset_mod):
+    def _local_step_pallas(self, xf, csr, csi, foldv):
         """Per-shard computation via the fused pallas dedisperse kernels.
 
         csr, csi : (N2, N1, C_local, P) float32 chirp storage planes.
         """
         from ..ops.dedisperse_pallas import dedisperse_pow2
         T = xf.shape[0]
-        offset_mod = offset_mod.astype(jnp.int32)
         # halo-extend the f32 pairs directly; complex never materializes
         w4 = halo_exchange(xf, self.pad_start, self.pad_end, "time")
         n_fft, c_local, n_pol = w4.shape[:3]
@@ -238,17 +272,15 @@ class WidebandPulsarPipeline:
         power = jax.lax.dynamic_slice_in_dim(power, self.pad_start, T,
                                              axis=0)
         shard = jax.lax.axis_index("time")
-        i0 = offset_mod + shard * T
-        idx = (i0 + jnp.arange(T, dtype=jnp.int32)) % self._per_q
-        num = (idx * self._per_p) % self._per_q
-        bins = (num * self.n_phase) // self._per_q
+        fold3 = self._shard_fold3(foldv, shard, T, include_pad=False)
+        bins = self._fold_bins(fold3, T)
         from ..ops import fold_accumulate
         prof, cnt = fold_accumulate(power, bins, self.n_phase)
         prof = jax.lax.psum(prof, "time")
         cnt = jax.lax.psum(cnt, "time")
         return prof, cnt
 
-    def _local_step_pallas_planes(self, x2, csr, csi, off):
+    def _local_step_pallas_planes(self, x2, csr, csi, off, foldv):
         """Planes-first fused step for the on-device run loop.
 
         ``x2`` : (2, T_local, C_local, P) float32 — complex as *leading*
@@ -272,22 +304,21 @@ class WidebandPulsarPipeline:
                                 axis=1)
         scale = (1.0 + 1e-6 * off).reshape(1)
         shard = jax.lax.axis_index("time")
-        i0 = jnp.mod(off.astype(jnp.int32) + shard * T - self.pad_start,
-                     self._per_q).reshape(1)
+        fold3 = self._shard_fold3(foldv, shard, T, include_pad=True)
         prof, cnt = dedisperse_fold_stream(
             x2.reshape(2, T, L),
             front.reshape(2, self.pad_start, L),
             end.reshape(2, self.pad_end, L),
             csr.reshape(csr.shape[0], csr.shape[1], -1),
             csi.reshape(csi.shape[0], csi.shape[1], -1),
-            i0, scale, per_p=self._per_p, per_q=self._per_q,
+            fold3, scale,
             n_phase=self.n_phase, pad_start=self.pad_start, n_valid=T)
         prof = prof[:self.n_phase].reshape(self.n_phase, c_local, n_pol)
         prof = jax.lax.psum(prof, "time")
         cnt = jax.lax.psum(cnt[:self.n_phase], "time")
         return prof, cnt
 
-    def _local_step_pallas_split(self, xr, xi, csr, csi, off):
+    def _local_step_pallas_split(self, xr, xi, csr, csi, off, foldv):
         """Split-plane fused step: like :meth:`_local_step_pallas_planes`
         but carrying separate (T, C, P) re/im arrays — flat planes stream
         at ~2x the HBM bandwidth of a packed leading-(2, ...) array on
@@ -302,15 +333,14 @@ class WidebandPulsarPipeline:
         fi, ei = halo_edges(xi, self.pad_start, self.pad_end, "time")
         scale = (1.0 + 1e-6 * off).reshape(1)
         shard = jax.lax.axis_index("time")
-        i0 = jnp.mod(off.astype(jnp.int32) + shard * T - self.pad_start,
-                     self._per_q).reshape(1)
+        fold3 = self._shard_fold3(foldv, shard, T, include_pad=True)
         prof, cnt = dedisperse_fold_split(
             xr.reshape(T, L), xi.reshape(T, L),
             fr.reshape(self.pad_start, L), fi.reshape(self.pad_start, L),
             er.reshape(self.pad_end, L), ei.reshape(self.pad_end, L),
             csr.reshape(csr.shape[0], csr.shape[1], -1),
             csi.reshape(csi.shape[0], csi.shape[1], -1),
-            i0, scale, per_p=self._per_p, per_q=self._per_q,
+            fold3, scale,
             n_phase=self.n_phase, pad_start=self.pad_start, n_valid=T)
         prof = prof[:self.n_phase].reshape(self.n_phase, c_local, n_pol)
         prof = jax.lax.psum(prof, "time")
@@ -353,10 +383,12 @@ class WidebandPulsarPipeline:
         # for complex data)
         sharded, chirp_args = self._sharded_and_chirp()
         jstep = jax.jit(
-            lambda xf, offset_mod, *c: sharded(xf, *c, offset_mod))
+            lambda xf, foldv, *c: sharded(xf, *c, foldv))
 
         def step(xf, offset_mod):
-            return jstep(xf, offset_mod, *chirp_args)
+            off = jnp.asarray(offset_mod)
+            foldv = off if off.shape == (3,) else self._fixed_foldv(off)
+            return jstep(xf, foldv, *chirp_args)
 
         self._step_cache = step
         return step
@@ -438,7 +470,7 @@ class WidebandPulsarPipeline:
                           self.n_phase - 1)
         return bins.astype(np.float32)
 
-    def run_fn(self, n_iter):
+    def run_fn(self, n_iter, offset0=0):
         """A jitted on-device loop of ``n_iter`` pipeline steps.
 
         Each iteration generates a fresh noise block on device (counter
@@ -447,10 +479,21 @@ class WidebandPulsarPipeline:
         full dedisperse→detect→fold steps with no host round-trips, which
         is the honest way to time through a remote device tunnel.
 
+        With a ``phase_model`` configured, the host pre-evaluates the
+        polyco once per block into an (n_iter, 3) fold-parameter table
+        (models/foldmodel.py) that rides into the loop as one array —
+        the flagship then folds a *drifting* pulsar with no extra device
+        work per sample (reference integration.py:380-395 semantics).
+
         Returns ``run(seed) -> (profile_sum, count_sum)``.
         """
         T = self.global_block
         per_q = float(self._per_q)
+        if self.fold_model is not None:
+            fold_table = jnp.asarray(self.fold_model.table(
+                offset0 + np.arange(n_iter) * T, T))
+        else:
+            fold_table = None
         if self.use_pallas:
             # split-plane loop carry: windows are assembled inside the
             # stage-A kernel from block + halo edges, the per-iteration
@@ -460,7 +503,7 @@ class WidebandPulsarPipeline:
                 self._local_step_pallas_split, mesh=self.mesh,
                 in_specs=(P("time", "chan"), P("time", "chan"),
                           P(None, None, "chan"), P(None, None, "chan"),
-                          P()),
+                          P(), P()),
                 out_specs=(P(None, "chan"), P()),
                 check_vma=False)
             csr, csi = self._chirp_storage_np()
@@ -497,11 +540,17 @@ class WidebandPulsarPipeline:
 
             def body(k, carry):
                 off, acc, cnt_acc = carry
+                if fold_table is not None:
+                    foldv = jax.lax.dynamic_slice(
+                        fold_table, (k, 0), (1, 3))[0]
+                else:
+                    foldv = self._fixed_foldv(off)
                 if split_planes:
-                    prof, cnt = sharded(bases[0], bases[1], *chirp_f, off)
+                    prof, cnt = sharded(bases[0], bases[1], *chirp_f,
+                                        off, foldv)
                 else:
                     xf = bases[0] * (1.0 + 1e-6 * off)
-                    prof, cnt = sharded(xf, *chirp_f, off)
+                    prof, cnt = sharded(xf, *chirp_f, foldv)
                 off = jnp.mod(off + T, per_q)
                 return off, acc + prof, cnt_acc + cnt
             init = (jnp.float32(0),

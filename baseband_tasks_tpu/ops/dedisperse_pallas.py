@@ -320,8 +320,8 @@ def _k3_body(n1, power, zr_ref, zi_ref, *out_refs):
         out_refs[1][:] = ii
 
 
-def _k3_fold_body(n1, n2, pad_start, n_valid, per_p, per_q, n_phase,
-                  i0_ref, zr_ref, zi_ref, prof_ref, cnt_ref):
+def _k3_fold_body(n1, n2, pad_start, n_valid, n_phase,
+                  fold_ref, zr_ref, zi_ref, prof_ref, cnt_ref):
     """Inverse stage-A fused with detection *and* phase folding.
 
     Instead of writing the (N, L) power array back to HBM for a separate
@@ -330,10 +330,17 @@ def _k3_fold_body(n1, n2, pad_start, n_valid, per_p, per_q, n_phase,
     grid; row ``n_phase`` is the trash bin holding the overlap-save halo
     rows (time index outside [pad_start, pad_start + n_valid)).
 
-    ``i0_ref`` (SMEM, one int32): the non-negative global fold offset of
-    local time index 0, already reduced mod ``per_q``.  The fold is the
-    integer-modular map bin = ((t·p mod q)·n_phase) // q for pulse period
-    p/q samples.  Input tiles are d-major (bb, n1, L); one transpose on
+    ``fold_ref`` (SMEM, three int32 ``[i0, p, q]``): the fold is the
+    integer-modular map bin = (((i0 + t)·p mod q)·n_phase) // q for pulse
+    phase advancing p/q cycles per sample; ``i0`` is the non-negative
+    offset of local time index 0, already reduced mod ``q``.  Because
+    (i0, p, q) are *runtime* scalars, a host-side phase model (e.g. a
+    polyco, reference integration.py:380-395 semantics) can refresh the
+    rational approximation every block without recompiling — drifting
+    pulsars fold exactly as long as p·q < 2^31 (host enforces this when
+    building the approximation).  An arbitrary absolute phase A/q cycles
+    at t=0 is encoded as i0 = A·p⁻¹ mod q (p, q coprime after Fraction
+    reduction).  Input tiles are d-major (bb, n1, L); one transpose on
     load (the stage-B kernel is transpose-free in exchange).
     """
     rr, ii = _stockham(zr_ref[:].swapaxes(0, 1), zi_ref[:].swapaxes(0, 1),
@@ -342,11 +349,13 @@ def _k3_fold_body(n1, n2, pad_start, n_valid, per_p, per_q, n_phase,
     bb = power.shape[1]
     L = power.shape[2]
     rows = n1 * bb
+    per_p = fold_ref[1]
+    per_q = fold_ref[2]
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     c = r // bb
     b = r - c * bb + pl.program_id(0) * bb
     t_idx = c * n2 + b                              # local time index
-    g = i0_ref[0] + t_idx                           # >= 0 by construction
+    g = fold_ref[0] + t_idx                         # >= 0 by construction
     idx = g % per_q
     num = (idx * per_p) % per_q
     bins = (num * n_phase) // per_q
@@ -557,11 +566,11 @@ def _stage_a_stream2(xr, xi, fr, fi, er, ei, scale, *, n1, n2, block_b,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n1", "n2", "block_b", "block_c", "per_p", "per_q", "n_phase",
+    "n1", "n2", "block_b", "block_c", "n_phase",
     "pad_start", "n_valid", "interpret"))
-def _dedisperse_fold_split_impl(xr, xi, fr, fi, er, ei, chr_, chi, i0,
-                                scale, *, n1, n2, block_b, block_c, per_p,
-                                per_q, n_phase, pad_start, n_valid,
+def _dedisperse_fold_split_impl(xr, xi, fr, fi, er, ei, chr_, chi, fold,
+                                scale, *, n1, n2, block_b, block_c,
+                                n_phase, pad_start, n_valid,
                                 interpret):
     L = xr.shape[-1]
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
@@ -572,29 +581,29 @@ def _dedisperse_fold_split_impl(xr, xi, fr, fi, er, ei, chr_, chi, i0,
                         block_c=block_c, interpret=interpret, params=params)
     spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_i0 = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec_fold = pl.BlockSpec(memory_space=pltpu.SMEM)
     spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     prof, cnt = pl.pallas_call(
         functools.partial(_k3_fold_body, n1, n2, pad_start, n_valid,
-                          per_p, per_q, n_phase),
+                          n_phase),
         compiler_params=params,
         grid=(n2 // block_b,),
-        in_specs=[spec_i0, spec_bT, spec_bT],
+        in_specs=[spec_fold, spec_bT, spec_bT],
         out_specs=(spec_prof, spec_cnt),
         out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
                    jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
         interpret=interpret,
-    )(i0, z_r, z_i)
+    )(fold, z_r, z_i)
     return prof, cnt[0]
 
 
 def dedisperse_fold_split(xr, xi, fr, fi, er, ei, chirp_storage_r,
-                          chirp_storage_i, i0, scale, *, per_p, per_q,
-                          n_phase, pad_start, n_valid, block_b=None,
-                          block_c=None, interpret=None):
+                          chirp_storage_i, i0, scale, *, per_p=None,
+                          per_q=None, n_phase, pad_start, n_valid,
+                          block_b=None, block_c=None, interpret=None):
     """As :func:`dedisperse_fold_stream` with separate re/im planes.
 
     ``xr``/``xi`` : (T, L); ``fr``/``fi`` : (pad_start, L);
@@ -620,9 +629,10 @@ def dedisperse_fold_split(xr, xi, fr, fi, er, ei, chirp_storage_r,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _dedisperse_fold_split_impl(
-        xr, xi, fr, fi, er, ei, chirp_storage_r, chirp_storage_i, i0,
+        xr, xi, fr, fi, er, ei, chirp_storage_r, chirp_storage_i,
+        _fold_vector(i0, per_p, per_q),
         scale, n1=n1, n2=n2, block_b=block_b, block_c=block_c,
-        per_p=int(per_p), per_q=int(per_q), n_phase=int(n_phase),
+        n_phase=int(n_phase),
         pad_start=int(pad_start), n_valid=int(n_valid),
         interpret=interpret)
 
@@ -659,10 +669,10 @@ def _stage_a_stream(x2, front, end, scale, *, n1, n2, block_b, interpret,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n1", "n2", "block_b", "block_c", "per_p", "per_q", "n_phase",
+    "n1", "n2", "block_b", "block_c", "n_phase",
     "pad_start", "n_valid", "interpret"))
-def _dedisperse_fold_stream_impl(x2, front, end, chr_, chi, i0, scale, *,
-                                 n1, n2, block_b, block_c, per_p, per_q,
+def _dedisperse_fold_stream_impl(x2, front, end, chr_, chi, fold, scale, *,
+                                 n1, n2, block_b, block_c,
                                  n_phase, pad_start, n_valid, interpret):
     L = x2.shape[-1]
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
@@ -673,31 +683,31 @@ def _dedisperse_fold_stream_impl(x2, front, end, chr_, chi, i0, scale, *,
                         block_c=block_c, interpret=interpret, params=params)
     spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_i0 = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec_fold = pl.BlockSpec(memory_space=pltpu.SMEM)
     spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     prof, cnt = pl.pallas_call(
         functools.partial(_k3_fold_body, n1, n2, pad_start, n_valid,
-                          per_p, per_q, n_phase),
+                          n_phase),
         compiler_params=params,
         grid=(n2 // block_b,),
-        in_specs=[spec_i0, spec_bT, spec_bT],
+        in_specs=[spec_fold, spec_bT, spec_bT],
         out_specs=(spec_prof, spec_cnt),
         out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
                    jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
         interpret=interpret,
-    )(i0, z_r, z_i)
+    )(fold, z_r, z_i)
     return prof, cnt[0]
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n1", "n2", "block_b", "block_c", "per_p", "per_q", "n_phase",
+    "n1", "n2", "block_b", "block_c", "n_phase",
     "pad_start", "n_valid", "interpret"))
-def _dedisperse_fold_stream_theta_impl(x2, front, end, th, i0, scale, *,
-                                       n1, n2, block_b, block_c, per_p,
-                                       per_q, n_phase, pad_start, n_valid,
+def _dedisperse_fold_stream_theta_impl(x2, front, end, th, fold, scale, *,
+                                       n1, n2, block_b, block_c,
+                                       n_phase, pad_start, n_valid,
                                        interpret):
     L = x2.shape[-1]
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
@@ -709,30 +719,30 @@ def _dedisperse_fold_stream_theta_impl(x2, front, end, th, i0, scale, *,
                               params=params)
     spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_i0 = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec_fold = pl.BlockSpec(memory_space=pltpu.SMEM)
     spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     prof, cnt = pl.pallas_call(
         functools.partial(_k3_fold_body, n1, n2, pad_start, n_valid,
-                          per_p, per_q, n_phase),
+                          n_phase),
         compiler_params=params,
         grid=(n2 // block_b,),
-        in_specs=[spec_i0, spec_bT, spec_bT],
+        in_specs=[spec_fold, spec_bT, spec_bT],
         out_specs=(spec_prof, spec_cnt),
         out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
                    jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
         interpret=interpret,
-    )(i0, z_r, z_i)
+    )(fold, z_r, z_i)
     return prof, cnt[0]
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n1", "n2", "block_b", "block_c", "per_p", "per_q", "n_phase",
+    "n1", "n2", "block_b", "block_c", "n_phase",
     "pad_start", "n_valid", "interpret"))
-def _dedisperse_fold_impl(x2, chr_, chi, i0, *, n1, n2, block_b, block_c,
-                          per_p, per_q, n_phase, pad_start, n_valid,
+def _dedisperse_fold_impl(x2, chr_, chi, fold, *, n1, n2, block_b, block_c,
+                          n_phase, pad_start, n_valid,
                           interpret):
     L = x2.shape[-1]
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
@@ -742,22 +752,22 @@ def _dedisperse_fold_impl(x2, chr_, chi, i0, *, n1, n2, block_b, block_c,
                         block_c=block_c, interpret=interpret, params=params)
     spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_i0 = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec_fold = pl.BlockSpec(memory_space=pltpu.SMEM)
     spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     prof, cnt = pl.pallas_call(
         functools.partial(_k3_fold_body, n1, n2, pad_start, n_valid,
-                          per_p, per_q, n_phase),
+                          n_phase),
         compiler_params=params,
         grid=(n2 // block_b,),
-        in_specs=[spec_i0, spec_bT, spec_bT],
+        in_specs=[spec_fold, spec_bT, spec_bT],
         out_specs=(spec_prof, spec_cnt),
         out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
                    jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
         interpret=interpret,
-    )(i0, z_r, z_i)
+    )(fold, z_r, z_i)
     return prof, cnt[0]
 
 
@@ -836,9 +846,27 @@ def dedisperse_pow2_planes(x2, chirp_storage_r, chirp_storage_i, *,
                                    interpret=interpret)
 
 
+
+def _fold_vector(i0, per_p, per_q):
+    """Normalize fold parameters to the (3,) int32 [i0, p, q] vector the
+    fold kernels read from SMEM.  ``i0`` may already be that vector
+    (shape (3,), per_p/per_q None) or the legacy (1,) offset accompanied
+    by static ints."""
+    i0 = jnp.asarray(i0)
+    if i0.shape == (3,):
+        return i0.astype(jnp.int32)
+    if per_p is None or per_q is None:
+        raise ValueError("per_p/per_q required when i0 is not a (3,) "
+                         "[i0, p, q] vector")
+    return jnp.concatenate([
+        i0.reshape(1).astype(jnp.int32),
+        jnp.array([int(per_p), int(per_q)], jnp.int32)])
+
+
 def dedisperse_fold_pow2(x2, chirp_storage_r, chirp_storage_i, i0, *,
-                         per_p, per_q, n_phase, pad_start, n_valid,
-                         block_b=None, block_c=None, interpret=None):
+                         per_p=None, per_q=None, n_phase, pad_start,
+                         n_valid, block_b=None, block_c=None,
+                         interpret=None):
     """Fully fused dedisperse → detect → fold for one padded window.
 
     Like :func:`dedisperse_pow2_planes` with ``power=True``, but the final
@@ -870,17 +898,18 @@ def dedisperse_fold_pow2(x2, chirp_storage_r, chirp_storage_i, i0, *,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _dedisperse_fold_impl(
-        x2, chirp_storage_r, chirp_storage_i, i0,
+        x2, chirp_storage_r, chirp_storage_i,
+        _fold_vector(i0, per_p, per_q),
         n1=n1, n2=n2, block_b=block_b, block_c=block_c,
-        per_p=int(per_p), per_q=int(per_q), n_phase=int(n_phase),
+        n_phase=int(n_phase),
         pad_start=int(pad_start), n_valid=int(n_valid),
         interpret=interpret)
 
 
 def dedisperse_fold_stream(x2, front, end, chirp_storage_r,
-                           chirp_storage_i, i0, scale, *, per_p, per_q,
-                           n_phase, pad_start, n_valid, block_b=None,
-                           block_c=None, interpret=None):
+                           chirp_storage_i, i0, scale, *, per_p=None,
+                           per_q=None, n_phase, pad_start, n_valid,
+                           block_b=None, block_c=None, interpret=None):
     """As :func:`dedisperse_fold_pow2` but windowless: the padded
     overlap-save window is assembled *inside* the stage-A kernel from the
     raw block and two halo edge buffers, and the per-iteration ``scale``
@@ -913,14 +942,16 @@ def dedisperse_fold_stream(x2, front, end, chirp_storage_r,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kw = dict(n1=n1, n2=n2, block_b=block_b, block_c=block_c,
-              per_p=int(per_p), per_q=int(per_q), n_phase=int(n_phase),
+              n_phase=int(n_phase),
               pad_start=int(pad_start), n_valid=int(n_valid),
               interpret=interpret)
+    fold = _fold_vector(i0, per_p, per_q)
     if chirp_storage_i is None:
         return _dedisperse_fold_stream_theta_impl(
-            x2, front, end, chirp_storage_r, i0, scale, **kw)
+            x2, front, end, chirp_storage_r, fold, scale, **kw)
     return _dedisperse_fold_stream_impl(
-        x2, front, end, chirp_storage_r, chirp_storage_i, i0, scale, **kw)
+        x2, front, end, chirp_storage_r, chirp_storage_i, fold, scale,
+        **kw)
 
 
 def split_n(n):

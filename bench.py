@@ -19,11 +19,26 @@ import time
 import numpy as np
 
 
+def _b1937_polyco():
+    """Synthetic single-entry polyco with B1937+21-like spin parameters:
+    the flagship folds a *drifting* phase model (the per-block (i0, p, q)
+    re-encoding of models/foldmodel.py), not a fixed rational period."""
+    from baseband_tasks_tpu.phases import Polyco, PolycoPhase
+    f0 = 641.928123
+    # ~0.5 cycle/min^2 apparent quadratic drift (Doppler-scale)
+    text = ("B1937+21    9-AUG-18  120000.00   58000.00000000000"
+            "            71.019700              0.000000   0.000\n"
+            f"123456789.321700  {f0:.12E}   ao  1440    3   1400.000\n"
+            "0.00000000000000000D+00 0.00000000000000000D+00 "
+            "5.00000000000000000D-01\n").replace("E+", "D+")
+    return PolycoPhase(Polyco(text))
+
+
 def _measure(use_pallas):
     import jax
     from jax.sharding import Mesh
     from baseband_tasks_tpu.models import WidebandPulsarPipeline
-    from baseband_tasks_tpu.utils import units as u
+    from baseband_tasks_tpu.utils import Time, units as u
 
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
                 ("time", "chan"))
@@ -32,7 +47,8 @@ def _measure(use_pallas):
     pipe = WidebandPulsarPipeline(
         n_chan=n_chan, n_pol=n_pol, dm=500.0, freq_center=1400 * u.MHz,
         chan_rate=250 * u.kHz, period_samples=(160000, 3), n_phase=64,
-        block_samples=block, mesh=mesh, use_pallas=use_pallas)
+        block_samples=block, mesh=mesh, use_pallas=use_pallas,
+        phase_model=_b1937_polyco(), start_time=Time.from_mjd(58000.0))
     # 64 iterations per dispatch: the synchronizing host fetch costs one
     # ~30 ms tunnel RTT per timed repeat, which at 16 iterations is a
     # ~15% measurement artifact on a ~10 ms step; 64 amortizes it to ~4%

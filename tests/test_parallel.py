@@ -205,12 +205,14 @@ class TestPallasPipeline:
         sharded = jax.shard_map(
             pal._local_step_pallas_planes, mesh=pal.mesh,
             in_specs=(P(None, "time", "chan"), P(None, None, "chan"),
-                      P(None, None, "chan"), P()),
+                      P(None, None, "chan"), P(), P()),
             out_specs=(P(None, "chan"), P()), check_vma=False)
         csr, csi = pal._chirp_storage_np()
         x2 = jnp.moveaxis(jnp.asarray(xf), -1, 0)
+        import jax as _jax
+        foldv = _jax.jit(pal._fixed_foldv)(off)
         prof_b, cnt_b = jax.jit(sharded)(
-            x2, jnp.asarray(csr), jnp.asarray(csi), off)
+            x2, jnp.asarray(csr), jnp.asarray(csi), off, foldv)
         scale = (1.0 + 1e-6 * 128) ** 2   # power of the scaled voltages
         np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))
         np.testing.assert_allclose(np.asarray(prof_b),
@@ -256,7 +258,20 @@ class TestCompiledPipeline:
         eager = np.asarray(tail.read(len(out)))
         np.testing.assert_allclose(out, eager, rtol=1e-4, atol=1e-3)
 
+    @staticmethod
+    def _snr_db(ref, test):
+        ref = np.asarray(ref, np.float64)
+        err = np.sum((ref - np.asarray(test, np.float64)) ** 2)
+        if err == 0:
+            return np.inf
+        return 10 * np.log10(np.sum(ref ** 2) / err)
+
     def test_padded_chain_matches_eager_after_delay(self):
+        """With the padded stage's frame size dividing its pad, each
+        compiled streaming window coincides exactly with an eager frame
+        window (window_k = [k·spf - pad, k·spf + spf) = eager window
+        k - pad/spf), so compiled output must equal the eager output
+        delayed by ``pad`` to float roundoff — no leakage tolerance."""
         from baseband_tasks_tpu import (Dedisperse, NoiseGenerator,
                                         SetAttribute, Square)
         from baseband_tasks_tpu.models.compiled import CompiledPipeline
@@ -270,19 +285,55 @@ class TestCompiledPipeline:
                                samples_per_frame=8192, seed=9),
                 frequency=600 * u.MHz, sideband=1)
 
-        tail = Square(Dedisperse(make_src(), 1.0, samples_per_frame=4096))
+        probe = Dedisperse(make_src(), 1.0)
+        pad = probe.pad_start + probe.pad_end
+        tail = Square(Dedisperse(make_src(), 1.0, samples_per_frame=pad))
         cp = CompiledPipeline(tail)
         delay = int(cp.delay)
-        n_blocks = 8
+        assert delay == pad
+        n_blocks = 12
         blocks = self._source_blocks(make_src(), n_blocks, cp.block_samples)
         out = np.asarray(cp.run_blocks(blocks))
         tail.seek(0)
         eager = np.asarray(tail.read(len(out) - delay))
-        # compiled windows sit at different offsets than eager frames, so
-        # the overlap-save truncation leakage (~1e-2 amplitude at 4k
-        # windows) differs sample-by-sample; the signals themselves agree
-        err = np.mean((out[delay:] - eager) ** 2) / np.mean(eager ** 2)
-        assert err < 2e-3
+        assert self._snr_db(eager, out[delay:]) >= 60.0
+
+    def test_three_stage_padded_chain_exact(self):
+        """Dedisperse → Convolve → Square with every pad a multiple of
+        the frame size: still exact after the combined delay."""
+        from baseband_tasks_tpu import (Convolve, Dedisperse,
+                                        NoiseGenerator, SetAttribute,
+                                        Square)
+        from baseband_tasks_tpu.models.compiled import CompiledPipeline
+        from baseband_tasks_tpu.utils import Time
+        t0 = Time("2020-01-01T00:00:00.0")
+
+        def make_src():
+            return SetAttribute(
+                NoiseGenerator(shape=(65536,), start_time=t0,
+                               sample_rate=1 * u.MHz,
+                               samples_per_frame=8192, seed=21),
+                frequency=600 * u.MHz, sideband=1)
+
+        probe = Dedisperse(make_src(), 0.25)
+        spf = probe.pad_start + probe.pad_end
+        rng = np.random.default_rng(2)
+        resp = (rng.standard_normal(spf + 1) / spf).astype(np.float32)
+
+        def make_tail():
+            d = Dedisperse(make_src(), 0.25, samples_per_frame=spf)
+            c = Convolve(d, resp, samples_per_frame=spf)
+            return Square(c)
+
+        tail = make_tail()
+        cp = CompiledPipeline(tail)
+        delay = int(np.ceil(cp.delay))
+        n_blocks = 12
+        blocks = self._source_blocks(make_src(), n_blocks, cp.block_samples)
+        out = np.asarray(cp.run_blocks(blocks))
+        tail.seek(0)
+        eager = np.asarray(tail.read(len(out) - delay))
+        assert self._snr_db(eager, out[delay:]) >= 60.0
 
     def test_incompatible_padded_stages_raise(self):
         from baseband_tasks_tpu import Convolve, Dedisperse, NoiseGenerator, \
@@ -438,13 +489,15 @@ class TestCornerTurn:
         sharded = jax.shard_map(
             pal._local_step_pallas_split, mesh=pal.mesh,
             in_specs=(P("time", "chan"), P("time", "chan"),
-                      P(None, None, "chan"), P(None, None, "chan"), P()),
+                      P(None, None, "chan"), P(None, None, "chan"),
+                      P(), P()),
             out_specs=(P(None, "chan"), P()), check_vma=False)
         csr, csi = pal._chirp_storage_np()
         xfa = jnp.asarray(xf)
+        foldv = jax.jit(pal._fixed_foldv)(off)
         prof_b, cnt_b = jax.jit(sharded)(
             xfa[..., 0], xfa[..., 1], jnp.asarray(csr), jnp.asarray(csi),
-            off)
+            off, foldv)
         scale = (1.0 + 1e-6 * 64) ** 2
         np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))
         np.testing.assert_allclose(np.asarray(prof_b),
