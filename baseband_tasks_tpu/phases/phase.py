@@ -21,10 +21,15 @@ __all__ = ["Phase", "FractionalPhase"]
 
 
 def _split(value):
-    """Split float64 cycles into (integer part, fraction in [-0.5, 0.5))."""
+    """Split float64 cycles into (integer part, fraction in [-0.5, 0.5)).
+
+    Non-finite values keep the count (inf/nan) and a zero fraction so
+    isinf/isnan see them and inf - inf does not trip warnings-as-errors.
+    """
     value = np.asarray(value, dtype=np.float64)
     int_part = np.round(value)
-    frac = value - int_part
+    with np.errstate(invalid="ignore"):
+        frac = np.where(np.isfinite(value), value - int_part, 0.0)
     return int_part, frac
 
 
@@ -37,19 +42,37 @@ def _normalize(count, frac):
 
 
 def _parse_decimal(string):
-    """Parse a decimal-cycle string losslessly into (count, frac)."""
-    string = string.strip()
+    """Parse a decimal-cycle string losslessly into (count, frac, imaginary).
+
+    Handles optional sign, exponents ('e' or Fortran 'd'), and a trailing
+    'j' marking a purely imaginary phase (reference phase.py:22-64).  The
+    exponent is folded in by shifting the decimal point digit-by-digit so
+    no precision is lost for values representable as (int, frac) doubles.
+    """
+    string = string.strip().lower().replace("d", "e")
+    imaginary = string.endswith("j")
+    if imaginary:
+        string = string[:-1]
     neg = string.startswith("-")
     body = string.lstrip("+-")
-    if "." in body:
-        ip, fp = body.split(".")
-        count = float(ip or 0)
-        frac = float("0." + fp)
-    else:
-        count, frac = float(body), 0.0
+    mantissa, _, exp_str = body.partition("e")
+    exponent = int(exp_str) if exp_str else 0
+    ip, _, fp = mantissa.partition(".")
+    # shift the decimal point by the exponent
+    if exponent > 0:
+        n = min(len(fp), exponent)
+        ip, fp = ip + fp[:n], fp[n:]
+        ip += "0" * (exponent - n)
+    elif exponent < 0:
+        n = min(len(ip), -exponent)
+        fp = (ip[-n:] if n else "") + fp
+        ip = ip[:-n] if n else ip
+        fp = "0" * (-exponent - n) + fp
+    count = float(ip or 0)
+    frac = float("0." + fp) if fp else 0.0
     if neg:
         count, frac = -count, -frac
-    return count, frac
+    return count, frac, imaginary
 
 
 _SPLITTER = 134217729.0  # 2**27 + 1, Dekker splitting constant
@@ -98,17 +121,23 @@ class Phase:
             if isinstance(ph, u.Quantity):
                 ph = ph.to_value(u.cycle)
             if isinstance(ph, str):
-                return _parse_decimal(ph)
+                c, f, im = _parse_decimal(ph)
+                imaginary = imaginary or im
+                return c, f
             if isinstance(ph, (list, tuple)) and ph and \
                     isinstance(ph[0], str):
-                pairs = [_parse_decimal(x) for x in ph]
-                return (np.array([a for a, b in pairs]),
-                        np.array([b for a, b in pairs]))
+                parsed = [_parse_decimal(x) for x in ph]
+                imaginary = imaginary or any(im for _, _, im in parsed)
+                return (np.array([a for a, b, im in parsed]),
+                        np.array([b for a, b, im in parsed]))
             ph = np.asarray(ph)
             if ph.dtype.kind == "U":
-                pairs = [_parse_decimal(x) for x in ph.ravel()]
-                return (np.array([a for a, b in pairs]).reshape(ph.shape),
-                        np.array([b for a, b in pairs]).reshape(ph.shape))
+                parsed = [_parse_decimal(x) for x in ph.ravel()]
+                imaginary = imaginary or any(im for _, _, im in parsed)
+                return (np.array([a for a, b, im in parsed]
+                                 ).reshape(ph.shape),
+                        np.array([b for a, b, im in parsed]
+                                 ).reshape(ph.shape))
             if ph.dtype.kind == "c":
                 # purely imaginary values mark an imaginary phase
                 # (reference check_imaginary, phase.py:113)
@@ -146,38 +175,114 @@ class Phase:
         (reference phase.py:208)."""
         return cls(count, frac, imaginary=imaginary)
 
+    @classmethod
+    def from_string(cls, string):
+        """Create a Phase from (an array of) long decimal strings,
+        losslessly (reference phase.py:418-429).  Strings may carry
+        'e'/'d' exponents and a trailing 'j' for imaginary phases."""
+        arr = np.asarray(string)
+        if arr.dtype.kind not in "SU":
+            raise ValueError("require string input.")
+        return cls(string if isinstance(string, str) else arr)
+
     # -- numpy ufunc interop --------------------------------------------
+    # Full dispatch table mirroring the reference's semantics
+    # (phase.py:653-753): exact two-part paths where precision can be
+    # kept, decay to a lossy cycle Quantity otherwise.
+    _COMPARISONS = frozenset((
+        "equal", "not_equal", "less", "less_equal", "greater",
+        "greater_equal"))
+    _FRACTION_UFUNCS = frozenset(("sin", "cos", "tan", "spacing"))
+
     def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
         if method != "__call__" or kwargs.get("out") is not None:
             return NotImplemented
         name = ufunc.__name__
-        if name == "exp":
-            # exp of an *imaginary* phase: integer cycles drop exactly, so
-            # only the fraction enters (reference phase.py:750-753)
-            if not self.imaginary:
-                return NotImplemented
-            return np.exp(2j * np.pi * np.asarray(self.fraction))
-        if name in ("sin", "cos", "tan"):
-            if self.imaginary:
-                return NotImplemented
-            return ufunc(2.0 * np.pi * np.asarray(self.fraction)) \
-                if name != "tan" else ufunc(2.0 * np.pi
-                                            * np.asarray(self.fraction))
-        if name == "add":
+
+        if name in ("add", "subtract"):
             a, b = inputs
-            return (a if isinstance(a, Phase) else Phase(a)) + b
-        if name == "subtract":
+            try:
+                a = a if isinstance(a, Phase) else Phase(a)
+                return a + b if name == "add" else a - b
+            except (u.UnitsError, ValueError):
+                return self._ufunc_fallback(ufunc, inputs, kwargs)
+
+        if name in self._COMPARISONS:
             a, b = inputs
-            return (a if isinstance(a, Phase) else Phase(a)) - b
-        if name == "negative":
-            return -self
-        if name == "absolute":
-            return abs(self)
+            try:
+                a = a if isinstance(a, Phase) else Phase(a)
+                b = b if isinstance(b, Phase) else Phase(b)
+            except (u.UnitsError, ValueError, TypeError):
+                return NotImplemented
+            if a.imaginary != b.imaginary:
+                return NotImplemented
+            diff = a._diff(b)
+            return getattr(np, name)(diff, 0)
+
         if name == "multiply":
             a, b = inputs
-            if isinstance(a, Phase):
-                return a * b
-            return b * a
+            phase, k = (a, b) if isinstance(a, Phase) else (b, a)
+            return phase * k
+
+        if name in ("divide", "true_divide"):
+            a, b = inputs
+            if a is self or isinstance(a, Phase):
+                return a / b
+            return self._ufunc_fallback(ufunc, inputs, kwargs)
+
+        if name in ("floor_divide", "remainder", "mod", "divmod"):
+            a, b = inputs
+            if not (isinstance(a, Phase) and not a.imaginary):
+                return self._ufunc_fallback(ufunc, inputs, kwargs)
+            if name == "floor_divide":
+                return a // b
+            if name == "divmod":
+                return divmod(a, b)
+            return a % b
+
+        if name == "positive":
+            return +self
+        if name == "negative":
+            return -self
+        if name in ("absolute", "fabs"):
+            return abs(self)
+        if name == "rint":
+            # round to nearest cycle: exactly the integer part
+            # (reference phase.py:743-744)
+            return u.Quantity(np.positive(self.count), u.cycle)
+        if name in ("isnan", "isinf", "isfinite"):
+            return ufunc(np.asarray(self.count)
+                         + np.asarray(self.fraction))
+        if name == "sign":
+            return np.sign(np.asarray(self.count)
+                           + np.asarray(self.fraction))
+
+        if name in self._FRACTION_UFUNCS and not self.imaginary:
+            # only the fraction matters (reference phase.py:746-748)
+            if name == "spacing":
+                return u.Quantity(np.spacing(np.asarray(self.fraction)),
+                                  u.cycle)
+            return ufunc(2.0 * np.pi * np.asarray(self.fraction))
+
+        if name == "exp" and self.imaginary:
+            # exp of an *imaginary* phase: integer cycles drop exactly, so
+            # only the fraction enters (reference phase.py:750-753)
+            return np.exp(2j * np.pi * np.asarray(self.fraction))
+
+        return self._ufunc_fallback(ufunc, inputs, kwargs)
+
+    def _ufunc_fallback(self, ufunc, inputs, kwargs):
+        """Decay Phase inputs to lossy cycle Quantities and retry
+        (reference phase.py:755-765)."""
+        quantities = tuple(x.cycle if isinstance(x, Phase) else x
+                           for x in inputs)
+        for q in quantities:
+            if isinstance(q, u.Quantity):
+                result = q.__array_ufunc__(ufunc, "__call__", *quantities,
+                                           **kwargs)
+                if result is not NotImplemented:
+                    return result
+                break
         return NotImplemented
 
     # -- views -----------------------------------------------------------
@@ -264,6 +369,16 @@ class Phase:
         return Phase.from_angles(-self.count, -self.fraction,
                                  imaginary=self.imaginary)
 
+    def __pos__(self):
+        return Phase.from_angles(np.positive(self.count),
+                                 np.positive(self.fraction),
+                                 imaginary=self.imaginary)
+
+    def copy(self):
+        return Phase.from_angles(np.array(self.count, copy=True),
+                                 np.array(self.fraction, copy=True),
+                                 imaginary=self.imaginary)
+
     def __abs__(self):
         neg = (self.count + self.fraction) < 0
         return Phase.from_angles(np.where(neg, -self.count, self.count),
@@ -271,25 +386,64 @@ class Phase:
                                           self.fraction),
                                  imaginary=self.imaginary)
 
-    def __mul__(self, k):
+    @staticmethod
+    def _real_factor(k):
+        """Coerce a dimensionless factor to (real array, is_imaginary).
+
+        Mirrors the reference's ``check_imaginary`` (phase.py:113-140):
+        purely real and purely imaginary factors keep the exact two-part
+        path; mixed complex raises ValueError so callers can decay to a
+        lossy Quantity instead.
+        """
+        if isinstance(k, u.Unit):
+            k = u.Quantity(1.0, k)
         if isinstance(k, u.Quantity):
             k = k.to_value(u.one)
-        k = np.asarray(k, dtype=np.float64)
+        k = np.asarray(k)
+        if k.dtype.kind == "c":
+            if np.all(k.imag == 0):
+                return np.asarray(k.real, dtype=np.float64), False
+            if np.all(k.real == 0):
+                return np.asarray(k.imag, dtype=np.float64), True
+            raise ValueError("cannot have mixed real/imaginary factor")
+        return np.asarray(k, dtype=np.float64), False
+
+    def __mul__(self, k):
+        try:
+            k, k_imag = self._real_factor(k)
+        except u.UnitsError:
+            # unit-full factor: decay to a lossy cycle Quantity
+            # (reference phase.py:679-694 falls through the same way)
+            return self.cycle * k
+        except ValueError:
+            return self.cycle * np.asarray(k)
         # error-free products keep the result exact to a double-double ulp
-        # (reference preserves precision through dimensionless mul,
-        # phase.py:679-694)
         pc, ec = _two_prod(np.asarray(self.count, dtype=np.float64), k)
         pf, ef = _two_prod(np.asarray(self.fraction, dtype=np.float64), k)
-        return Phase(pc, pf + (ec + ef), imaginary=self.imaginary)
+        return Phase(pc, pf + (ec + ef),
+                     imaginary=self.imaginary ^ k_imag)
 
     __rmul__ = __mul__
 
     def __truediv__(self, k):
-        if isinstance(k, u.Quantity):
-            k = k.to_value(u.one)
-        k = np.asarray(k, dtype=np.float64)
-        return self * (1.0 / k) if np.all(k != 0) else Phase(
-            self.count / k, self.fraction / k)
+        try:
+            k, k_imag = self._real_factor(k)
+        except u.UnitsError:
+            return self.cycle / k
+        except ValueError:
+            return self.cycle / np.asarray(k)
+        if k_imag:
+            # x / (i k) = -i (x / k): flips sign unless already imaginary
+            # (then i x / i k = x / k)
+            if not self.imaginary:
+                k = -k
+        divided = (self * (1.0 / k) if np.all(k != 0)
+                   else Phase(self.count / k, self.fraction / k,
+                              imaginary=self.imaginary))
+        if k_imag:
+            divided = Phase.from_angles(divided.count, divided.fraction,
+                                        imaginary=not self.imaginary)
+        return divided
 
     def __floordiv__(self, other):
         other = other if isinstance(other, Phase) else Phase(other)
@@ -298,7 +452,6 @@ class Phase:
         r = self - other * q
         # one-step correction for boundary rounding
         step = np.where(np.asarray(r._diff(_ZERO)) < 0, -1.0, 0.0)
-        o_tot = other.count + other.fraction
         over = np.asarray((r - other)._diff(_ZERO)) >= 0
         step = step + np.where(over, 1.0, 0.0)
         return q + step
@@ -320,6 +473,10 @@ class Phase:
     def __eq__(self, other):
         try:
             other = other if isinstance(other, Phase) else Phase(other)
+        except u.UnitsError:
+            # incompatible units are simply unequal (reference
+            # phase.py:591-597)
+            return False
         except Exception:
             return NotImplemented
         return self._diff(other) == 0
@@ -328,6 +485,8 @@ class Phase:
         eq = self.__eq__(other)
         if eq is NotImplemented:
             return eq
+        if eq is False:
+            return True
         return ~np.asarray(eq) if np.ndim(eq) else not eq
 
     def __lt__(self, other):
@@ -371,6 +530,11 @@ class Phase:
                                np.expand_dims(idx, axis), axis).squeeze(axis),
             np.take_along_axis(np.asarray(self.fraction),
                                np.expand_dims(idx, axis), axis).squeeze(axis))
+
+    def ptp(self, axis=None):
+        """Peak-to-peak (max - min), full precision (reference
+        phase.py:532-544)."""
+        return self.max(axis) - self.min(axis)
 
     def argmin(self, axis=None):
         if axis is None:

@@ -391,6 +391,13 @@ class Quantity:
     def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
         if method != "__call__" or kwargs.get("out") is not None:
             return NotImplemented
+        # Defer to higher-priority duck arrays (e.g. phases.Phase), which
+        # know how to absorb a Quantity but not vice versa.
+        for x in inputs:
+            if (x is not self
+                    and getattr(x, "__array_priority__", 0)
+                    > self.__array_priority__):
+                return NotImplemented
         name = ufunc.__name__
         if name in ("multiply", "divide", "true_divide"):
             a, b = [_as_quantity(x) for x in inputs]
