@@ -1,33 +1,33 @@
 """Host-side drifting-phase fold models for the fused pipeline.
 
-The fused dedisperse→detect→fold kernels bin pulse phase with *exact*
-integer modular arithmetic: bin = (((i0 + t)·p mod q)·n_phase) // q, with
-(i0, p, q) runtime int32 scalars (ops/dedisperse_pallas._k3_fold_body).
-That map folds a fixed rational period forever without precision loss —
-but a real pulsar's apparent spin frequency drifts (Doppler from the
-Earth's motion, spindown), so the reference folds arbitrary polyco/PINT
-phases per sample (/root/reference/baseband_tasks/integration.py:380-395).
+The fused dedisperse→detect→fold kernels bin pulse phase with a
+*fixed-point* linear map: frac(t) = ((i0_fx + t·p_fx) mod 2^31) / 2^31
+cycles, with (i0_fx, p_fx) runtime int32 scalars in units of 2^-31 cycle
+(ops/dedisperse_pallas._k3_fold_body).  The power-of-two modulus makes
+every per-sample op a multiply/mask/shift — a runtime-divisor rational
+map measured ~40% slower end-to-end because Mosaic cannot
+strength-reduce a dynamic i32 div/mod.
 
+A real pulsar's apparent spin frequency drifts (Doppler from the Earth's
+motion, spindown), so the reference folds arbitrary polyco/PINT phases
+per sample (/root/reference/baseband_tasks/integration.py:380-395).
 :class:`FoldModel` closes that gap TPU-natively: per block it linearizes
 the phase model at full host precision (two-double Phase arithmetic) and
-re-encodes it as a fresh (i0, p, q) triple:
+re-encodes it as a fresh (i0_fx, p_fx) pair:
 
-- ``p/q`` is the best rational approximation of the instantaneous
-  cycles-per-sample rate with ``p·q < 2^31`` (continued-fraction
-  convergent), so all kernel products stay exact in int32.  The
-  convergent bound |a - p/q| <= 1/q² keeps the in-window linearization
-  error below ~1e-6 cycles for q ~ 1e5-1e6.
-- The block's absolute phase A/q (A = round(frac(φ₀)·q), error <= 0.5/q
-  cycles) is folded into the *offset* via the modular inverse:
-  i0 = A·p⁻¹ mod q, using that p, q are coprime after Fraction reduction.
-  The kernel then computes (i0+t)·p ≡ A + t·p (mod q) — no kernel change
-  and no recompilation, since (i0, p, q) are runtime scalars.
+- ``p_fx`` = round(frac(cycles-per-sample)·2^31): quantization error is
+  at most 2^-32 cycle/sample, i.e. ~3e-5 cycle across a 2^17-sample
+  block — far below a phase bin (>= 2^-15 cycle) and *not* cumulative,
+  because every block re-evaluates the model.
+- ``i0_fx`` = round(frac(φ₀)·2^31) from the two-double phase at the
+  block's first sample (error 2^-32 cycle).
 
 Within-block curvature (fdot over <~1 s) is below 1e-12 cycles and is
-ignored; drift across blocks is captured because every block re-evaluates
-the polyco.  Device needs only a (3,) float32 vector per block (the axon
-TPU boundary transfers float32 only; all entries stay < 2^24 so the f32
-round-trip is exact).
+ignored.  The device needs only a (4,) float32 vector per block: the
+axon TPU boundary transfers float32 only and 2^31-range integers do not
+survive a float32 round-trip, so i0_fx and p_fx ride as exact 16-bit
+halves ``[i0_hi, i0_lo, p_hi, p_lo]`` (each < 2^16) and are recombined
+by shift-or inside jit.
 """
 
 from __future__ import annotations
@@ -38,7 +38,21 @@ import numpy as np
 
 from ..utils import units as u
 
-__all__ = ["FoldModel", "best_rational"]
+__all__ = ["FoldModel", "best_rational", "fixedpoint_foldv"]
+
+_FX_ONE = 1 << 31
+_FX_MASK = _FX_ONE - 1
+
+
+def fixedpoint_foldv(phase0_cycles, rate_cycles_per_sample):
+    """(4,) float32 ``[i0_hi, i0_lo, p_hi, p_lo]`` fixed-point fold
+    encoding for the fused pipeline (16-bit halves of the 31-bit
+    fixed-point phase/rate; see the module docstring)."""
+    i0 = int(round((float(phase0_cycles) % 1.0) * _FX_ONE)) & _FX_MASK
+    p = int(round((float(rate_cycles_per_sample) % 1.0) * _FX_ONE)) \
+        & _FX_MASK
+    return np.array([i0 >> 16, i0 & 0xFFFF, p >> 16, p & 0xFFFF],
+                    dtype=np.float32)
 
 
 def best_rational(x, max_pq=(1 << 31) - (1 << 20), max_q=1 << 23):
@@ -47,9 +61,8 @@ def best_rational(x, max_pq=(1 << 31) - (1 << 20), max_q=1 << 23):
     Walks the continued-fraction convergents of ``x`` and returns the
     last one satisfying both bounds; the classic convergent bound gives
     |x - p/q| <= 1/q².  Exact rationals with a small denominator are
-    returned exactly.  The defaults keep every product in the fold
-    kernel's integer map inside int32 (p·idx < p·q < 2^31) and q exactly
-    representable in float32 for the device transfer.
+    returned exactly.  Used for exact-rational period bookkeeping (e.g.
+    :class:`WidebandPulsarPipeline`'s fixed-period mode).
     """
     if not np.isfinite(x) or x <= 0:
         raise ValueError(f"fold rate must be positive and finite, got {x}")
@@ -72,7 +85,7 @@ def best_rational(x, max_pq=(1 << 31) - (1 << 20), max_q=1 << 23):
 
 
 class FoldModel:
-    """Per-block (i0, p, q) fold parameters from a phase callable.
+    """Per-block fixed-point fold parameters from a phase callable.
 
     Parameters
     ----------
@@ -84,16 +97,17 @@ class FoldModel:
     sample_rate : Quantity
         Per-channel complex sample rate.
     n_phase : int
-        Phase bins the kernel will use; bounds q so that q·n_phase stays
-        inside int32.
+        Phase bins the kernel will use (<= 2^15 for the exact in-kernel
+        bin extraction).
     """
 
     def __init__(self, phase, start_time, sample_rate, n_phase=64):
+        if not 0 < int(n_phase) <= (1 << 15):
+            raise ValueError(f"n_phase={n_phase} must be in [1, 32768]")
         self.phase = phase
         self.start_time = start_time
         self.sample_rate = sample_rate
         self._rate = float(sample_rate.to_value(u.Hz))
-        self._max_q = min(1 << 23, ((1 << 31) - 1) // max(int(n_phase), 1))
 
     def _time_at(self, offset):
         # two-double time arithmetic: offset/rate split into hi+lo
@@ -103,33 +117,27 @@ class FoldModel:
         return self.start_time + TimeDelta.from_sec(hi, lo)
 
     def foldv(self, offset, n_window):
-        """(3,) float32 ``[i0, p, q]`` for a block of ``n_window`` valid
+        """(4,) float32 fold halves for a block of ``n_window`` valid
         samples starting at global sample ``offset``.
 
-        ``i0`` encodes the absolute phase at sample ``offset``; the device
-        step adds per-shard and pad offsets (mod q) before the kernel.
+        The phase is linearized about the block start using the apparent
+        spin frequency at mid-block (halves the curvature error); the
+        device step adds per-shard and pad offsets before the kernel.
         """
         from ..integration import _phase_to_cycles
         t_mid = self._time_at(offset + n_window / 2)
         f_app = float(np.atleast_1d(
             self.phase.apparent_spin_freq(t_mid).to_value(u.Hz))[0])
         a1 = f_app / self._rate                    # cycles per sample
-        p, q = best_rational(a1, max_q=self._max_q)
         hi, lo = _phase_to_cycles(self.phase(self._time_at(offset)))
         hi = float(np.atleast_1d(hi)[0])
         lo = float(np.atleast_1d(lo)[0])
         frac0 = (hi - np.floor(hi)) + lo
         frac0 -= np.floor(frac0)
-        A = int(np.round(frac0 * q)) % q
-        i0 = (A * pow(p, -1, q)) % q
-        if max(i0, p, q) >= 1 << 24:
-            raise ValueError(
-                f"fold parameters ({i0}, {p}, {q}) exceed exact float32 "
-                f"range; lower best_rational's max_pq")
-        return np.array([i0, p, q], dtype=np.float32)
+        return fixedpoint_foldv(frac0, a1)
 
     def table(self, offsets, n_window):
-        """(len(offsets), 3) float32 fold-parameter table for a device
+        """(len(offsets), 4) float32 fold-parameter table for a device
         loop (one row per block; rows are selected inside the jitted loop
         so the host never re-enters between iterations)."""
         return np.stack([self.foldv(off, n_window) for off in offsets])

@@ -36,6 +36,9 @@ from ..utils import units as u
 
 __all__ = ["WidebandPulsarPipeline"]
 
+_FX_ONE = 1 << 31      # one pulse cycle in the kernels' fixed-point units
+_FX_MASK = _FX_ONE - 1
+
 
 class WidebandPulsarPipeline:
     """Fused dedisperse→detect→fold step over a (time, chan) mesh.
@@ -52,8 +55,10 @@ class WidebandPulsarPipeline:
         Per-channel (complex) sample rate.
     period_samples : Fraction or tuple (q, p)
         Pulsar period as the exact rational q/p in units of channel
-        samples; folding uses integer modular arithmetic so precision
-        never degrades with stream length.
+        samples.  The sample-offset bookkeeping stays exact integer
+        (mod q) forever; per block the phase is re-encoded into the
+        kernels' fixed-point map (error <= 2^-32 cycle/sample within a
+        block, never cumulative).  Requires p·q < 2^31 and q < 2^23.
     n_phase : int
         Phase bins per profile.
     block_samples : int
@@ -90,8 +95,18 @@ class WidebandPulsarPipeline:
             frac = Fraction(q, p)
         self._per_q = int(frac.numerator)    # q samples per p periods
         self._per_p = int(frac.denominator)
+        if self._per_p * self._per_q >= (1 << 31) or \
+                self._per_q >= (1 << 23):
+            raise ValueError(
+                f"period_samples {self._per_q}/{self._per_p} too fine: "
+                f"need p*q < 2^31 and q < 2^23 for exact bookkeeping")
+        if not 0 < int(n_phase) <= (1 << 15):
+            raise ValueError(f"n_phase={n_phase} must be in [1, 32768]")
+        # static fixed-point phase rate for the fixed-period mode
+        self._p_fx = int(round((Fraction(self._per_p, self._per_q) % 1)
+                               * _FX_ONE)) & _FX_MASK
         # Optional drifting phase model (e.g. PolycoPhase): per block the
-        # host refreshes an exact-integer (i0, p, q) encoding of the
+        # host refreshes a fixed-point (i0_fx, p_fx) encoding of the
         # linearized phase (models/foldmodel.py); when None the fixed
         # rational period above is used forever.
         if phase_model is not None:
@@ -199,40 +214,71 @@ class WidebandPulsarPipeline:
 
     # -- the fused step --------------------------------------------------
     def _shard_fold3(self, foldv, shard, T, include_pad):
-        """Per-shard (3,) int32 [i0, p, q] from the global (3,) float32
-        ``foldv`` whose i0 encodes the pulse phase at the block's first
-        *valid* sample (models/foldmodel.py).  Adds the shard offset and,
-        for the kernel path whose local time index 0 is the start of the
-        overlap-save halo, subtracts pad_start."""
-        f = foldv.astype(jnp.int32)
-        base = f[0] + shard * T
+        """Per-shard (3,) int32 [i0_fx, p_fx, 0] from the block-level
+        vector whose i0_fx encodes the pulse phase at the block's first
+        *valid* sample (models/foldmodel.py).  Adds the shard offset
+        and, for the kernel path whose local time index 0 is the start
+        of the overlap-save halo, subtracts pad_start — in phase units
+        via multiplication by p_fx (int32 products wrap exactly mod
+        2^32, and 2^31 | 2^32, so the masked result is exact)."""
+        t_off = shard * T
         if include_pad:
-            base = base - self.pad_start
-        return jnp.stack([jnp.mod(base, f[2]), f[1], f[2]])
+            t_off = t_off - self.pad_start
+        base = (foldv[0] + t_off * foldv[1]) & _FX_MASK
+        return jnp.stack([base, foldv[1], jnp.int32(0)])
 
     def _fold_bins(self, fold3, T):
-        """Exact integer-modular phase bins for T valid samples."""
-        g = fold3[0] + jnp.arange(T, dtype=jnp.int32)
-        idx = g % fold3[2]
-        num = (idx * fold3[1]) % fold3[2]
-        return (num * self.n_phase) // fold3[2]
+        """Phase bins for T valid samples — the kernel's exact
+        fixed-point map (ops/dedisperse_pallas.fold_bins_ref)."""
+        t = jnp.arange(T, dtype=jnp.int32)
+        num = (fold3[0] + t * fold3[1]) & _FX_MASK
+        hi = num >> 16
+        lo = num & 0xFFFF
+        n = self.n_phase
+        return ((hi * n) + ((lo * n) >> 16)) >> 15
 
     def _fixed_foldv(self, offset_mod):
-        """(3,) float32 foldv for the fixed rational period mode, from a
-        float32 sample offset (phase zero at global sample 0)."""
+        """(3,) int32 fixed-point fold vector for the fixed rational
+        period mode, from a float32 *integer-valued* sample offset
+        (phase zero at global sample 0, rate per_p/per_q cycles/sample).
+        The offset is reduced mod per_q exactly in integers; only the
+        final scaling to 2^-31-cycle units rounds (through float32,
+        error < 2^-24 cycle — far below a phase bin)."""
         off = jnp.mod(offset_mod.astype(jnp.float32),
-                      jnp.float32(self._per_q))
-        return jnp.stack([off, jnp.float32(self._per_p),
-                          jnp.float32(self._per_q)])
+                      jnp.float32(self._per_q)).astype(jnp.int32)
+        num = (off * self._per_p) % self._per_q   # exact: p*q < 2^31
+        i0 = jnp.round(num.astype(jnp.float32)
+                       * np.float32(_FX_ONE / self._per_q))
+        i0 = i0.astype(jnp.int32) & _FX_MASK
+        return jnp.stack([i0, jnp.int32(self._p_fx), jnp.int32(0)])
+
+    @staticmethod
+    def _foldv_from_halves(h):
+        """(3,) int32 [i0_fx, p_fx, 0] from the f32-safe (4,) halves
+        vector [i0_hi, i0_lo, p_hi, p_lo] (models/foldmodel.py)."""
+        f = h.astype(jnp.int32)
+        return jnp.stack([(f[0] << 16) | f[1], (f[2] << 16) | f[3],
+                          jnp.int32(0)])
+
+    def _foldv_device(self, fold_in):
+        """Normalize a traced step input to the (3,) int32 fold vector:
+        a scalar sample offset (fixed-period mode), a (4,) halves vector,
+        or an already-built (3,) fixed-point vector."""
+        if fold_in.ndim == 0:
+            return self._fixed_foldv(fold_in)
+        if fold_in.shape == (4,):
+            return self._foldv_from_halves(fold_in)
+        return fold_in.astype(jnp.int32)
 
     def _local_step(self, xf, chirp_f, foldv):
         """Per-shard computation.
 
         xf : (T_local, C_local, P, 2) float32 — complex as trailing pairs
         chirp_f : (n_fft, C_local, 1, 2) float32 — chirp as trailing pairs
-        foldv : (3,) float32 [i0, p, q] — exact-integer fold parameters
-            (carried as float32 because the TPU transfer boundary is
-            f32-only; all entries < 2^24 so the round-trip is exact).
+        foldv : (3,) int32 [i0_fx, p_fx, 0] — fixed-point fold vector
+            at the block's first valid sample (built on device by
+            :meth:`_foldv_device`; never crosses the f32-only TPU
+            transfer boundary).
         """
         T = xf.shape[0]
         x = jax.lax.complex(xf[..., 0], xf[..., 1])
@@ -375,6 +421,8 @@ class WidebandPulsarPipeline:
         xf has global shape (time_shards * block_samples, n_chan, n_pol, 2)
         sharded P('time','chan'); output profile (n_phase, n_chan, n_pol)
         sharded P(None,'chan') and counts (n_phase,) replicated.
+        ``offset_mod`` is a scalar sample offset (fixed-period mode) or a
+        (4,) fold-halves vector from :meth:`FoldModel.foldv`.
         """
         if self._step_cache is not None:
             return self._step_cache
@@ -383,12 +431,11 @@ class WidebandPulsarPipeline:
         # for complex data)
         sharded, chirp_args = self._sharded_and_chirp()
         jstep = jax.jit(
-            lambda xf, foldv, *c: sharded(xf, *c, foldv))
+            lambda xf, fold_in, *c: sharded(
+                xf, *c, self._foldv_device(fold_in)))
 
         def step(xf, offset_mod):
-            off = jnp.asarray(offset_mod)
-            foldv = off if off.shape == (3,) else self._fixed_foldv(off)
-            return jstep(xf, foldv, *chirp_args)
+            return jstep(xf, jnp.asarray(offset_mod), *chirp_args)
 
         self._step_cache = step
         return step
@@ -480,7 +527,7 @@ class WidebandPulsarPipeline:
         is the honest way to time through a remote device tunnel.
 
         With a ``phase_model`` configured, the host pre-evaluates the
-        polyco once per block into an (n_iter, 3) fold-parameter table
+        polyco once per block into an (n_iter, 4) fold-parameter table
         (models/foldmodel.py) that rides into the loop as one array —
         the flagship then folds a *drifting* pulsar with no extra device
         work per sample (reference integration.py:380-395 semantics).
@@ -541,8 +588,8 @@ class WidebandPulsarPipeline:
             def body(k, carry):
                 off, acc, cnt_acc = carry
                 if fold_table is not None:
-                    foldv = jax.lax.dynamic_slice(
-                        fold_table, (k, 0), (1, 3))[0]
+                    foldv = self._foldv_from_halves(jax.lax.dynamic_slice(
+                        fold_table, (k, 0), (1, 4))[0])
                 else:
                     foldv = self._fixed_foldv(off)
                 if split_planes:

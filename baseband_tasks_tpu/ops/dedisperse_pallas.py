@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["dedisperse_pow2", "dedisperse_pow2_planes",
            "dedisperse_fold_pow2", "dedisperse_fold_stream",
+           "fold_phase_vector", "fold_bins_ref",
            "permute_to_storage_order", "stockham_ref"]
 
 
@@ -330,18 +331,24 @@ def _k3_fold_body(n1, n2, pad_start, n_valid, n_phase,
     grid; row ``n_phase`` is the trash bin holding the overlap-save halo
     rows (time index outside [pad_start, pad_start + n_valid)).
 
-    ``fold_ref`` (SMEM, three int32 ``[i0, p, q]``): the fold is the
-    integer-modular map bin = (((i0 + t)·p mod q)·n_phase) // q for pulse
-    phase advancing p/q cycles per sample; ``i0`` is the non-negative
-    offset of local time index 0, already reduced mod ``q``.  Because
-    (i0, p, q) are *runtime* scalars, a host-side phase model (e.g. a
-    polyco, reference integration.py:380-395 semantics) can refresh the
-    rational approximation every block without recompiling — drifting
-    pulsars fold exactly as long as p·q < 2^31 (host enforces this when
-    building the approximation).  An arbitrary absolute phase A/q cycles
-    at t=0 is encoded as i0 = A·p⁻¹ mod q (p, q coprime after Fraction
-    reduction).  Input tiles are d-major (bb, n1, L); one transpose on
-    load (the stage-B kernel is transpose-free in exchange).
+    ``fold_ref`` (SMEM, three int32 ``[i0, p, 0]``): pulse phase is the
+    *fixed-point* map frac(t) = ((i0 + t·p) mod 2^31) / 2^31 cycles, with
+    ``p`` the phase rate in cycles-per-sample scaled by 2^31 and ``i0``
+    the scaled phase of local time index 0.  Because the modulus is a
+    compile-time power of two, every op below is a multiply, mask or
+    shift — int32 wraparound multiplication is exact mod 2^32, so masking
+    the low 31 bits gives the phase exactly.  (A runtime-divisor variant
+    measured ~40% slower end-to-end: Mosaic cannot strength-reduce a
+    dynamic i32 div/mod.)  (i0, p) being *runtime* scalars still lets a
+    host-side phase model (e.g. a polyco, reference
+    integration.py:380-395 semantics) refresh the linearization every
+    block without recompiling; the rate quantization error is at most
+    2^-32 cycle/sample (~3e-5 cycles over a 2^17 block).  The phase-bin
+    index floor(frac·n_phase) is computed exactly in int32 by splitting
+    num into 16-bit halves (requires n_phase <= 2^15; nested-floor
+    identity floor(floor(x/2^16)/2^15) = floor(x/2^31)).  Input tiles
+    are d-major (bb, n1, L); one transpose on load (the stage-B kernel
+    is transpose-free in exchange).
     """
     rr, ii = _stockham(zr_ref[:].swapaxes(0, 1), zi_ref[:].swapaxes(0, 1),
                        +1.0, scale=1.0 / n1)
@@ -349,16 +356,15 @@ def _k3_fold_body(n1, n2, pad_start, n_valid, n_phase,
     bb = power.shape[1]
     L = power.shape[2]
     rows = n1 * bb
-    per_p = fold_ref[1]
-    per_q = fold_ref[2]
+    p_fx = fold_ref[1]
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     c = r // bb
     b = r - c * bb + pl.program_id(0) * bb
     t_idx = c * n2 + b                              # local time index
-    g = fold_ref[0] + t_idx                         # >= 0 by construction
-    idx = g % per_q
-    num = (idx * per_p) % per_q
-    bins = (num * n_phase) // per_q
+    num = (fold_ref[0] + t_idx * p_fx) & jnp.int32(0x7FFFFFFF)
+    hi = num >> 16
+    lo = num & jnp.int32(0xFFFF)
+    bins = ((hi * n_phase) + ((lo * n_phase) >> 16)) >> 15
     valid = (t_idx >= pad_start) & (t_idx < pad_start + n_valid)
     bins = jnp.where(valid, bins, n_phase)
     phase_iota = jax.lax.broadcasted_iota(
@@ -601,8 +607,8 @@ def _dedisperse_fold_split_impl(xr, xi, fr, fi, er, ei, chr_, chi, fold,
 
 
 def dedisperse_fold_split(xr, xi, fr, fi, er, ei, chirp_storage_r,
-                          chirp_storage_i, i0, scale, *, per_p=None,
-                          per_q=None, n_phase, pad_start, n_valid,
+                          chirp_storage_i, fold, scale, *,
+                          n_phase, pad_start, n_valid,
                           block_b=None, block_c=None, interpret=None):
     """As :func:`dedisperse_fold_stream` with separate re/im planes.
 
@@ -630,9 +636,9 @@ def dedisperse_fold_split(xr, xi, fr, fi, er, ei, chirp_storage_r,
         interpret = jax.default_backend() != "tpu"
     return _dedisperse_fold_split_impl(
         xr, xi, fr, fi, er, ei, chirp_storage_r, chirp_storage_i,
-        _fold_vector(i0, per_p, per_q),
+        _fold_vector(fold),
         scale, n1=n1, n2=n2, block_b=block_b, block_c=block_c,
-        n_phase=int(n_phase),
+        n_phase=_check_n_phase(n_phase),
         pad_start=int(pad_start), n_valid=int(n_valid),
         interpret=interpret)
 
@@ -847,24 +853,60 @@ def dedisperse_pow2_planes(x2, chirp_storage_r, chirp_storage_i, *,
 
 
 
-def _fold_vector(i0, per_p, per_q):
-    """Normalize fold parameters to the (3,) int32 [i0, p, q] vector the
-    fold kernels read from SMEM.  ``i0`` may already be that vector
-    (shape (3,), per_p/per_q None) or the legacy (1,) offset accompanied
-    by static ints."""
-    i0 = jnp.asarray(i0)
-    if i0.shape == (3,):
-        return i0.astype(jnp.int32)
-    if per_p is None or per_q is None:
-        raise ValueError("per_p/per_q required when i0 is not a (3,) "
-                         "[i0, p, q] vector")
-    return jnp.concatenate([
-        i0.reshape(1).astype(jnp.int32),
-        jnp.array([int(per_p), int(per_q)], jnp.int32)])
+_FX_BITS = 31
+_FX_ONE = 1 << _FX_BITS          # one pulse cycle in fixed-point units
+_FX_MASK = _FX_ONE - 1
 
 
-def dedisperse_fold_pow2(x2, chirp_storage_r, chirp_storage_i, i0, *,
-                         per_p=None, per_q=None, n_phase, pad_start,
+def fold_phase_vector(phase0_cycles, rate_cycles_per_sample):
+    """Host-side encoder for the kernels' fixed-point fold vector.
+
+    Returns the (3,) int32 ``[i0_fx, p_fx, 0]`` consumed by
+    :func:`dedisperse_fold_pow2` and friends: pulse phase at local time
+    index ``t`` is ``((i0_fx + t * p_fx) mod 2^31) / 2^31`` cycles, with
+    ``i0_fx`` = phase at t=0 and ``p_fx`` the phase rate, both in units
+    of 2^-31 cycle.  The third slot is reserved (kernels ignore it).
+    Rounding here is exact given float64 inputs (31 < 53 bits).
+    """
+    i0 = int(round((float(phase0_cycles) % 1.0) * _FX_ONE)) & _FX_MASK
+    p = int(round((float(rate_cycles_per_sample) % 1.0) * _FX_ONE)) \
+        & _FX_MASK
+    return np.array([i0, p, 0], dtype=np.int32)
+
+
+def fold_bins_ref(fold, t, n_phase):
+    """Numpy mirror of the kernel's exact bin map, for tests/validation:
+    bin = floor(frac(t) * n_phase) with frac per
+    :func:`fold_phase_vector`, computed bit-identically to the kernel's
+    int32 16-bit-split sequence."""
+    fold = np.asarray(fold, np.int64)
+    num = (fold[0] + np.asarray(t, np.int64) * fold[1]) & _FX_MASK
+    hi = num >> 16
+    lo = num & 0xFFFF
+    return ((hi * n_phase) + ((lo * n_phase) >> 16)) >> 15
+
+
+def _fold_vector(fold):
+    """Validate/convert the fold vector to the (3,) int32 the kernels
+    read from SMEM (see :func:`fold_phase_vector`)."""
+    fold = jnp.asarray(fold)
+    if fold.shape != (3,):
+        raise ValueError("fold must be a (3,) [i0_fx, p_fx, 0] vector; "
+                         "build it with fold_phase_vector()")
+    return fold.astype(jnp.int32)
+
+
+def _check_n_phase(n_phase):
+    """The in-kernel 16-bit-split bin extraction is exact only for
+    n_phase <= 2^15 (see _k3_fold_body)."""
+    n_phase = int(n_phase)
+    if not 0 < n_phase <= (1 << 15):
+        raise ValueError(f"n_phase={n_phase} must be in [1, 32768]")
+    return n_phase
+
+
+def dedisperse_fold_pow2(x2, chirp_storage_r, chirp_storage_i, fold, *,
+                         n_phase, pad_start,
                          n_valid, block_b=None, block_c=None,
                          interpret=None):
     """Fully fused dedisperse → detect → fold for one padded window.
@@ -877,12 +919,10 @@ def dedisperse_fold_pow2(x2, chirp_storage_r, chirp_storage_i, i0, *,
 
     Parameters beyond :func:`dedisperse_pow2_planes`:
 
-    i0 : (1,) int32 array
-        Global fold offset of local time index 0, reduced mod ``per_q``
-        (must be non-negative).
-    per_p, per_q : int
-        Pulse period as the rational ``per_p``/``per_q`` expressed via
-        bin = ((t mod q)·p mod q)·n_phase // q.
+    fold : (3,) int32 array
+        Fixed-point fold vector ``[i0_fx, p_fx, 0]`` from
+        :func:`fold_phase_vector`: phase at local time index 0 and phase
+        rate per sample, both in units of 2^-31 cycle.
     pad_start, n_valid : int
         Valid (non-halo) rows are ``[pad_start, pad_start + n_valid)``;
         everything else lands in trash row ``n_phase``.
@@ -899,16 +939,16 @@ def dedisperse_fold_pow2(x2, chirp_storage_r, chirp_storage_i, i0, *,
         interpret = jax.default_backend() != "tpu"
     return _dedisperse_fold_impl(
         x2, chirp_storage_r, chirp_storage_i,
-        _fold_vector(i0, per_p, per_q),
+        _fold_vector(fold),
         n1=n1, n2=n2, block_b=block_b, block_c=block_c,
-        n_phase=int(n_phase),
+        n_phase=_check_n_phase(n_phase),
         pad_start=int(pad_start), n_valid=int(n_valid),
         interpret=interpret)
 
 
 def dedisperse_fold_stream(x2, front, end, chirp_storage_r,
-                           chirp_storage_i, i0, scale, *, per_p=None,
-                           per_q=None, n_phase, pad_start, n_valid,
+                           chirp_storage_i, fold, scale, *,
+                           n_phase, pad_start, n_valid,
                            block_b=None, block_c=None, interpret=None):
     """As :func:`dedisperse_fold_pow2` but windowless: the padded
     overlap-save window is assembled *inside* the stage-A kernel from the
@@ -942,10 +982,10 @@ def dedisperse_fold_stream(x2, front, end, chirp_storage_r,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kw = dict(n1=n1, n2=n2, block_b=block_b, block_c=block_c,
-              n_phase=int(n_phase),
+              n_phase=_check_n_phase(n_phase),
               pad_start=int(pad_start), n_valid=int(n_valid),
               interpret=interpret)
-    fold = _fold_vector(i0, per_p, per_q)
+    fold = _fold_vector(fold)
     if chirp_storage_i is None:
         return _dedisperse_fold_stream_theta_impl(
             x2, front, end, chirp_storage_r, fold, scale, **kw)

@@ -1,9 +1,10 @@
 """Drifting-pulsar folding in the fused pipeline (models/foldmodel.py).
 
-The fused kernels fold with exact integer modular arithmetic; FoldModel
-re-encodes a drifting polyco phase as per-block (i0, p, q) triples.  These
-tests pin (a) the rational encoding itself, (b) agreement of the fused
-fold with host two-double Phase binning at bench scale (>= 1e7 samples,
+The fused kernels fold with a fixed-point linear phase map (power-of-two
+modulus; ops/dedisperse_pallas._k3_fold_body); FoldModel re-encodes a
+drifting polyco phase as per-block fixed-point halves.  These tests pin
+(a) the fixed-point encoding itself, (b) agreement of the fused fold
+with host two-double Phase binning at bench scale (>= 1e7 samples,
 >= 60 dB), and (c) agreement with the eager library Fold + PolycoPhase
 (reference integration.py:306-395 semantics).
 """
@@ -15,7 +16,9 @@ import jax
 import jax.numpy as jnp
 
 from baseband_tasks_tpu.models import WidebandPulsarPipeline
-from baseband_tasks_tpu.models.foldmodel import FoldModel, best_rational
+from baseband_tasks_tpu.models.foldmodel import (
+    FoldModel, best_rational, fixedpoint_foldv)
+from baseband_tasks_tpu.ops.dedisperse_pallas import fold_bins_ref
 from baseband_tasks_tpu.phases import Polyco, PolycoPhase
 from baseband_tasks_tpu.utils import Time, units as u
 
@@ -64,16 +67,17 @@ class TestBestRational:
             best_rational(-1.0)
 
 
-def _int_map_bins(foldv, t, n_phase):
-    """The kernel's exact integer map, in numpy int64 for checking."""
-    i0, p, q = (int(v) for v in foldv)
-    g = (i0 + t).astype(np.int64)
-    return (((g % q) * p) % q) * n_phase // q
+def _halves_bins(foldv, t, n_phase):
+    """Bins via the kernel's exact fixed-point map from (4,) halves."""
+    h = np.asarray(foldv, np.int64)
+    return fold_bins_ref([(h[0] << 16) | h[1], (h[2] << 16) | h[3], 0],
+                         t, n_phase)
 
 
 class TestFoldModelEncoding:
     def test_matches_host_phase(self):
-        """Integer-map bins reproduce two-double Phase bins to ~1e-4."""
+        """Fixed-point bins reproduce two-double Phase bins except for
+        rare bin-boundary flips."""
         pp = make_polyco()
         t0 = Time.from_mjd(TMID)
         n_phase = 64
@@ -82,7 +86,7 @@ class TestFoldModelEncoding:
         for offset in (0, 10 * T, 100 * T):
             foldv = fm.foldv(offset, T)
             t = np.arange(T)
-            bins = _int_map_bins(foldv, t, n_phase)
+            bins = _halves_bins(foldv, t, n_phase)
             # host truth at two-double precision
             from baseband_tasks_tpu.integration import _phase_to_cycles
             times = t0 + u.Quantity((offset + t) / RATE, u.s)
@@ -90,9 +94,10 @@ class TestFoldModelEncoding:
             frac = (hi - np.floor(hi)) + lo
             frac -= np.floor(frac)
             ref = np.minimum((frac * n_phase).astype(np.int64), n_phase - 1)
-            # mismatches can only be bin-boundary flips; their rate is
-            # bounded by the 0.5/q phase granularity of the encoding:
-            # P(flip) ~ 2 n_phase (0.5/q + eps) ~ 2e-4 for q ~ 3e5
+            # mismatches can only be bin-boundary flips; the linear
+            # drift is bounded by the 2^-32 cycle/sample rate
+            # quantization (~2^-16 cycle over the block) plus the
+            # model's within-block curvature
             bad = bins != ref
             assert bad.mean() < 5e-4
             if bad.any():
@@ -100,12 +105,24 @@ class TestFoldModelEncoding:
                 assert np.all((diff == 1) | (diff == n_phase - 1))
 
     def test_f32_roundtrip_exact(self):
+        """Halves must survive the f32-only device boundary exactly."""
         pp = make_polyco()
         fm = FoldModel(pp, Time.from_mjd(TMID), u.Quantity(RATE, u.Hz), 64)
         foldv = fm.foldv(12345, 1 << 14)
         assert foldv.dtype == np.float32
+        assert foldv.shape == (4,)
         assert np.all(foldv == np.round(foldv))
-        assert np.all(foldv < 1 << 24)
+        assert np.all(foldv < 1 << 16)
+        assert np.all(foldv >= 0)
+
+    def test_fixedpoint_encoding_precision(self):
+        """fixedpoint_foldv quantizes phase/rate to 2^-31 cycle."""
+        phase0, rate = 0.123456789, 2.5e-3
+        h = np.asarray(fixedpoint_foldv(phase0, rate), np.int64)
+        i0 = (h[0] << 16) | h[1]
+        p = (h[2] << 16) | h[3]
+        assert abs(i0 / 2 ** 31 - phase0) <= 2 ** -32
+        assert abs(p / 2 ** 31 - rate) <= 2 ** -32
 
 
 def _profile_snr_db(ref, test):
@@ -196,7 +213,8 @@ class TestFusedPolycoFold:
             xf[bins.astype(int) == 17] += 6.0
             foldv = pipe.fold_model.foldv(offset, T)
             pa, _ = step(jnp.asarray(xf), jnp.asarray(foldv))
-            fixed = np.array([offset % q_fix, p_fix, q_fix], np.float32)
+            fixed = fixedpoint_foldv(offset * p_fix % q_fix / q_fix,
+                                     p_fix / q_fix)
             pf, _ = step(jnp.asarray(xf), jnp.asarray(fixed))
             prof_poly += np.asarray(pa).sum(axis=(1, 2))
             prof_fix += np.asarray(pf).sum(axis=(1, 2))

@@ -8,6 +8,7 @@ import pytest
 
 from baseband_tasks_tpu.ops.dedisperse_pallas import (
     dedisperse_pow2, dedisperse_pow2_planes, dedisperse_fold_pow2,
+    fold_phase_vector, fold_bins_ref,
     permute_to_storage_order, stockham_ref, split_n)
 
 
@@ -71,19 +72,41 @@ class TestDedispersePow2:
                             None, None)
 
 
+class TestFoldEncoding:
+    def test_vector_and_bins_match_f64_phase(self):
+        """fold_phase_vector + fold_bins_ref reproduce floor(frac * n)
+        of the f64 linear phase (up to the 2^-31 quantization)."""
+        phase0, rate, n_phase = 0.8117, 3 / 700, 64
+        fold = fold_phase_vector(phase0, rate)
+        assert fold.dtype == np.int32 and fold.shape == (3,)
+        t = np.arange(1 << 14)
+        bins = fold_bins_ref(fold, t, n_phase)
+        frac = (phase0 + t * rate) % 1.0
+        ref = np.minimum((frac * n_phase).astype(np.int64), n_phase - 1)
+        bad = bins != ref
+        # only bin-boundary flips from the 2^-31 quantization are allowed
+        assert bad.mean() < 1e-3
+        if bad.any():
+            d = (bins[bad] - ref[bad]) % n_phase
+            assert np.all((d == 1) | (d == n_phase - 1))
+
+    def test_bin_range(self):
+        fold = np.array([(1 << 31) - 1, 12345, 0], np.int32)
+        bins = fold_bins_ref(fold, np.arange(4096), 32768)
+        assert bins.min() >= 0 and bins.max() <= 32767
+
+
 class TestFusedFold:
     def test_matches_power_plus_host_fold(self):
         n, L = 1024, 8
-        per_p, per_q, n_phase = 3, 700, 16
+        n_phase = 16
         pad_start, n_valid = 128, 768
-        i0 = 55
+        fold = fold_phase_vector(55 * 3 / 700, 3 / 700)
         x, cs, expected = make_case(n, L, seed=4)
         power = np.abs(expected) ** 2
-        # host fold over the valid rows only
+        # host fold over the valid rows only, with the kernel's exact map
         j = np.arange(n)
-        idx = (i0 + j - 0) % per_q
-        num = (idx * per_p) % per_q
-        bins = (num * n_phase) // per_q
+        bins = fold_bins_ref(fold, j, n_phase)
         valid = (j >= pad_start) & (j < pad_start + n_valid)
         prof_ref = np.zeros((n_phase + 1, L), np.float32)
         cnt_ref = np.zeros(n_phase + 1, np.float32)
@@ -92,12 +115,10 @@ class TestFusedFold:
             prof_ref[b] += power[jj]
             cnt_ref[b] += 1
         x2 = np.stack([np.real(x), np.imag(x)]).astype(np.float32)
-        import jax.numpy as jnp
         prof, cnt = dedisperse_fold_pow2(
             x2, np.real(cs).astype(np.float32),
             np.imag(cs).astype(np.float32),
-            jnp.asarray([i0], jnp.int32),
-            per_p=per_p, per_q=per_q, n_phase=n_phase,
+            fold, n_phase=n_phase,
             pad_start=pad_start, n_valid=n_valid)
         np.testing.assert_allclose(np.asarray(cnt), cnt_ref, atol=0)
         np.testing.assert_allclose(np.asarray(prof), prof_ref,
@@ -108,16 +129,31 @@ class TestFusedFold:
         n_phase = 8
         x, cs, _ = make_case(n, L, seed=5)
         x2 = np.stack([np.real(x), np.imag(x)]).astype(np.float32)
-        import jax.numpy as jnp
         prof, cnt = dedisperse_fold_pow2(
             x2, np.real(cs).astype(np.float32),
             np.imag(cs).astype(np.float32),
-            jnp.asarray([0], jnp.int32),
-            per_p=1, per_q=100, n_phase=n_phase,
+            fold_phase_vector(0.0, 1 / 100), n_phase=n_phase,
             pad_start=64, n_valid=n - 128)
         cnt = np.asarray(cnt)
         assert cnt[n_phase] == 128          # pad_start + pad_end rows
         assert cnt[:n_phase].sum() == n - 128
+
+    def test_rejects_bad_fold_vector(self):
+        n, L = 512, 8
+        x, cs, _ = make_case(n, L, seed=6)
+        x2 = np.stack([np.real(x), np.imag(x)]).astype(np.float32)
+        with pytest.raises(ValueError, match="fold_phase_vector"):
+            dedisperse_fold_pow2(
+                x2, np.real(cs).astype(np.float32),
+                np.imag(cs).astype(np.float32),
+                np.array([0], np.int32), n_phase=8,
+                pad_start=64, n_valid=n - 128)
+        with pytest.raises(ValueError, match="n_phase"):
+            dedisperse_fold_pow2(
+                x2, np.real(cs).astype(np.float32),
+                np.imag(cs).astype(np.float32),
+                fold_phase_vector(0.0, 0.01), n_phase=1 << 16,
+                pad_start=64, n_valid=n - 128)
 
 
 class TestStreamWindow:
@@ -140,15 +176,14 @@ class TestStreamWindow:
         cs = permute_to_storage_order(chirp, n1, n2)
         scale = np.float32(1.25)
         window = np.concatenate([fr, xm, en], axis=1) * scale
-        i0 = jnp.asarray([17], jnp.int32)
-        kw = dict(per_p=3, per_q=500, n_phase=16, pad_start=p0,
-                  n_valid=t_main)
+        fold = fold_phase_vector(17 * 3 / 500, 3 / 500)
+        kw = dict(n_phase=16, pad_start=p0, n_valid=t_main)
         prof_ref, cnt_ref = dedisperse_fold_pow2(
             window, np.real(cs).astype(np.float32),
-            np.imag(cs).astype(np.float32), i0, **kw)
+            np.imag(cs).astype(np.float32), fold, **kw)
         prof, cnt = dedisperse_fold_stream(
             xm, fr, en, np.real(cs).astype(np.float32),
-            np.imag(cs).astype(np.float32), i0,
+            np.imag(cs).astype(np.float32), fold,
             jnp.asarray([scale], jnp.float32), **kw)
         np.testing.assert_allclose(np.asarray(cnt), np.asarray(cnt_ref),
                                    atol=0)
@@ -168,9 +203,9 @@ class TestStreamWindow:
                 np.zeros((2, 3, 8), np.float32),
                 np.zeros((n2, n1, 8), np.float32),
                 np.zeros((n2, n1, 8), np.float32),
-                jnp.asarray([0], jnp.int32),
+                fold_phase_vector(0.0, 0.01),
                 jnp.asarray([1.0], jnp.float32),
-                per_p=1, per_q=100, n_phase=8, pad_start=n2,
+                n_phase=8, pad_start=n2,
                 n_valid=n - n2 - 3)
 
     def test_theta_plane_matches_cos_sin(self):
@@ -191,14 +226,13 @@ class TestStreamWindow:
         chirp = np.exp(2j * np.pi * theta)
         cs = permute_to_storage_order(chirp.astype(np.complex64), n1, n2)
         ts = permute_to_storage_order(theta.astype(np.float32), n1, n2)
-        i0 = jnp.asarray([3], jnp.int32)
+        fold = fold_phase_vector(3 / 300, 1 / 300)
         sc = jnp.asarray([1.0], jnp.float32)
-        kw = dict(per_p=1, per_q=300, n_phase=8, pad_start=p0,
-                  n_valid=t_main)
+        kw = dict(n_phase=8, pad_start=p0, n_valid=t_main)
         prof_ref, cnt_ref = dedisperse_fold_stream(
             xm, fr, en, np.real(cs).astype(np.float32),
-            np.imag(cs).astype(np.float32), i0, sc, **kw)
-        prof, cnt = dedisperse_fold_stream(xm, fr, en, ts, None, i0, sc,
+            np.imag(cs).astype(np.float32), fold, sc, **kw)
+        prof, cnt = dedisperse_fold_stream(xm, fr, en, ts, None, fold, sc,
                                            **kw)
         np.testing.assert_allclose(np.asarray(cnt), np.asarray(cnt_ref),
                                    atol=0)
