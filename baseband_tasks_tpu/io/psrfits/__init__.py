@@ -25,6 +25,16 @@ from .search import SearchReader, SearchWriter
 __all__ = ["open", "PSRFITSReader", "PSRFITSWriter", "SearchReader",
            "SearchWriter"]
 
+def _float_card(header, key, default=0.0):
+    """Float card value, tolerating undefined markers real telescope
+    files carry (e.g. PUPPI writes ``ZERO_OFF= '*'``)."""
+    value = header.get(key, default)
+    try:
+        return float(value)
+    except (TypeError, ValueError):
+        return float(default)
+
+
 _POL_LABELS = {
     "AA,BB": ["AA", "BB"],
     "AABB": ["AA", "BB"],
@@ -78,7 +88,7 @@ class PSRFITSReader(Base):
             polarization=np.asarray(pols) if pols and len(pols) == npol
             else None)
         self._nbin, self._nchan, self._npol = nbin, nchan, npol
-        self._zero_off = float(hdr.get("ZERO_OFF", 0.0) or 0.0)
+        self._zero_off = _float_card(hdr, "ZERO_OFF")
 
     @property
     def telescope(self):

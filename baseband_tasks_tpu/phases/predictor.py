@@ -33,17 +33,33 @@ def _parse_d_float(s):
     return float(s.replace("D", "E").replace("d", "e"))
 
 
-def _fortran_d(x, width=20, digits=12):
-    """Fortran D-format float (tempo1 style, predictor.py:95-132)."""
-    s = f"{x:.{digits}E}"
-    mantissa, exp = s.split("E")
-    return f"{mantissa}D{int(exp):+03d}".rjust(width)
+def _fortran_d17(x):
+    """Fortran D-format with mantissa in [0.1, 1): ``0.x{17}D±ee``, 24
+    chars with sign column — the tempo1 polyco coefficient format
+    (reference predictor.py:408-412 defines the same convention)."""
+    m, e = f"{x:.16e}".split("e")
+    neg = m.startswith("-")
+    digits = m.lstrip("-").replace(".", "")
+    return ("-" if neg else " ") + "0." + digits + f"D{int(e) + 1:+03d}"
+
+
+def _two_part_fixed(int_part, frac_part, width, decimals):
+    """Fixed-point rendering of a two-double value without losing the
+    extra precision to a single float64 sum (e.g. RPHASE with 12 integer
+    digits and 6 decimals needs 18 significant digits)."""
+    neg = int_part < 0 or (int_part == 0 and frac_part < 0)
+    ip = abs(int(int_part))
+    fs = f"{abs(frac_part):.{decimals}f}"
+    if fs.startswith("1"):          # fraction rounded up to 1.0
+        ip += 1
+        fs = f"{0.0:.{decimals}f}"
+    return (("-" if neg else "") + str(ip) + fs[1:]).rjust(width)
 
 
 class PolycoEntry:
     __slots__ = ("psr", "date", "utc", "tmid", "dm", "doppler", "log10rms",
                  "rphase_int", "rphase_frac", "f0", "obs", "span", "ncoeff",
-                 "obsfreq", "binphase", "coeff")
+                 "obsfreq", "binphase", "forb", "coeff")
 
     def __init__(self, **kw):
         for k in self.__slots__:
@@ -103,6 +119,7 @@ class Polyco:
             ncoeff = int(h2[4])
             obsfreq = float(h2[5])
             binphase = float(h2[6]) if len(h2) > 6 else None
+            forb = float(h2[7]) if len(h2) > 7 else None
             ncoeff_lines = (ncoeff + 2) // 3
             coeff = []
             for j in range(ncoeff_lines):
@@ -113,7 +130,8 @@ class Polyco:
                 doppler=doppler, log10rms=log10rms,
                 rphase_int=rphase_int, rphase_frac=rphase_frac, f0=f0,
                 obs=obs, span=span, ncoeff=ncoeff, obsfreq=obsfreq,
-                binphase=binphase, coeff=np.array(coeff[:ncoeff])))
+                binphase=binphase, forb=forb,
+                coeff=np.array(coeff[:ncoeff])))
             i += 2 + ncoeff_lines
         return entries
 
@@ -214,28 +232,48 @@ class Polyco:
         return pol
 
     # -- writing ---------------------------------------------------------
-    def to_string(self):
+    def to_string(self, style="tempo2"):
+        """Polyco text in tempo1 or tempo2 style.
+
+        Matches the packages' own fixed-column layout byte-for-byte
+        (reference predictor.py:95-132 converter formats: psr <10s,
+        date >10s, utc 11.2f, mjd 20.11f, dm 21.6f, doppler 7.3f,
+        lgrms 7.3f / rphase 20.6f, f0 18.12f, obs >5s, span 5.0f,
+        ncoeff 5d, freq 10.3f [, binphase 7.4f, forb 9.4f]); the two
+        styles differ only in the coefficient float format (tempo1
+        Fortran ``0.x…D±ee``, tempo2 ``.17e``).  Verified by byte-exact
+        round-trips of the reference's real B1937 (tempo1) and B1957
+        (tempo2) polyco files.
+        """
         out = []
         for e in self.entries:
             mjd_hi, mjd_lo = e.tmid.mjd_pair
-            tmid_str = f"{mjd_hi + mjd_lo:.11f}"
-            out.append(f"{e.psr:<10s} {e.date:>9s} {e.utc:>11s} "
-                       f"{tmid_str:>20s} {e.dm:20.6f} "
-                       f"{e.doppler:21.6f} {e.log10rms:7.3f}")
-            rphase_str = (f"{int(e.rphase_int):d}"
-                          + f"{e.rphase_frac:.6f}".lstrip("-0")
-                          if e.rphase_frac >= 0 else
-                          f"{e.rphase_int + e.rphase_frac:.6f}")
-            out.append(f"{rphase_str:>20s} {_fortran_d(e.f0, 18)} "
-                       f"{e.obs:>5s} {e.span:5d} {e.ncoeff:5d} "
-                       f"{e.obsfreq:10.3f}"
-                       + (f" {e.binphase:7.4f}" if e.binphase is not None
-                          else ""))
+            ip = np.floor(mjd_hi)
+            line1 = (f"{e.psr:<10s}{e.date:>10s}{float(e.utc):11.2f}"
+                     + _two_part_fixed(ip, (mjd_hi - ip) + mjd_lo, 20, 11)
+                     + f"{e.dm:21.6f}{e.doppler:7.3f}{e.log10rms:7.3f}")
+            line2 = (_two_part_fixed(e.rphase_int, e.rphase_frac, 20, 6)
+                     + f"{e.f0:18.12f}{e.obs:>5s}{e.span:5d}{e.ncoeff:5d}"
+                     + f"{e.obsfreq:10.3f}")
+            if e.binphase is not None:
+                line2 += f"{e.binphase:7.4f}"
+                if e.forb is not None:
+                    line2 += f"{e.forb:9.4f}"
+            out.append(line1)
+            out.append(line2)
+            if style == "tempo1":
+                def cfmt(c):
+                    return _fortran_d17(c)
+            else:
+                def cfmt(c):
+                    return f"{c:24.17e}"
             for j in range(0, e.ncoeff, 3):
-                out.append("".join(_fortran_d(c, 25, 17)
-                                   for c in e.coeff[j:j + 3]))
+                out.append(" " + " ".join(cfmt(c)
+                                          for c in e.coeff[j:j + 3]))
         return "\n".join(out) + "\n"
 
-    def write(self, filename):
+    def write(self, filename, style="tempo2"):
         with open(filename, "w") as fh:
-            fh.write(self.to_string())
+            fh.write(self.to_string(style=style))
+
+    to_polyco = write

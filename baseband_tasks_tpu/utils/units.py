@@ -527,6 +527,8 @@ ms = Unit(1e-3, (0, 1, 0, 0), name="ms")
 us = Unit(1e-6, (0, 1, 0, 0), name="us")
 ns = Unit(1e-9, (0, 1, 0, 0), name="ns")
 minute = Unit(60.0, (0, 1, 0, 0), name="min")
+min = minute                # astropy-parity alias (shadows builtins.min
+#                             only inside this module's namespace)
 hour = Unit(3600.0, (0, 1, 0, 0), name="h")
 day = Unit(86400.0, (0, 1, 0, 0), name="d")
 yr = Unit(365.25 * 86400.0, (0, 1, 0, 0), name="yr")
