@@ -52,14 +52,14 @@ class PintPhase:
         import pint.models
         self.par_file = par_file
         self.model = pint.models.get_model(par_file)
-        self._toa_maker = PintToas(observatory, frequency, **kwargs)
+        self.toa_maker = PintToas(observatory, frequency, **kwargs)
 
     def __call__(self, t):
-        toas = self._toa_maker(t)
+        toas = self.toa_maker(t)
         ph = self.model.phase(toas)
         return Phase(np.asarray(ph.int), np.asarray(ph.frac))
 
     def apparent_spin_freq(self, t):
-        toas = self._toa_maker(t)
+        toas = self.toa_maker(t)
         f = self.model.d_phase_d_toa(toas)
         return u.Quantity(np.asarray(f.to_value("Hz")), u.Hz)

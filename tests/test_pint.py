@@ -1,0 +1,189 @@
+"""Contract tests of the PINT adapter (phases/core.py PintPhase,
+phases/pint_toas.py PintToas).
+
+pint-pulsar is an optional dependency and absent in this environment, so
+the plumbing is verified against a *stub* pint package (VERDICT round-1
+item 6): the stub records exactly what the adapter hands PINT — one
+vectorized ``get_TOAs_array`` call with a two-double MJD pair — and
+returns phases from a simple F0 model so the two-double extraction into
+:class:`Phase` can be checked end to end.  A real-PINT test runs only
+when pint is importable (skip-gated), using the reference's NANOGrav
+B1937+21 par file.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from baseband_tasks_tpu.phases import Phase
+from baseband_tasks_tpu.utils import Time, units as u
+
+F0 = 641.928123            # Hz, stub model spin frequency
+PEPOCH = 58000.0           # MJD
+
+
+class _StubTOAs:
+    def __init__(self, day, frac, obs, freqs, kwargs):
+        self.day = np.asarray(day)
+        self.frac = np.asarray(frac)
+        self.obs = obs
+        self.freqs = np.asarray(freqs)
+        self.kwargs = kwargs
+        self.shape = self.day.shape
+
+
+class _StubPhaseResult:
+    """Mimics pint.phase.Phase: .int and .frac attributes."""
+
+    def __init__(self, i, f):
+        self.int = i
+        self.frac = f
+
+
+class _StubQuantity:
+    def __init__(self, value):
+        self.value = np.asarray(value)
+
+    def to_value(self, unit):
+        assert unit == "Hz"
+        return self.value
+
+
+class _StubModel:
+    """phase(t) = F0 * (t - PEPOCH) in seconds, computed in two-double
+    so the stub itself does not round."""
+
+    def phase(self, toas):
+        cycles_day = F0 * 86400.0
+        hi = (toas.day - PEPOCH) * cycles_day
+        lo = toas.frac * cycles_day
+        i = np.round(hi) + np.round(lo)
+        f = (hi - np.round(hi)) + (lo - np.round(lo))
+        carry = np.round(f)
+        return _StubPhaseResult(i + carry, f - carry)
+
+    def d_phase_d_toa(self, toas):
+        return _StubQuantity(np.full(toas.shape, F0))
+
+
+calls = []
+
+
+@pytest.fixture
+def stub_pint(monkeypatch):
+    """Install a minimal fake pint package into sys.modules."""
+    calls.clear()
+    pint = types.ModuleType("pint")
+    pint_toa = types.ModuleType("pint.toa")
+    pint_models = types.ModuleType("pint.models")
+
+    def get_TOAs_array(times, obs, freqs=None, **kwargs):
+        day, frac = times
+        calls.append(("array", np.shape(day)))
+        return _StubTOAs(day, frac, obs, freqs, kwargs)
+
+    def get_model(par_file):
+        calls.append(("model", par_file))
+        return _StubModel()
+
+    pint_toa.get_TOAs_array = get_TOAs_array
+    pint_models.get_model = get_model
+    pint.toa = pint_toa
+    pint.models = pint_models
+    monkeypatch.setitem(sys.modules, "pint", pint)
+    monkeypatch.setitem(sys.modules, "pint.toa", pint_toa)
+    monkeypatch.setitem(sys.modules, "pint.models", pint_models)
+    return pint
+
+
+class TestPintToasContract:
+    def test_single_vectorized_call_with_two_double_mjd(self, stub_pint):
+        from baseband_tasks_tpu.phases.pint_toas import PintToas
+        maker = PintToas("ao", u.Quantity(1400.0, u.MHz))
+        t = Time.from_mjd(58001.0) + u.Quantity(np.arange(1000) * 1e-3,
+                                                u.s)
+        toas = maker(t)
+        # exactly ONE array call for 1000 samples, not a python loop
+        assert calls == [("array", (1000,))]
+        assert toas.obs == "ao"
+        np.testing.assert_array_equal(toas.freqs, 1400.0)
+        # two-double: (day, frac) with day integral and frac in [0, 1)
+        assert np.all(toas.day == np.floor(toas.day))
+        assert np.all((toas.frac >= 0) & (toas.frac < 1))
+        # sub-ns reconstruction of the time offsets
+        sec = ((toas.day - 58001.0) + toas.frac) * 86400.0
+        np.testing.assert_allclose(sec, np.arange(1000) * 1e-3, atol=1e-9)
+
+    def test_control_params_forwarded(self, stub_pint):
+        from baseband_tasks_tpu.phases.pint_toas import PintToas
+        maker = PintToas("gbt", u.Quantity(800.0, u.MHz),
+                         ephemeris="de436", include_bipm=False,
+                         custom_flag=7)
+        toas = maker(Time.from_mjd(58001.5))
+        assert toas.kwargs["ephem"] == "de436"
+        assert toas.kwargs["include_bipm"] is False
+        assert toas.kwargs["bipm_version"] == "BIPM2015"
+        assert toas.kwargs["custom_flag"] == 7
+
+    def test_frequency_broadcast(self, stub_pint):
+        from baseband_tasks_tpu.phases.pint_toas import PintToas
+        maker = PintToas("ao", u.Quantity(1400.0, u.MHz))
+        t = Time.from_mjd(58001.0) + u.Quantity(np.arange(8), u.s)
+        toas = maker(t)
+        assert toas.freqs.shape == (8,)
+
+
+class TestPintPhaseContract:
+    def test_phase_and_frequency(self, stub_pint):
+        from baseband_tasks_tpu.phases.core import PintPhase
+        pp = PintPhase("fake.par", "ao", u.Quantity(1400.0, u.MHz))
+        assert ("model", "fake.par") in calls
+        t = Time.from_mjd(PEPOCH) + u.Quantity(np.arange(64) / 64.0, u.s)
+        ph = pp(t)
+        assert isinstance(ph, Phase)
+        # stub model: phase = F0 * dt_sec; check two-double agreement
+        expect = np.arange(64) / 64.0 * F0
+        got = np.asarray(ph.count, dtype=np.float64) \
+            + np.asarray(ph.fraction, dtype=np.float64)
+        np.testing.assert_allclose(got, expect, atol=1e-8)
+        f = pp.apparent_spin_freq(t)
+        np.testing.assert_array_equal(np.asarray(f.to_value(u.Hz)), F0)
+
+    def test_missing_pint_raises_clear_error(self, monkeypatch):
+        for name in list(sys.modules):
+            if name == "pint" or name.startswith("pint."):
+                monkeypatch.delitem(sys.modules, name)
+        monkeypatch.setitem(sys.modules, "pint", None)
+        from baseband_tasks_tpu.phases.core import PintPhase
+        with pytest.raises(ImportError, match="pint-pulsar"):
+            PintPhase("fake.par", "ao", u.Quantity(1400.0, u.MHz))
+
+
+HAVE_PINT = False
+try:                       # pragma: no cover - environment-dependent
+    import pint.models     # noqa: F401
+    HAVE_PINT = True
+except Exception:
+    pass
+
+PAR = "/root/reference/baseband_tasks/tests/data/B1937+21_NANOGrav_11yv1.gls.par"
+
+
+@pytest.mark.skipif(not (HAVE_PINT and os.path.exists(PAR)),
+                    reason="pint-pulsar not installed")
+class TestPintPhaseReal:
+    """Real-PINT cross-validation against the reference's B1937 polyco
+    (reference tests/test_phases.py:26-60)."""
+
+    def test_polyco_vs_pint(self):
+        from baseband_tasks_tpu.phases import PintPhase, PolycoPhase
+        poly = PolycoPhase(
+            "/root/reference/baseband_tasks/tests/data/B1937_polyco.dat")
+        pintp = PintPhase(PAR, "ao", u.Quantity(1400.0, u.MHz))
+        t = Time.from_mjd(58245.0) + u.Quantity(np.arange(16), u.s)
+        dp = poly(t) - pintp(t)
+        frac = np.asarray(dp.fraction, dtype=np.float64)
+        assert np.all(np.abs(frac - frac.mean()) < 1e-4)
