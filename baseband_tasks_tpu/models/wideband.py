@@ -364,6 +364,23 @@ class WidebandPulsarPipeline:
         cnt = jax.lax.psum(cnt[:self.n_phase], "time")
         return prof, cnt
 
+    def _local_step_pallas_split_packed(self, cr, ci, csr, csi, off,
+                                        foldv):
+        """Packed-8-bit ingest step: ``cr``/``ci`` are (T, L/4) float32
+        carriers whose bit patterns hold one offset-binary byte per
+        real/imag component (L = C_local * n_pol component order, four
+        consecutive components per 32-bit word).  Decodes on device and
+        runs :meth:`_local_step_pallas_split`; the 1/64 scale keeps the
+        decoded values in a unit-ish range."""
+        from ..ops.unpack_device import unpack_8bit_device
+        T = cr.shape[0]
+        c_local = cr.shape[1] * 4 // self.n_pol
+        xr = unpack_8bit_device(cr).reshape(T, c_local, self.n_pol) \
+            * jnp.float32(1.0 / 64.0)
+        xi = unpack_8bit_device(ci).reshape(T, c_local, self.n_pol) \
+            * jnp.float32(1.0 / 64.0)
+        return self._local_step_pallas_split(xr, xi, csr, csi, off, foldv)
+
     def _local_step_pallas_split(self, xr, xi, csr, csi, off, foldv):
         """Split-plane fused step: like :meth:`_local_step_pallas_planes`
         but carrying separate (T, C, P) re/im arrays — flat planes stream
@@ -517,7 +534,7 @@ class WidebandPulsarPipeline:
                           self.n_phase - 1)
         return bins.astype(np.float32)
 
-    def run_fn(self, n_iter, offset0=0):
+    def run_fn(self, n_iter, offset0=0, ingest_bits=None):
         """A jitted on-device loop of ``n_iter`` pipeline steps.
 
         Each iteration generates a fresh noise block on device (counter
@@ -532,10 +549,24 @@ class WidebandPulsarPipeline:
         the flagship then folds a *drifting* pulsar with no extra device
         work per sample (reference integration.py:380-395 semantics).
 
+        With ``ingest_bits=8`` (pallas mode only) the loop input is
+        *packed offset-binary bytes* resident in HBM — one byte per
+        real/imag component, carried in float32 bit patterns — and each
+        iteration starts with the on-device decode
+        (ops/unpack_device.unpack_8bit_device).  This is the honest
+        "from 8-bit baseband" configuration: the decode's HBM cost
+        (1-byte read + full-width write per component) is inside the
+        timed loop.  Reference analogue: the decode layer under
+        ``Base.read`` (base.py:389-438).
+
         Returns ``run(seed) -> (profile_sum, count_sum)``.
         """
         T = self.global_block
         per_q = float(self._per_q)
+        if ingest_bits not in (None, 8):
+            raise ValueError("ingest_bits must be None or 8")
+        if ingest_bits and not self.use_pallas:
+            raise ValueError("packed ingest requires use_pallas=True")
         if self.fold_model is not None:
             fold_table = jnp.asarray(self.fold_model.table(
                 offset0 + np.arange(n_iter) * T, T))
@@ -546,8 +577,10 @@ class WidebandPulsarPipeline:
             # stage-A kernel from block + halo edges, the per-iteration
             # scale is applied there from SMEM, and re/im travel as two
             # flat arrays (full-bandwidth layout)
+            local = (self._local_step_pallas_split_packed if ingest_bits
+                     else self._local_step_pallas_split)
             sharded = jax.shard_map(
-                self._local_step_pallas_split, mesh=self.mesh,
+                local, mesh=self.mesh,
                 in_specs=(P("time", "chan"), P("time", "chan"),
                           P(None, None, "chan"), P(None, None, "chan"),
                           P(), P()),
@@ -557,7 +590,13 @@ class WidebandPulsarPipeline:
             spec = NamedSharding(self.mesh, P(None, None, "chan"))
             chirp_args = (jax.device_put(csr, spec),
                           jax.device_put(csi, spec))
-            shape = (T, self.n_chan, self.n_pol)
+            if ingest_bits:
+                L = self.n_chan * self.n_pol
+                if (L // self.n_chan_shards) % 4:
+                    raise ValueError("packed ingest needs 4 | L per shard")
+                shape = (T, L // 4)
+            else:
+                shape = (T, self.n_chan, self.n_pol)
             split_planes = True
         else:
             sharded, chirp_args = self._sharded_and_chirp()
@@ -576,6 +615,12 @@ class WidebandPulsarPipeline:
                                                            else 1))
         def jgen(seed):
             key = jax.random.key(seed.astype(jnp.int32))
+            if split_planes and ingest_bits:
+                # packed bytes as f32 carriers (uniform random payload)
+                return tuple(jax.lax.bitcast_convert_type(
+                    jax.random.bits(jax.random.fold_in(key, i), shape,
+                                    jnp.uint32), jnp.float32)
+                    for i in (0, 1))
             if split_planes:
                 return (jax.random.normal(key, shape, jnp.float32),
                         jax.random.normal(jax.random.fold_in(key, 1),

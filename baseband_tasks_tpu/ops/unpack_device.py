@@ -1,0 +1,103 @@
+"""On-device bit-unpacking: packed baseband bytes -> float32 samples.
+
+Device-side counterpart of the host LUT decoder (native/unpack.c; the
+reference decodes under ``Base.read`` via numpy fancy indexing,
+/root/reference/baseband_tasks/io/hdf5/payload.py:164-178).  The decode
+conventions match the host decoder bit-for-bit:
+
+- 8-bit: offset binary, ``sample = byte - offset`` (default 127.5);
+- 4-bit: two components per byte, LOW nibble first, ``nibble - offset``;
+- 2-bit: four components per byte, LSB-first crumbs, mapped through a
+  4-entry level table (VDIF levels by default);
+- 1-bit: eight components per byte, LSB first, mapped to ±1.
+
+The TPU transfer boundary in this environment carries float32 only, so
+packed bytes travel (and live in HBM) as float32 whose *bit pattern* is
+four payload bytes — verified to survive host<->device transfers exactly,
+including NaN payloads.  Inside jit, ``lax.bitcast_convert_type``
+recovers the uint32 words and shifts/masks expand them; the 2/4-level
+tables are applied arithmetically (polynomial in the crumb value), so the
+whole decode is elementwise VPU work that XLA fuses into whatever
+consumes the samples — no gather, no HBM round-trip.
+
+Throughput note: packed samples cost 1/4 (8-bit) to 1/16 (2-bit) of the
+HBM read traffic of float32 planes; fusing decode into an HBM-bound
+pipeline *reduces* total traffic rather than adding a pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["pack_bytes_to_f32", "words_from_f32", "unpack_8bit_device",
+           "unpack_4bit_device", "unpack_2bit_device",
+           "unpack_1bit_device", "VDIF_2BIT_LEVELS"]
+
+# standard VDIF 2-bit reconstruction levels (domain constant; also used
+# by the host decoder and io/vdif.py)
+VDIF_2BIT_LEVELS = np.array([-3.3359, -1.0, 1.0, 3.3359], dtype=np.float32)
+
+
+def pack_bytes_to_f32(raw):
+    """Host helper: uint8 payload -> float32 carrier array (little-endian
+    4-bytes-per-word), padded with zero bytes to a multiple of 4."""
+    raw = np.ascontiguousarray(raw, dtype=np.uint8).ravel()
+    pad = (-raw.size) % 4
+    if pad:
+        raw = np.concatenate([raw, np.zeros(pad, np.uint8)])
+    return raw.view("<u4").view(np.float32)
+
+
+def words_from_f32(x):
+    """f32 carrier -> uint32 words (jit-side)."""
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def _fields(x, bits):
+    """Split each uint32 word of the f32 carrier into its 32/bits
+    subfields, flattened in stream (LSB-first) order along the last
+    axis: (..., n) f32 -> (..., n * 32//bits) int32."""
+    u = words_from_f32(x)
+    per = 32 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    parts = [((u >> jnp.uint32(bits * k)) & mask).astype(jnp.int32)
+             for k in range(per)]
+    stacked = jnp.stack(parts, axis=-1)
+    return stacked.reshape(*u.shape[:-1], u.shape[-1] * per)
+
+
+def unpack_8bit_device(x, offset=127.5):
+    """f32 carrier (..., n) -> (..., 4n) float32 samples, byte - offset."""
+    return _fields(x, 8).astype(jnp.float32) - jnp.float32(offset)
+
+
+def unpack_4bit_device(x, offset=7.5):
+    """f32 carrier (..., n) -> (..., 8n) float32 samples, nibble - offset
+    (low nibble of each byte first)."""
+    return _fields(x, 4).astype(jnp.float32) - jnp.float32(offset)
+
+
+def unpack_2bit_device(x, levels=None):
+    """f32 carrier (..., n) -> (..., 16n) float32 samples via a 4-level
+    table (LSB-first crumbs).
+
+    The table lookup is two nested VPU selects (gather-free, and
+    bit-identical to the host LUT — a fitted polynomial would round).
+    """
+    if levels is None:
+        levels = VDIF_2BIT_LEVELS
+    lv = [jnp.float32(v) for v in np.asarray(levels, dtype=np.float32)]
+    c = _fields(x, 2)
+    return jnp.where(c < 2,
+                     jnp.where(c == 0, lv[0], lv[1]),
+                     jnp.where(c == 2, lv[2], lv[3]))
+
+
+def unpack_1bit_device(x, low=-1.0, high=1.0):
+    """f32 carrier (..., n) -> (..., 32n) float32 samples: bit ? high :
+    low (LSB first)."""
+    b = _fields(x, 1).astype(jnp.float32)
+    return jnp.float32(low) + b * jnp.float32(high - low)
