@@ -32,14 +32,24 @@ def initialize(coordinator_address=None, num_processes=None,
     With no arguments, uses the TPU pod environment (auto-detection); a
     no-op when the runtime is single-process.  Safe to call always.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
+    # NB: do not touch jax.process_count()/device_count() before the
+    # distributed init — the first device query initializes the backend,
+    # after which jax.distributed.initialize silently cannot take effect.
+    explicit = coordinator_address is not None or num_processes is not None
+    if not explicit and not _in_multihost_env():
+        return
+    if explicit and "cpu" in str(jax.config.jax_platforms or ""):
+        # multi-process CPU runs (tests, local dryruns) need gloo
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
     try:
-        if coordinator_address is not None or num_processes is not None:
+        if explicit:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes, process_id=process_id)
-        elif _in_multihost_env():
+        else:
             jax.distributed.initialize()
     except RuntimeError:
         # already initialized
@@ -50,8 +60,7 @@ def _in_multihost_env():
     import os
     return any(os.environ.get(k) for k in
                ("COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
-                "MEGASCALE_COORDINATOR_ADDRESS")) \
-        and jax.device_count() > len(jax.local_devices())
+                "MEGASCALE_COORDINATOR_ADDRESS"))
 
 
 def pod_mesh(time=-1, chan=1):
