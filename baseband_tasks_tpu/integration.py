@@ -195,27 +195,46 @@ class Integrate(BaseTaskBase):
         offsets = target * (ih_rate / self._mean_f)
         t0 = self.ih._tell_time(self._ih_start)
         max_offset = self.ih.shape[0] - self._ih_start
+        # Tolerance, all in cycles: 1e-9 of a step, plus the phase
+        # advanced in 1e-3 input sample (cycles/sample = mean_f / rate).
+        cycles_per_sample = self._mean_f / ih_rate
+        tol_cycles = 1e-9 * self._step_cycles + 1e-3 * cycles_per_sample
         for _ in range(10):
             offsets = np.clip(offsets, 0.0, float(max_offset))
             t = t0 + u.Quantity(offsets / ih_rate, u.s)
             hi, lo = _phase_to_cycles(self._phase(t))
             achieved = (hi - self._phase0[0]) + (lo - self._phase0[1])
             err = target - achieved
-            if np.all(np.abs(err) < 1e-9 * self._step_cycles
-                      + 1.0 / max(ih_rate, 1.0) * self._mean_f * 0.001):
+            if np.all(np.abs(err) < tol_cycles):
                 break
-            offsets = offsets + err * (ih_rate / self._mean_f)
+            offsets = offsets + err / cycles_per_sample
         else:
-            if np.any(np.abs(err) * self._mean_f / ih_rate > 0.5):
+            # residual in input samples: err [cycles] / (cycles/sample)
+            if np.any(np.abs(err) / cycles_per_sample > 0.5):
                 warnings.warn("phase-to-offset inversion did not converge "
                               "to within half a sample.")
-        return np.round(np.clip(offsets, 0, max_offset)).astype(np.int64)
+        out = np.round(np.clip(offsets, 0, max_offset)).astype(np.int64)
+        # Bin edges must be non-decreasing even when some targets are
+        # unreachable (phase glitch/discontinuity): oscillating estimates
+        # would corrupt the searchsorted binning downstream.  Clamp
+        # unreachable edges to the last reachable offset.
+        if out.ndim:
+            out = np.maximum.accumulate(out)
+        return out
 
     # -- frame computation ----------------------------------------------
     def _read_frame(self, frame_index):
         spf = self._samples_per_frame
         bin0 = frame_index * spf
         n_bins = min(spf, self._shape[0] - bin0)
+        return self._integrate_bins(bin0, n_bins)
+
+    def _integrate_bins(self, bin0, n_bins):
+        """Accumulate ``n_bins`` bins starting at ``bin0`` on the
+        step grid.  Explicit geometry (instead of deriving it from
+        ``_shape``/``_samples_per_frame``) keeps this reentrant, so
+        subclasses with a different output layout (PulseStack's
+        (pulse, phase) frames) can delegate without mutating state."""
         edges = self._get_offsets(bin0 + np.arange(n_bins + 1))
         start, stop = int(edges[0]), int(edges[-1])
         edges = edges - start
@@ -367,20 +386,11 @@ class PulseStack(Integrate):
         spf = self._samples_per_frame
         pulse0 = frame_index * spf
         n_pulse = min(spf, self._shape[0] - pulse0)
-        # Delegate to Integrate with phase-bin granularity.
-        saved_shape = self._shape
-        saved_spf = self._samples_per_frame
-        try:
-            self._shape = (saved_shape[0] * self._n_phase,) + self.ih.sample_shape
-            self._samples_per_frame = saved_spf * self._n_phase
-            frame = Integrate._read_frame(self, frame_index)
-        finally:
-            self._shape = saved_shape
-            self._samples_per_frame = saved_spf
-        if isinstance(frame, np.ndarray):
-            return frame.reshape((n_pulse, self._n_phase)
-                                 + self.ih.sample_shape)
-        return frame.reshape((n_pulse, self._n_phase) + self.ih.sample_shape)
+        # Delegate to Integrate on the fine (phase-step) bin grid.
+        frame = self._integrate_bins(pulse0 * self._n_phase,
+                                     n_pulse * self._n_phase)
+        return frame.reshape((n_pulse, self._n_phase)
+                             + self.ih.sample_shape)
 
     def _tell_time(self, offset):
         return Integrate._tell_time(self, offset * self._n_phase)

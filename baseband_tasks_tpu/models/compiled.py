@@ -2,17 +2,27 @@
 
 The lazy Stream API (base.py) drives each node's frame from the host —
 right for interactive use, wrong for production throughput (every stage is
-a separate dispatch).  :class:`CompiledPipeline` walks a chain of tasks and
+a separate dispatch).  :class:`CompiledPipeline` walks a task graph and
 compiles the whole thing into a single per-block step function, then
 drives it with ``jax.lax.scan`` over time blocks, with overlap-save pads
 carried as scan state instead of re-read — the declarative
 "pipeline graph → scan over blocks" design of SURVEY.md §7.
 
-Supported chains: linear sequences of ``TaskBase`` subclasses whose
-``task`` is a pure device function (Channelize, Dechannelize, Square,
-Power, Real2Complex, Task, SetAttribute, Convolve, Disperse/Dedisperse,
-ShiftAndResample, ShiftSamples, PFBs...).  Integrate/Fold use host
-bookkeeping and are applied downstream of the compiled part.
+Supported graphs:
+
+* linear sequences of ``TaskBase`` subclasses whose ``task`` is a pure
+  device function (Channelize, Dechannelize, Square, Power, Real2Complex,
+  Task, SetAttribute, Convolve, Disperse/Dedisperse, ShiftAndResample,
+  ShiftSamples, PFBs...);
+* multi-input graphs: ``CombineStreamsBase`` nodes (CombineStreams,
+  Concatenate, Stack) join several such chains; the compiled step takes
+  one source block per input stream (reference combining.py:11-128);
+* a trailing ``Integrate`` / ``Fold`` / ``PulseStack`` reduction: its
+  per-sample bin assignment is evaluated on the host at two-double Phase
+  precision (reference integration.py:174-228,380-395), shipped to the
+  device as per-block segment-id planes, and accumulated across the scan
+  with ``segment_sum`` — so folding is part of the single compiled loop
+  instead of a separate host-driven pass.
 
 Streaming semantics: each padded stage carries its last ``pad`` input
 samples; it therefore needs one window of history before its output
@@ -31,12 +41,17 @@ tasks, the Gibbs-tail margin).
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from ..base import BaseTaskBase, PaddedTaskBase, SetAttribute, TaskBase
+from ..combining import CombineStreamsBase
+from ..integration import Fold, Integrate
+from ..utils import units as u
 
 __all__ = ["CompiledPipeline"]
 
@@ -55,92 +70,158 @@ class _Stage:
         self.in_dtype = node.ih.dtype
 
 
+def _lcm(a, b):
+    return int(np.lcm(int(a), int(b)))
+
+
 class CompiledPipeline:
-    """Compile a lazy task chain into one jitted block step.
+    """Compile a lazy task graph into one jitted block step.
 
     Parameters
     ----------
     tail : stream
-        The chain's last node; its ``ih`` ancestry is walked up to the
-        source.  The source itself is *not* compiled — blocks of source
-        samples are the step input.
+        The graph's last node; its input ancestry is walked up to the
+        source stream(s).  Sources themselves are *not* compiled — blocks
+        of source samples are the step input (one block per source).  A
+        trailing Integrate/Fold/PulseStack is absorbed as an in-scan
+        reduction (see module docstring).
     """
 
     def __init__(self, tail):
-        nodes = []
-        node = tail
-        while isinstance(node, BaseTaskBase):
-            nodes.append(node)
-            node = node.ih
-        if not nodes:
+        # Split off a trailing reduction (Integrate and subclasses).
+        self.reduction = None
+        if isinstance(tail, Integrate):
+            self.reduction = tail
+            tail = tail.ih
+        self._tail = tail
+
+        # -- walk the graph into a post-order program --------------------
+        # entries: ("input", source_index) pushes a source block;
+        #          ("op", _Stage) transforms the top of stack;
+        #          ("combine", node, k) pops k values, pushes task(list).
+        program = []
+        sources = []
+
+        def build(node):
+            if isinstance(node, CombineStreamsBase):
+                for ih in node.ihs:
+                    build(ih)
+                program.append(("combine", node, len(node.ihs)))
+            elif isinstance(node, BaseTaskBase):
+                build(node.ih)
+                program.append(("entry", node))
+            else:
+                sources.append(node)
+                program.append(("input", len(sources) - 1))
+
+        build(tail)
+        if len(program) == 1:
             raise ValueError("tail has no task nodes to compile")
-        self.source = node
-        nodes.reverse()
+        self.sources = sources
+        self.source = sources[0]
 
-        # Determine the block size at the top: padded stages process whole
-        # windows (their cached responses are window-sized), so the block
-        # arriving at a padded stage must equal its samples_per_frame.
-        from fractions import Fraction
-        stages = []
-        scale = Fraction(1)   # top block -> block at the current stage
-        top_block = None
-        granularity = 1       # top block must be a multiple of this
+        # -- block-size constraints, in units of the tail block B --------
+        # Every point p in the program carries block_p = coef_p * B (an
+        # exact Fraction of the unknown tail block).  Non-padded
+        # rate-changing stages add a granularity requirement (whole groups
+        # of `q` inputs); padded stages pin block_p to samples_per_frame.
+        # Walk tail->sources to get coefficients, then sources->tail to
+        # collect constraints.
+        stages = []       # _Stage in program order (entry ops only)
+        pinned = None     # exact B from padded stages
+        constraints = []  # (coef, granularity): coef*B % gran == 0
+        delay_stack = []
+        coef_stack = []
 
-        for n in nodes:
+        for kind, *rest in program:
+            if kind == "input":
+                coef_stack.append(Fraction(1))
+                delay_stack.append(Fraction(0))
+                continue
+            if kind == "combine":
+                node, k = rest
+                coefs = coef_stack[-k:]
+                delays = delay_stack[-k:]
+                del coef_stack[-k:], delay_stack[-k:]
+                if len(set(coefs)) != 1:
+                    raise ValueError(
+                        "combined branches arrive with different block "
+                        "sizes; give their stages matching frame sizes")
+                if len(set(delays)) != 1:
+                    raise ValueError(
+                        f"combined branches have different streaming "
+                        f"delays {sorted(set(map(float, delays)))}: pad "
+                        f"the shorter branch (e.g. matching Disperse "
+                        f"stages) so compiled samples stay aligned")
+                if any(off != 0 for off in node._offsets):
+                    raise ValueError(
+                        "compiled combining requires already-aligned "
+                        "streams (zero start offsets)")
+                coef_stack.append(coefs[0])
+                delay_stack.append(delays[0])
+                stages.append(_CombineStage(node, k))
+                continue
+            n = rest[0]
             if isinstance(n, SetAttribute):
                 stages.append(_Stage(n, False, 0, None, None))
                 continue
             if isinstance(n, PaddedTaskBase):
-                need = Fraction(n.samples_per_frame) / scale
+                # block at this point must equal samples_per_frame
+                need = Fraction(n.samples_per_frame) / coef_stack[-1]
                 if need.denominator != 1:
                     raise ValueError("incompatible frame sizes along the "
                                      "chain")
                 need = int(need)
-                if top_block is None:
-                    top_block = need
-                elif top_block != need:
+                if pinned is None:
+                    pinned = need
+                elif pinned != need:
                     raise ValueError(
                         f"padded stages disagree on block size: "
-                        f"{top_block} vs {need} source samples; construct "
-                        f"them with matching samples_per_frame")
+                        f"{pinned} vs {need} source samples; "
+                        f"construct them with matching samples_per_frame")
                 stages.append(_Stage(n, True, n.pad_start + n.pad_end,
                                      n.samples_per_frame,
                                      n.samples_per_frame))
+                delay_stack[-1] += n.pad_start + n.pad_end
                 continue
             if isinstance(n, TaskBase):
                 ratio = Fraction(n.samples_per_frame,
                                  n._ih_samples_per_frame)
                 stages.append(_Stage(n, False, 0, ratio.denominator,
                                      ratio.numerator))
-                # the block at this stage must hold whole groups of
-                # `denominator` input samples
-                need_top = (Fraction(ratio.denominator) / scale)
-                granularity = int(np.lcm(granularity,
-                                         max(need_top.numerator, 1)))
-                scale *= ratio
+                constraints.append((coef_stack[-1], ratio.denominator))
+                coef_stack[-1] *= ratio
+                delay_stack[-1] *= ratio
                 continue
             raise ValueError(f"cannot compile node {type(n).__name__}")
-        if top_block is None:
-            top_block = granularity
-        elif top_block % granularity:
-            raise ValueError(
-                f"block of {top_block} source samples does not hold whole "
-                f"groups for all rate-changing stages (need a multiple of "
-                f"{granularity})")
-        self.stages = stages
-        self.block_samples = top_block
-        self._tail = tail
 
-        # Streaming latency: each padded stage delays its output by `pad`
-        # samples at its own rate; rate changes scale it.  Outputs beyond
-        # `warmup` tail samples equal the eager chain's output at
-        # index - delay.
-        delay = Fraction(0)
-        for st in stages:
-            if st.padded:
-                delay += st.pad
-            elif st.in_block:
-                delay *= Fraction(st.out_block, st.in_block)
+        tail_coef = coef_stack[-1]
+        delay = delay_stack[-1]
+        # Block at point p is coef_p * B with B the (common) source block.
+        # coef_p*B must be an integer multiple of gran for each constraint
+        # (n/d)*B ≡ 0 mod g  ⇔  B multiple of g·d / gcd(n, g·d).
+        from math import gcd
+        B = 1
+        for coef, gran in constraints:
+            n_, d_ = coef.numerator, coef.denominator
+            B = _lcm(B, gran * d_ // gcd(n_, gran * d_))
+        if pinned is not None:
+            if pinned % B:
+                raise ValueError(
+                    f"block of {pinned} source samples does not hold "
+                    f"whole groups for all rate-changing stages (need a "
+                    f"multiple of {B})")
+            B = pinned
+
+        self.program = program
+        self.stages = stages
+        self.block_samples = B
+        self._tail_coef = tail_coef
+        t = tail_coef * B
+        if t.denominator != 1:
+            raise ValueError("tail block is not integral; incompatible "
+                             "frame sizes")
+        self.tail_block = int(t)
         self.delay = delay  # exact, in tail samples (may be fractional if
         #                     a rate change follows a padded stage)
         self.warmup = int(np.ceil(delay))
@@ -149,7 +230,7 @@ class CompiledPipeline:
     def init_carry(self):
         carries = []
         for st in self.stages:
-            if st.padded:
+            if isinstance(st, _Stage) and st.padded:
                 carries.append(jnp.zeros(
                     (st.pad,) + st.in_sample_shape,
                     st.in_dtype))
@@ -159,6 +240,8 @@ class CompiledPipeline:
         """Materialize lazy device caches eagerly: built inside a traced
         step they would capture tracers (chirps, response FTs, gains)."""
         for st in self.stages:
+            if not isinstance(st, _Stage):
+                continue
             n = st.node
             if getattr(n, "_chirp_cache", 1) is None:
                 n._chirp_cache = n._chirp()
@@ -180,16 +263,36 @@ class CompiledPipeline:
                     n._storage_response_cache = n._storage_response()
 
     def step_fn(self):
-        """(carry, block) -> (carry, out_block), jittable."""
+        """(carry, blocks) -> (carry, out_block), jittable.
+
+        ``blocks`` is a single source block for single-source graphs, or
+        a tuple of blocks (program input order) for multi-source graphs.
+        """
         self._prepare_caches()
         stages = self.stages
+        program = self.program
+        multi = len(self.sources) > 1
 
-        def step(carry, x):
+        def step(carry, xs):
+            inputs = xs if multi else (xs,)
+            stack = []
             new_carry = []
             ci = 0
-            for st in stages:
+            si = 0
+            for kind, *rest in program:
+                if kind == "input":
+                    stack.append(inputs[rest[0]])
+                    continue
+                st = stages[si]
+                si += 1
+                if isinstance(st, _CombineStage):
+                    args = stack[-st.k:]
+                    del stack[-st.k:]
+                    stack.append(st.node.task(list(args)))
+                    continue
                 if isinstance(st.node, SetAttribute):
                     continue
+                x = stack.pop()
                 if st.padded:
                     window = jnp.concatenate([carry[ci], x], axis=0)
                     new_carry.append(window[-st.pad:] if st.pad else
@@ -198,35 +301,171 @@ class CompiledPipeline:
                     x = st.node.task(window)
                 else:
                     x = st.node.task(x)
-            return tuple(new_carry), x
+                stack.append(x)
+            return tuple(new_carry), stack[-1]
 
         return step
+
+    # -- reduction (Integrate / Fold / PulseStack) -----------------------
+    def _segment_ids(self, start, n):
+        """Flat segment id per *eager-timeline* tail sample in
+        [start, start+n), computed on the host at full (two-double) phase
+        precision (reference integration.py:174-228,380-395).  Samples
+        outside every bin (incl. negative warmup indices) get id
+        ``n_segments`` — a trash segment dropped on device.  Returns
+        (ids_int64, n_segments)."""
+        red = self.reduction
+        sample = np.arange(start, start + n, dtype=np.int64)
+        rel = sample - red._ih_start
+        fine = red.n_phase if _pulse_like(red) else 1
+        edges = red._get_offsets(np.arange(red.shape[0] * fine + 1))
+        time_bins = np.searchsorted(edges, rel, side="right") - 1
+        n_time = len(edges) - 1
+        valid = (rel >= edges[0]) & (rel < edges[-1])
+        time_bins = np.clip(time_bins, 0, n_time - 1)
+        if _fold_like(red):
+            ih = red.ih
+            ih_rate = ih.sample_rate.to_value(u.Hz)
+            t0 = ih._tell_time(red._ih_start)
+            t = t0 + u.Quantity(rel / ih_rate, u.s)
+            from ..integration import _phase_to_cycles
+            hi, lo = _phase_to_cycles(red._phase(t))
+            frac = (hi - np.floor(hi)) + lo
+            frac = frac - np.floor(frac)
+            phase_bins = np.minimum((frac * red.n_phase).astype(np.int64),
+                                    red.n_phase - 1)
+            ids = time_bins * red.n_phase + phase_bins
+            n_seg = n_time * red.n_phase
+        else:
+            ids = time_bins
+            n_seg = n_time
+        ids = np.where(valid, ids, n_seg)
+        return ids, n_seg
 
     def run_fn(self, n_blocks):
         """Jitted scan over ``n_blocks`` source blocks.
 
-        Returns ``run(blocks) -> out`` where ``blocks`` has shape
-        ``(n_blocks, block_samples) + source.sample_shape`` and ``out``
-        the concatenated tail-rate output.
+        Without a reduction, returns ``run(blocks) -> out`` where
+        ``blocks`` has shape ``(n_blocks, block_samples) + sample_shape``
+        per source (a tuple of such stacks for multi-source graphs) and
+        ``out`` is the concatenated tail-rate output.
+
+        With an absorbed reduction, returns
+        ``run(blocks) -> (sums, counts)`` with the same bin layout as the
+        eager node's non-averaged read ((bins, [n_phase,] ...) data and
+        counts); averaging divides afterwards (`run_reduced` does both).
         """
         step = self.step_fn()
+        red = self.reduction
+        multi = len(self.sources) > 1
+
+        if red is None:
+            @jax.jit
+            def run(blocks):
+                carry = self.init_carry()
+                carry, ys = jax.lax.scan(step, carry, blocks)
+                return ys.reshape((-1,) + ys.shape[2:])
+
+            return run
+
+        # host-precomputed per-block segment ids (f32 planes: the axon
+        # device boundary transfers float32 only).  Compiled sample k is
+        # eager sample k - delay; warmup samples land in the trash bin.
+        if self.delay != int(self.delay):
+            raise ValueError(
+                "cannot absorb a reduction after a fractional-delay "
+                "chain; choose frame sizes with integral delay")
+        ids, n_seg = self._segment_ids(-int(self.delay),
+                                       n_blocks * self.tail_block)
+        ids_f = jnp.asarray(ids.reshape(n_blocks, self.tail_block)
+                            .astype(np.float32))
+        acc_dtype = red._acc_dtype()
+        sample_shape = self._tail.sample_shape
+
+        def red_step(carry, xs):
+            data_carry, sums, counts = carry[:-2], carry[-2], carry[-1]
+            blocks, idf = xs
+            new_carry, y = step(data_carry, blocks)
+            seg = idf.astype(jnp.int32)
+            sums = sums + jax.ops.segment_sum(
+                y.astype(acc_dtype), seg, num_segments=n_seg + 1)
+            counts = counts + jax.ops.segment_sum(
+                jnp.ones(y.shape[0], jnp.int32), seg,
+                num_segments=n_seg + 1)
+            return new_carry + (sums, counts), 0
 
         @jax.jit
         def run(blocks):
-            carry = self.init_carry()
-            carry, ys = jax.lax.scan(step, carry, blocks)
-            return ys.reshape((-1,) + ys.shape[2:])
+            carry = self.init_carry() + (
+                jnp.zeros((n_seg + 1,) + sample_shape, acc_dtype),
+                jnp.zeros((n_seg + 1,), jnp.int32))
+            carry, _ = jax.lax.scan(red_step, carry, (blocks, ids_f))
+            sums, counts = carry[-2], carry[-1]
+            return (self._shape_reduced(sums[:-1]),
+                    self._shape_reduced_counts(counts[:-1]))
 
         return run
 
+    def _shape_reduced(self, sums):
+        red = self.reduction
+        if _fold_like(red):
+            return sums.reshape((-1, red.n_phase) + sums.shape[1:])
+        if _pulse_like(red):
+            return sums.reshape((-1, red.n_phase) + sums.shape[1:])
+        return sums
+
+    def _shape_reduced_counts(self, counts):
+        red = self.reduction
+        if _fold_like(red) or _pulse_like(red):
+            return counts.reshape(-1, red.n_phase)
+        return counts
+
+    def run_reduced(self, blocks):
+        """Run with the absorbed reduction and return what the eager
+        node's averaged ``read`` would: sums/counts (or plain sums when
+        ``average=False`` semantics are wanted, use :meth:`run_fn`)."""
+        if self.reduction is None:
+            raise ValueError("no reduction to run")
+        blocks = jnp.asarray(blocks) if len(self.sources) == 1 else \
+            tuple(jnp.asarray(b) for b in blocks)
+        n_blocks = (blocks.shape[0] if len(self.sources) == 1
+                    else blocks[0].shape[0])
+        sums, counts = self.run_fn(n_blocks)(blocks)
+        shaped = counts[(...,) + (None,) * (sums.ndim - counts.ndim)]
+        return sums / jnp.maximum(shaped, 1), counts
+
     def run_blocks(self, blocks):
-        """Convenience: run the compiled chain over stacked source blocks."""
+        """Convenience: run the compiled graph over stacked source blocks
+        (a tuple of stacks for multi-source graphs)."""
+        if len(self.sources) > 1:
+            blocks = tuple(jnp.asarray(b) for b in blocks)
+            return self.run_fn(blocks[0].shape[0])(blocks)
         return self.run_fn(len(blocks))(jnp.asarray(blocks))
 
     def read_source_blocks(self, n_blocks, offset=0):
-        """Read ``n_blocks`` blocks from the chain's own source stream
-        (e.g. a VDIF/HDF5 reader), stacked for :meth:`run_blocks`."""
-        src = self.source
-        src.seek(offset)
-        return jnp.stack([jnp.asarray(src.read(self.block_samples))
-                          for _ in range(n_blocks)])
+        """Read ``n_blocks`` blocks from the graph's source stream(s),
+        stacked for :meth:`run_blocks` (a tuple for multi-source)."""
+        stacks = []
+        for src in self.sources:
+            src.seek(offset)
+            stacks.append(jnp.stack(
+                [jnp.asarray(src.read(self.block_samples))
+                 for _ in range(n_blocks)]))
+        return tuple(stacks) if len(stacks) > 1 else stacks[0]
+
+
+class _CombineStage:
+    __slots__ = ("node", "k")
+
+    def __init__(self, node, k):
+        self.node = node
+        self.k = k
+
+
+def _fold_like(red):
+    return isinstance(red, Fold)
+
+
+def _pulse_like(red):
+    from ..integration import PulseStack
+    return isinstance(red, PulseStack)

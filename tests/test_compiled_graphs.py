@@ -1,0 +1,168 @@
+"""CompiledPipeline generality: multi-input graphs and absorbed
+reductions (Integrate/Fold/PulseStack inside the scan).
+
+Reference semantics being matched: combining.py:11-128 (multi-stream
+nodes), integration.py:174-228,380-395 (bin assignment / fold scatter).
+The compiled runs must reproduce the eager Stream computation exactly
+(no padded stages → zero delay) or past the warmup with delay-aligned
+windows.
+"""
+
+import numpy as np
+import pytest
+
+from baseband_tasks_tpu import (Channelize, CombineStreams, Dedisperse,
+                                Fold, Integrate, NoiseGenerator,
+                                PulseStack, SetAttribute, Square, Stack)
+from baseband_tasks_tpu.models.compiled import CompiledPipeline
+from baseband_tasks_tpu.utils import Time, units as u
+
+T0 = Time("2020-01-01T00:00:00.0")
+
+
+def noise(seed, shape=(16384,), spf=2048, rate=1 * u.MHz):
+    return NoiseGenerator(shape=shape, start_time=T0, sample_rate=rate,
+                          samples_per_frame=spf, seed=seed)
+
+
+class TestAbsorbedIntegrate:
+    def test_matches_eager_exactly(self):
+        tail = Integrate(Square(Channelize(noise(7), 64)), 16)
+        cp = CompiledPipeline(tail)
+        assert cp.reduction is tail
+        assert cp.delay == 0
+        n_blocks = (16384 // 64) // cp.tail_block
+        blocks = cp.read_source_blocks(n_blocks)
+        data, counts = cp.run_reduced(blocks)
+        tail.seek(0)
+        eager = tail.read(data.shape[0])
+        np.testing.assert_array_equal(np.asarray(counts),
+                                      np.full(data.shape[0], 16))
+        np.testing.assert_allclose(np.asarray(data), eager,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_unaveraged_sums(self):
+        tail = Integrate(Square(Channelize(noise(3), 32)), 8,
+                         average=False)
+        cp = CompiledPipeline(tail)
+        n_blocks = 16384 // cp.block_samples
+        blocks = cp.read_source_blocks(n_blocks)
+        sums, counts = cp.run_fn(n_blocks)(blocks)
+        tail.seek(0)
+        eager = tail.read(sums.shape[0])
+        np.testing.assert_allclose(np.asarray(sums), eager["data"],
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(counts), eager["count"][(slice(None),)
+                                               + (0,) * (eager.ndim - 1)])
+
+
+class TestAbsorbedFold:
+    def _phase(self):
+        f0 = 123.456  # cycles/s, deliberately incommensurate with rate
+        return lambda t: u.Quantity((t - T0).sec * f0, u.cycle)
+
+    def test_fold_matches_eager(self):
+        tail = Fold(Square(Channelize(noise(11), 16)), 8, self._phase(),
+                    samples_per_frame=1)
+        cp = CompiledPipeline(tail)
+        n_blocks = (16384 // 16) // cp.tail_block
+        blocks = cp.read_source_blocks(n_blocks)
+        data, counts = cp.run_reduced(blocks)
+        tail.seek(0)
+        eager = tail.read(data.shape[0])
+        np.testing.assert_allclose(np.asarray(data), eager,
+                                   rtol=1e-5, atol=1e-5)
+        assert np.asarray(counts).sum() == 16384 // 16
+
+    def test_fold_after_padded_stage(self):
+        """Dedisperse with spf | pad → integral delay; compiled fold bins
+        past the warmup must match eager fold of the delayed stream."""
+        def make_src():
+            return SetAttribute(noise(19, shape=(65536,), spf=8192),
+                                frequency=600 * u.MHz, sideband=1)
+
+        probe = Dedisperse(make_src(), 1.0)
+        pad = probe.pad_start + probe.pad_end
+        ded = Dedisperse(make_src(), 1.0, samples_per_frame=pad)
+        step = u.Quantity(pad / 1e6, u.s)  # = pad samples per time bin
+        tail = Fold(Square(ded), 8, self._phase(), step,
+                    samples_per_frame=1, average=False)
+        cp = CompiledPipeline(tail)
+        assert cp.delay == pad
+        n_blocks = 6
+        blocks = cp.read_source_blocks(n_blocks)
+        data, counts = cp.run_fn(n_blocks)(blocks)
+        # compiled covers eager samples [0, n_blocks*block - delay):
+        # the first n_blocks-1 time bins are complete
+        n_full = n_blocks - 1
+        tail.seek(0)
+        eager = tail.read(n_full)
+        got, cnts = np.asarray(data), np.asarray(counts)
+        np.testing.assert_array_equal(cnts[:n_full],
+                                      eager["count"][:n_full])
+        np.testing.assert_allclose(got[:n_full], eager["data"][:n_full],
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_pulsestack_matches_eager(self):
+        tail = PulseStack(Square(Channelize(noise(23), 16)), 8,
+                          self._phase(), samples_per_frame=1)
+        cp = CompiledPipeline(tail)
+        n_blocks = (16384 // 16) // cp.tail_block
+        blocks = cp.read_source_blocks(n_blocks)
+        data, counts = cp.run_reduced(blocks)
+        tail.seek(0)
+        n_pulse = min(data.shape[0], tail.shape[0])
+        eager = tail.read(n_pulse)
+        np.testing.assert_allclose(np.asarray(data)[:n_pulse], eager,
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestMultiInput:
+    def test_stack_two_streams(self):
+        s1, s2 = noise(31), noise(37)
+        tail = Square(Stack([Channelize(s1, 64), Channelize(s2, 64)]))
+        cp = CompiledPipeline(tail)
+        assert len(cp.sources) == 2
+        blocks = cp.read_source_blocks(4)
+        out = np.asarray(cp.run_blocks(blocks))
+        tail.seek(0)
+        eager = np.asarray(tail.read(out.shape[0]))
+        np.testing.assert_allclose(out, eager, rtol=1e-5, atol=1e-4)
+
+    def test_combine_streams_sum(self):
+        s1, s2 = noise(41), noise(43)
+        tail = Square(CombineStreams([s1, s2], lambda d: d[0] + d[1]))
+        cp = CompiledPipeline(tail)
+        blocks = cp.read_source_blocks(4)
+        out = np.asarray(cp.run_blocks(blocks))
+        tail.seek(0)
+        eager = np.asarray(tail.read(out.shape[0]))
+        np.testing.assert_allclose(out, eager, rtol=1e-5, atol=1e-4)
+
+    def test_combine_then_reduce(self):
+        """Multi-input graph with an absorbed reduction on top."""
+        s1, s2 = noise(47), noise(53)
+        comb = CombineStreams([s1, s2], lambda d: d[0] + d[1])
+        tail = Integrate(Square(Channelize(comb, 32)), 4)
+        cp = CompiledPipeline(tail)
+        n_blocks = 16384 // cp.block_samples
+        blocks = cp.read_source_blocks(n_blocks)
+        data, counts = cp.run_reduced(blocks)
+        tail.seek(0)
+        eager = tail.read(data.shape[0])
+        np.testing.assert_allclose(np.asarray(data), eager,
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_mismatched_delays_raise(self):
+        src1 = SetAttribute(noise(59, shape=(65536,), spf=8192),
+                            frequency=600 * u.MHz, sideband=1)
+        s2 = noise(61, shape=(65536,), spf=8192)
+        probe = Dedisperse(SetAttribute(noise(1, shape=(65536,), spf=8192),
+                                        frequency=600 * u.MHz, sideband=1),
+                           1.0)
+        pad = probe.pad_start + probe.pad_end
+        ded = Dedisperse(src1, 1.0, samples_per_frame=pad)
+        with pytest.raises(ValueError, match="different streaming delays"):
+            CompiledPipeline(Square(CombineStreams(
+                [ded, SetAttribute(s2)], lambda d: d[0] + d[1])))

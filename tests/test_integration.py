@@ -229,3 +229,56 @@ class TestPipelineConfig4:
         # pulse at sample 200 of 500 -> phase 0.4+0.02 -> bin 10/25
         assert peak == 10
         assert snr > 50
+
+
+class TestPhaseInversion:
+    """The iterative phase->offset inversion (reference
+    integration.py:174-228): convergence tolerance and the
+    non-convergent (glitch/pathological phase model) path."""
+
+    def test_smooth_quadratic_converges_exactly(self):
+        # quadratic spin-up: still solvable by the fixed-point iteration
+        f0, fdot = 10.0, 0.05  # cycles/s, cycles/s^2
+
+        def phase(t):
+            dt = (t - START).sec
+            return u.Quantity(f0 * dt + 0.5 * fdot * dt * dt, u.cycle)
+
+        sh = counter_stream(n=8000, spf=1000)
+        pstack = Integrate(sh, u.Quantity(1.0, u.cycle), phase)
+        offs = pstack._get_offsets(np.arange(5, dtype=np.float64))
+        # check phase(t(offset)) == bin index to < 1e-3 sample
+        t = START + u.Quantity(np.asarray(offs) / 1000.0, u.s)
+        ph = phase(t).to_value(u.cycle)
+        np.testing.assert_allclose(ph - ph[0], np.arange(5), atol=2e-2)
+
+    def test_glitch_warns_not_hangs(self):
+        # a 5-cycle step discontinuity mid-stream: targets inside the
+        # jump are unreachable, the iteration must give up with the
+        # documented warning instead of looping or silently lying
+        def phase(t):
+            dt = (t - START).sec
+            ph = 1.0 * dt + np.where(np.asarray(dt) > 4.0, 5.0, 0.0)
+            return u.Quantity(ph, u.cycle)
+
+        sh = counter_stream(n=8000, spf=1000)
+        with pytest.warns(UserWarning, match="did not converge"):
+            fold = Integrate(sh, u.Quantity(1.0, u.cycle), phase)
+            fold._get_offsets(np.arange(fold.shape[0] + 1,
+                                        dtype=np.float64))
+
+    def test_nonconvergent_offsets_stay_in_bounds(self):
+        def phase(t):
+            dt = (t - START).sec
+            return u.Quantity(
+                1.0 * dt + np.where(np.asarray(dt) > 4.0, 5.0, 0.0),
+                u.cycle)
+
+        sh = counter_stream(n=8000, spf=1000)
+        with pytest.warns(UserWarning, match="did not converge"):
+            fold = Integrate(sh, u.Quantity(1.0, u.cycle), phase)
+            offs = fold._get_offsets(np.arange(fold.shape[0] + 1,
+                                               dtype=np.float64))
+        assert (np.asarray(offs) >= 0).all()
+        assert (np.asarray(offs) <= sh.shape[0]).all()
+        assert (np.diff(np.asarray(offs)) >= 0).all()
