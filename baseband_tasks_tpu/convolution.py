@@ -17,6 +17,7 @@ import numpy as np
 
 from .base import PaddedTaskBase
 from .fourier import fft_maker
+from .utils.device import device_complex
 
 __all__ = ["Convolve", "ConvolveSamples"]
 
@@ -137,7 +138,7 @@ class Convolve(_ConvolveBase):
             r, (resp.shape[0],) + sample_shape)
         fft = fft_maker(full_shape, np.complex64, axis=0)
         ft = np.asarray(fft(padded))
-        return ft if host else jnp.asarray(ft)
+        return ft if host else device_complex(ft)
 
     def _storage_response(self):
         from .ops.dedisperse_pallas import (permute_to_storage_order,

@@ -23,6 +23,7 @@ from .dm import DispersionMeasure
 from .fourier import fft_maker
 from .sampling import ShiftSamples
 from .utils import units as u
+from .utils.device import device_complex
 
 __all__ = ["Disperse", "Dedisperse", "DisperseSamples", "DedisperseSamples"]
 
@@ -144,7 +145,7 @@ class Disperse(PaddedTaskBase):
         # keep the host copy too: the pallas path re-permutes it on host,
         # and complex device arrays cannot round-trip on every backend
         self._chirp_host = factor.astype(np.complex64)
-        return jnp.asarray(self._chirp_host)
+        return device_complex(self._chirp_host)
 
     def _storage_chirp(self):
         from .ops.dedisperse_pallas import permute_to_storage_order, split_n

@@ -19,6 +19,7 @@ import numpy as np
 from .base import PaddedTaskBase
 from .channelize import Channelize, Dechannelize
 from .fourier import next_fast_len
+from .utils.device import device_complex
 __all__ = ["sinc_hamming", "PolyphaseFilterBank",
            "PolyphaseFilterBankSamples", "InversePolyphaseFilterBank"]
 
@@ -169,7 +170,7 @@ class InversePolyphaseFilterBank(PaddedTaskBase):
         resp[:self._n_tap] = self._response
         hbar = np.conj(np.fft.fft(resp, axis=0))
         gain = np.conj(hbar) / (np.abs(hbar) ** 2 + 1.0 / self._sn ** 2)
-        return jnp.asarray(gain.astype(np.complex64))
+        return device_complex(gain.astype(np.complex64))
 
     def task(self, data):
         n = self._n

@@ -21,6 +21,7 @@ import numpy as np
 from .base import PaddedTaskBase, getattr_if_none
 from .convolution import Convolve
 from .utils import Time, units as u
+from .utils.device import device_complex
 
 __all__ = ["ShiftAndResample", "Resample", "TimeDelay", "ShiftSamples",
            "seek_float"]
@@ -122,6 +123,7 @@ class ShiftAndResample(Convolve):
             phase = -2j * np.pi * np.asarray(lo.to_value(u.Hz)) * dt \
                 * np.asarray(sideband, dtype=float)
             self._lo_factor = np.exp(phase).astype(np.complex64)
+            self._lo_cache = None
         else:
             self._lo_factor = None
         super().__init__(ih, response, offset=-k_min,
@@ -136,8 +138,11 @@ class ShiftAndResample(Convolve):
     def task(self, data):
         out = super().task(data)
         if self._lo_factor is not None:
-            out = out * jnp.asarray(
-                np.broadcast_to(self._lo_factor, out.shape[1:]))
+            if self._lo_cache is None:
+                self._lo_cache = device_complex(
+                    np.broadcast_to(self._lo_factor,
+                                    out.shape[1:]).copy())
+            out = out * self._lo_cache
         return out
 
 
@@ -182,14 +187,18 @@ class TimeDelay(PaddedTaskBase):
             phase = -2j * np.pi * np.asarray(lo.to_value(u.Hz)) \
                 * delay_s * np.asarray(sideband, dtype=float)
             self._phase_factor = np.exp(phase).astype(np.complex64)
+            self._phase_cache = None
         else:
             self._phase_factor = None
 
     def task(self, data):
         if self._phase_factor is None:
             return data
-        return data * jnp.asarray(
-            np.broadcast_to(self._phase_factor, data.shape[1:]))
+        if self._phase_cache is None:
+            self._phase_cache = device_complex(
+                np.broadcast_to(self._phase_factor,
+                                data.shape[1:]).copy())
+        return data * self._phase_cache
 
 
 class ShiftSamples(PaddedTaskBase):

@@ -522,11 +522,17 @@ class TestCompiledPallasChain:
                                samples_per_frame=8192, seed=9),
                 frequency=600 * u.MHz, sideband=1)
 
-        tail = Square(Dedisperse(make_src(), 1.0, samples_per_frame=4096,
-                                 engine="pallas"))
+        # pad_margin chosen so pad_start = pad_end = 256: total pad 512
+        # is a multiple of samples_per_frame=512 (compiled windows then
+        # coincide with eager frame windows — exact to roundoff) and the
+        # window 512+512 = 1024 is pow2-splittable for the pallas engine.
+        tail = Square(Dedisperse(make_src(), 1.0, samples_per_frame=512,
+                                 pad_margin=236, engine="pallas"))
+        ded = tail.ih
+        assert (ded.pad_start + ded.pad_end) % ded.samples_per_frame == 0
         cp = CompiledPipeline(tail)
         delay = int(cp.delay)
-        n_blocks = 6
+        n_blocks = 24
         src = make_src()
         src.seek(0)
         blocks = np.stack([np.asarray(src.read(cp.block_samples))
@@ -534,5 +540,6 @@ class TestCompiledPallasChain:
         out = np.asarray(cp.run_blocks(blocks))
         tail.seek(0)
         eager = np.asarray(tail.read(len(out) - delay))
-        err = np.mean((out[delay:] - eager) ** 2) / np.mean(eager ** 2)
-        assert err < 2e-3
+        err = np.sum((out[delay:] - eager) ** 2)
+        snr_db = 10 * np.log10(np.sum(eager ** 2) / max(err, 1e-30))
+        assert snr_db >= 60.0, snr_db
