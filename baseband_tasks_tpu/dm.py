@@ -23,7 +23,19 @@ dispersion_delay_constant = u.Quantity(1.0 / 2.41e-4,
 
 
 class DispersionMeasure(u.Quantity):
-    """Dispersion measure (pc / cm³) with delay/phase evaluation."""
+    """Dispersion measure (pc / cm³) with delay/phase evaluation.
+
+    Examples
+    --------
+    >>> from baseband_tasks_tpu.dm import DispersionMeasure
+    >>> from baseband_tasks_tpu.utils import units as u
+    >>> dm = DispersionMeasure(29.1168)  # PSR B1957+20
+    >>> print(f"{dm.time_delay(300 * u.MHz).to_value(u.s):.6f}")
+    1.342407
+    >>> dt = dm.time_delay(300 * u.MHz, 310 * u.MHz)
+    >>> print(f"{dt.to_value(u.ms):.4f}")
+    85.2100
+    """
 
     def __init__(self, value, unit=None):
         if unit is None:

@@ -39,6 +39,12 @@ def next_fast_len(n):
     `/root/reference/baseband_tasks/fourier/numpy.py:99-126`) is fastest at
     smooth sizes; we restrict to 2,3,5 since those also map best onto TPU
     lane tiling.
+
+    >>> from baseband_tasks_tpu.fourier import next_fast_len
+    >>> next_fast_len(7919)
+    8000
+    >>> next_fast_len(1024)
+    1024
     """
     if n <= 6:
         return max(n, 1)

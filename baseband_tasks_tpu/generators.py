@@ -100,6 +100,20 @@ class NoiseGenerator(StreamGenerator):
 
     ``seed`` gives reproducibility; frames are independent of read order
     (cf. reference generators.py:193-245).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from baseband_tasks_tpu import NoiseGenerator
+    >>> from baseband_tasks_tpu.utils import Time, units as u
+    >>> ng = NoiseGenerator(shape=(1000,),
+    ...                     start_time=Time("2020-01-01T00:00:00.0"),
+    ...                     sample_rate=1 * u.kHz, samples_per_frame=100,
+    ...                     seed=4)
+    >>> tail = np.asarray(ng.read(1000))[-100:]
+    >>> _ = ng.seek(900)        # random access: same samples come back
+    >>> bool(np.array_equal(np.asarray(ng.read(100)), tail))
+    True
     """
 
     def __init__(self, shape, start_time, sample_rate, *,

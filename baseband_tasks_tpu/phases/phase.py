@@ -109,6 +109,17 @@ class Phase:
     Construct from one or two values (cycles; Quantity or float); the two
     are summed exactly.  ``Phase(count, frac)`` mirrors the reference's
     ``Phase.from_angles`` usage.
+
+    Examples
+    --------
+    >>> from baseband_tasks_tpu.phases import Phase
+    >>> p = Phase(1e10, 1e-10)   # 20 decimal digits, exactly
+    >>> p - Phase(1e10)
+    Phase(np.float64(0.0), np.float64(1e-10))
+    >>> (Phase(0.75) + Phase(0.75)).int
+    <Quantity 2.0 cycle>
+    >>> (Phase(0.75) + Phase(0.75)).frac
+    <Quantity -0.5 cycle>
     """
 
     __slots__ = ("count", "fraction", "imaginary")
