@@ -162,6 +162,7 @@ class HDF5StreamReader(Base):
         self._hdr = hdr
         self._encoding = hdr.get("encoding", "raw")
         self._bps = hdr.get("bps")
+        self._invalid = [tuple(r) for r in hdr.get("invalid", [])]
         dtype = np.dtype(hdr["dtype"])
         shape = tuple(hdr["shape"])
         spf = samples_per_frame or hdr.get("samples_per_frame", 1024)
@@ -186,14 +187,37 @@ class HDF5StreamReader(Base):
     def encoding(self):
         return self._encoding
 
+    @property
+    def valid(self):
+        """False if any sample range was marked invalid on write (the
+        reference's frame ``valid`` flag, io/hdf5/frame.py:51-59,
+        generalized to per-range validity)."""
+        return not self._invalid
+
+    @property
+    def invalid_ranges(self):
+        """List of [start, stop) sample ranges read back as zeros."""
+        return [tuple(r) for r in self._invalid]
+
+    def _zero_invalid(self, out, start, stop):
+        if not self._invalid:
+            return out
+        out = np.array(out)  # writable host copy
+        for a, b in self._invalid:
+            lo, hi = max(a, start), min(b, stop)
+            if lo < hi:
+                out[lo - start:hi - start] = 0
+        return out
+
     def _read_frame(self, frame_index):
         spf = self._samples_per_frame
         start = frame_index * spf
         stop = min(start + spf, self._shape[0])
         if self._encoding in ("raw", "c4"):
             raw = self._h5["payload"][start:stop]
-            return _decode(raw, self._encoding, self._bps, self._dtype,
-                           (stop - start,) + self.sample_shape)
+            out = _decode(raw, self._encoding, self._bps, self._dtype,
+                          (stop - start,) + self.sample_shape)
+            return self._zero_invalid(out, start, stop)
         # bit-packed: payload is a flat byte array over components
         comp_per_sample = int(np.prod(self.sample_shape)) \
             * (2 if self.complex_data else 1)
@@ -206,7 +230,7 @@ class HDF5StreamReader(Base):
         scale = self._hdr.get("scale")
         if scale:
             out = (out / scale).astype(self._dtype)
-        return out
+        return self._zero_invalid(out, start, stop)
 
     def close(self):
         super().close()
@@ -262,12 +286,18 @@ class HDF5StreamWriter:
     def shape(self):
         return self._shape
 
-    def write(self, data):
+    def write(self, data, valid=True):
+        """Append samples; ``valid=False`` stores the data but marks the
+        range invalid, so readers get zeros there (reference frame
+        ``valid`` flag, per-range)."""
         data = np.asarray(data)
         n = len(data)
         if self._offset + n > self._shape[0]:
             raise EOFError("writing beyond end of declared stream shape")
         start, stop = self._offset, self._offset + n
+        if not valid:
+            self._hdr.setdefault("invalid", []).append([int(start),
+                                                        int(stop)])
         if self._encoding in ("raw", "c4"):
             self._h5["payload"][start:stop] = _encode(
                 data.astype(self._dtype), self._encoding, self._bps)

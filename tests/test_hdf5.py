@@ -122,3 +122,50 @@ class TestBitAlignment:
         full = np.asarray(hdf5.open(path).read())
         out = np.asarray(fr.read())
         np.testing.assert_allclose(out, full, atol=1e-6)
+
+
+class TestValidFlag:
+    """Reference io/hdf5/frame.py:51-59 ``valid`` flag, generalized to
+    per-range validity: invalid ranges read back as zeros."""
+
+    def test_invalid_range_reads_zero(self, tmp_path):
+        from baseband_tasks_tpu.io import hdf5
+        from baseband_tasks_tpu import NoiseGenerator
+        from baseband_tasks_tpu.utils import Time, units as u
+
+        src = NoiseGenerator(shape=(3000,),
+                             start_time=Time("2020-01-01T00:00:00.0"),
+                             sample_rate=1 * u.kHz,
+                             samples_per_frame=1000, seed=12)
+        path = str(tmp_path / "valid.h5")
+        src.seek(0)
+        with hdf5.open(path, "w", template=src) as wh:
+            wh.write(np.asarray(src.read(1000)))
+            wh.write(np.asarray(src.read(1000)), valid=False)
+            wh.write(np.asarray(src.read(1000)))
+        rh = hdf5.open(path)
+        assert not rh.valid
+        assert rh.invalid_ranges == [(1000, 2000)]
+        out = np.asarray(rh.read(3000))
+        src.seek(0)
+        want = np.asarray(src.read(3000))
+        np.testing.assert_array_equal(out[:1000], want[:1000])
+        np.testing.assert_array_equal(out[1000:2000], 0)
+        np.testing.assert_array_equal(out[2000:], want[2000:])
+        rh.close()
+
+    def test_all_valid_by_default(self, tmp_path):
+        from baseband_tasks_tpu.io import hdf5
+        from baseband_tasks_tpu import NoiseGenerator
+        from baseband_tasks_tpu.utils import Time, units as u
+
+        src = NoiseGenerator(shape=(100,),
+                             start_time=Time("2020-01-01T00:00:00.0"),
+                             sample_rate=1 * u.kHz,
+                             samples_per_frame=100, seed=13)
+        path = str(tmp_path / "allvalid.h5")
+        with hdf5.open(path, "w", template=src) as wh:
+            wh.write(np.asarray(src.read(100)))
+        rh = hdf5.open(path)
+        assert rh.valid and rh.invalid_ranges == []
+        rh.close()
