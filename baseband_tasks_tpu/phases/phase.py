@@ -92,15 +92,51 @@ def _two_prod(a, b):
 
 
 class FractionalPhase(u.Quantity):
-    """Fractional phase: cycles wrapped to [-0.5, 0.5)."""
+    """Fractional phase: angle wrapped to [-0.5, 0.5) cycle.
+
+    Counterpart of the reference's ``Longitude`` subclass with
+    ``wrap_angle=0.5 cycle`` (phase.py:70-103): accepts any angular unit
+    (cycle, rad, deg), extracts the fractional part of a :class:`Phase`,
+    and keeps results of +/-/negation wrapped.
+
+    >>> from baseband_tasks_tpu.phases import FractionalPhase
+    >>> from baseband_tasks_tpu.utils import units as u
+    >>> print(FractionalPhase(0.75))
+    -0.25 cycle
+    >>> import numpy as np
+    >>> print(FractionalPhase(np.pi * u.rad))
+    -0.5 cycle
+    >>> print(FractionalPhase(0.375) + FractionalPhase(0.25))
+    -0.375 cycle
+    """
 
     def __init__(self, value, unit=None):
         if isinstance(value, Phase):
             value = value.frac
-        q = u.Quantity(value, unit if unit is not None else u.cycle)
+        if unit is None:
+            unit = u.cycle if not isinstance(value, u.Quantity) else None
+        q = u.Quantity(value, unit)
         val = np.asarray(q.to_value(u.cycle), dtype=np.float64)
         val = val - np.round(val)
+        # round maps exact .5 up: fold +0.5 to -0.5 so range is [-0.5, 0.5)
+        val = np.where(val >= 0.5, val - 1.0, val)
         super().__init__(val, u.cycle)
+
+    def _rewrap(self, q):
+        return FractionalPhase(q) if isinstance(q, u.Quantity) \
+            and q.unit.is_equivalent(u.cycle) else q
+
+    def __add__(self, other):
+        return self._rewrap(u.Quantity.__add__(self, other))
+
+    def __radd__(self, other):
+        return self._rewrap(u.Quantity.__add__(self, other))
+
+    def __sub__(self, other):
+        return self._rewrap(u.Quantity.__sub__(self, other))
+
+    def __neg__(self):
+        return self._rewrap(u.Quantity.__neg__(self))
 
 
 class Phase:

@@ -513,3 +513,39 @@ class TestFromString:
     def test_non_string_raises(self):
         with pytest.raises(ValueError):
             Phase.from_string(1.5)
+
+
+class TestFractionalPhase:
+    """Reference phase.py:70-103: Longitude-style wrap at +/-0.5 cycle."""
+
+    def test_wrap_range(self):
+        import numpy as np
+        vals = np.linspace(-3, 3, 61)
+        fp = FractionalPhase(vals)
+        v = fp.to_value(u.cycle)
+        assert (v >= -0.5).all() and (v < 0.5).all()
+
+    def test_half_wraps_negative(self):
+        assert FractionalPhase(0.5).to_value(u.cycle) == -0.5
+        assert FractionalPhase(-0.5).to_value(u.cycle) == -0.5
+
+    def test_angle_units(self):
+        import numpy as np
+        assert np.isclose(FractionalPhase(
+            np.pi / 2 * u.rad).to_value(u.cycle), 0.25)
+        assert np.isclose(FractionalPhase(
+            90 * u.deg).to_value(u.cycle), 0.25)
+
+    def test_from_phase_extracts_frac(self):
+        fp = FractionalPhase(Phase(12345, 0.125))
+        assert fp.to_value(u.cycle) == 0.125
+
+    def test_arithmetic_stays_wrapped(self):
+        s = FractionalPhase(0.375) + FractionalPhase(0.25)
+        assert isinstance(s, FractionalPhase)
+        assert s.to_value(u.cycle) == -0.375
+        d = FractionalPhase(-0.375) - FractionalPhase(0.25)
+        assert isinstance(d, FractionalPhase)
+        assert d.to_value(u.cycle) == 0.375
+        n = -FractionalPhase(-0.5)
+        assert n.to_value(u.cycle) == -0.5
