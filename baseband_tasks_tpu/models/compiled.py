@@ -236,6 +236,11 @@ class CompiledPipeline:
                     st.in_dtype))
         return tuple(carries)
 
+    #: node attributes holding device-resident cache arrays
+    _CACHE_ATTRS = ("_chirp_cache", "_ft_response_cache", "_gain_cache",
+                    "_storage_chirp_cache", "_storage_response_cache",
+                    "_lo_cache", "_phase_cache", "_taps")
+
     def _prepare_caches(self):
         """Materialize lazy device caches eagerly: built inside a traced
         step they would capture tracers (chirps, response FTs, gains)."""
@@ -251,6 +256,15 @@ class CompiledPipeline:
                     hasattr(n, "_make_gain"):
                 n._gain_cache = n._make_gain(
                     n._padded_samples_per_frame // n._n)
+            from ..utils.device import device_complex
+            if getattr(n, "_lo_factor", None) is not None and \
+                    getattr(n, "_lo_cache", 1) is None:
+                n._lo_cache = device_complex(np.broadcast_to(
+                    n._lo_factor, n.sample_shape).copy())
+            if getattr(n, "_phase_factor", None) is not None and \
+                    getattr(n, "_phase_cache", 1) is None:
+                n._phase_cache = device_complex(np.broadcast_to(
+                    n._phase_factor, n.sample_shape).copy())
             # pallas-engine storage-order caches (Disperse / Convolve);
             # only that engine's task() consumes them, and the split-radix
             # layout requires a pow2-splittable window, so never build them
@@ -261,6 +275,78 @@ class CompiledPipeline:
                     n._storage_chirp_cache = n._storage_chirp()
                 if getattr(n, "_storage_response_cache", 1) is None:
                     n._storage_response_cache = n._storage_response()
+
+    def cache_bindings(self):
+        """(bindings, leaves): every device cache array of the graph, to
+        be passed as explicit jit arguments.
+
+        A device array captured as a jit *closure constant* is fetched
+        back to the host for MLIR constant embedding — a complex fetch,
+        which restricted-transfer backends (the axon TPU tunnel) reject.
+        Passing the caches as arguments keeps them device-resident.
+        ``bindings`` is a list of (node, attr, treedef); ``leaves`` the
+        flat tuple of arrays in matching order.
+        """
+        self._prepare_caches()
+        bindings = []
+        leaves = []
+        for st in self.stages:
+            if not isinstance(st, _Stage):
+                continue
+            n = st.node
+            for attr in self._CACHE_ATTRS:
+                v = getattr(n, attr, None)
+                if v is None or isinstance(v, (int, float)):
+                    continue
+                flat, treedef = jax.tree_util.tree_flatten(v)
+                if flat and all(isinstance(x, jax.Array) for x in flat):
+                    bindings.append((n, attr, treedef, len(flat)))
+                    leaves.extend(flat)
+        return bindings, tuple(leaves)
+
+    @staticmethod
+    def _bind(bindings, leaves):
+        """Context manager: temporarily set the cache attributes to
+        (possibly traced) values during step tracing."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            olds = []
+            i = 0
+            for n, attr, treedef, k in bindings:
+                olds.append(getattr(n, attr))
+                setattr(n, attr, jax.tree_util.tree_unflatten(
+                    treedef, list(leaves[i:i + k])))
+                i += k
+            try:
+                yield
+            finally:
+                for (n, attr, _, _), old in zip(bindings, olds):
+                    setattr(n, attr, old)
+
+        return ctx()
+
+    def cached_step(self):
+        """(step_c, cache_leaves): like :meth:`step_fn`, but the step
+        takes the flat cache tuple as a third argument so callers can
+        thread it through jit boundaries:
+
+            step_c, caches = cp.cached_step()
+            @jax.jit
+            def run(blocks, *caches):
+                carry, ys = lax.scan(
+                    lambda c, x: step_c(c, x, caches), carry0, blocks)
+            run(blocks, *caches)
+        """
+        step = self.step_fn()
+        bindings, leaves = self.cache_bindings()
+
+        def step_c(carry, x, caches):
+            with self._bind(bindings, caches):
+                return step(carry, x)
+
+        return step_c, leaves
 
     def step_fn(self):
         """(carry, blocks) -> (carry, out_block), jittable.
@@ -355,18 +441,19 @@ class CompiledPipeline:
         eager node's non-averaged read ((bins, [n_phase,] ...) data and
         counts); averaging divides afterwards (`run_reduced` does both).
         """
-        step = self.step_fn()
+        step_c, cache_leaves = self.cached_step()
         red = self.reduction
         multi = len(self.sources) > 1
 
         if red is None:
             @jax.jit
-            def run(blocks):
+            def jrun(blocks, *caches):
                 carry = self.init_carry()
-                carry, ys = jax.lax.scan(step, carry, blocks)
+                carry, ys = jax.lax.scan(
+                    lambda c, x: step_c(c, x, caches), carry, blocks)
                 return ys.reshape((-1,) + ys.shape[2:])
 
-            return run
+            return lambda blocks: jrun(blocks, *cache_leaves)
 
         # host-precomputed per-block segment ids (f32 planes: the axon
         # device boundary transfers float32 only).  Compiled sample k is
@@ -382,10 +469,10 @@ class CompiledPipeline:
         acc_dtype = red._acc_dtype()
         sample_shape = self._tail.sample_shape
 
-        def red_step(carry, xs):
+        def red_step(carry, xs, caches):
             data_carry, sums, counts = carry[:-2], carry[-2], carry[-1]
             blocks, idf = xs
-            new_carry, y = step(data_carry, blocks)
+            new_carry, y = step_c(data_carry, blocks, caches)
             seg = idf.astype(jnp.int32)
             sums = sums + jax.ops.segment_sum(
                 y.astype(acc_dtype), seg, num_segments=n_seg + 1)
@@ -395,16 +482,18 @@ class CompiledPipeline:
             return new_carry + (sums, counts), 0
 
         @jax.jit
-        def run(blocks):
+        def jrun(blocks, ids, *caches):
             carry = self.init_carry() + (
                 jnp.zeros((n_seg + 1,) + sample_shape, acc_dtype),
                 jnp.zeros((n_seg + 1,), jnp.int32))
-            carry, _ = jax.lax.scan(red_step, carry, (blocks, ids_f))
+            carry, _ = jax.lax.scan(
+                lambda c, x: red_step(c, x, caches), carry,
+                (blocks, ids))
             sums, counts = carry[-2], carry[-1]
             return (self._shape_reduced(sums[:-1]),
                     self._shape_reduced_counts(counts[:-1]))
 
-        return run
+        return lambda blocks: jrun(blocks, ids_f, *cache_leaves)
 
     def _shape_reduced(self, sums):
         red = self.reduction

@@ -39,28 +39,31 @@ def _best_of(fn, n=3):
 
 
 def _timed_chain(cp, gen_block, n_iter=N_ITER):
-    """One jit: scan `step` over on-device generated blocks, f32 out."""
+    """One jit: scan `step` over on-device generated blocks, f32 out.
+
+    Caches travel as jit arguments (cp.cached_step): closure-captured
+    device arrays are fetched for constant embedding, which the axon
+    boundary rejects for complex dtypes."""
     import jax
     import jax.numpy as jnp
 
-    step = cp.step_fn()
-    carry0 = cp.init_carry()
+    step_c, caches = cp.cached_step()
 
     @jax.jit
-    def run(seedf):
+    def run(seedf, *cs):
         key = jax.random.key(seedf[0].astype(jnp.int32))
 
         def s(carry, i):
             x = gen_block(jax.random.fold_in(key, i))
-            carry, y = step(carry, x)
+            carry, y = step_c(carry, x, cs)
             return carry, jnp.sum(jnp.abs(y) ** 2)
 
-        carry, ys = jax.lax.scan(s, carry0, jnp.arange(n_iter))
+        carry, ys = jax.lax.scan(s, cp.init_carry(), jnp.arange(n_iter))
         return jnp.sum(ys).reshape(1)
 
     seed = np.ones((1,), np.float32)
-    np.asarray(run(seed))  # compile + warm
-    return _best_of(lambda: np.asarray(run(seed))) / n_iter
+    np.asarray(run(seed, *caches))  # compile + warm
+    return _best_of(lambda: np.asarray(run(seed, *caches))) / n_iter
 
 
 def _complex_noise(key, shape):
@@ -109,14 +112,14 @@ def config1():
     # non-padded chains accept any whole-group block; absorb the
     # Integrate as an in-scan reshape-sum (16 channelized samples per
     # output bin, aligned by construction)
-    step = cp.step_fn()
+    step_c, caches = cp.cached_step()
 
     @jax.jit
-    def run(seedf):
+    def run(seedf, *cs):
         key = jax.random.key(seedf[0].astype(jnp.int32))
 
         def s(carry, i):
-            carry, y = step(carry, gen(jax.random.fold_in(key, i)))
+            carry, y = step_c(carry, gen(jax.random.fold_in(key, i)), cs)
             y = y.reshape(-1, 16, y.shape[-1]).sum(1)  # Integrate(16)
             return carry, jnp.sum(y)
 
@@ -124,8 +127,8 @@ def config1():
         return jnp.sum(ys).reshape(1)
 
     seed = np.ones((1,), np.float32)
-    np.asarray(run(seed))
-    dt = _best_of(lambda: np.asarray(run(seed))) / N_ITER
+    np.asarray(run(seed, *caches))
+    dt = _best_of(lambda: np.asarray(run(seed, *caches))) / N_ITER
     rate = block / dt
     return {"config": 1, "eager_cpu_samples_per_s": round(eager_rate, 1),
             "compiled_samples_per_s": round(rate, 1),
@@ -383,7 +386,9 @@ def main():
         try:
             res = cmds[name]()
         except Exception as exc:  # keep going; report the failure
-            res = {"config": name, "error": f"{type(exc).__name__}: {exc}"}
+            import traceback
+            res = {"config": name, "error": f"{type(exc).__name__}: {exc}",
+                   "traceback": traceback.format_exc().splitlines()[-12:]}
         results[name] = res
         print(json.dumps(res), flush=True)
     if update:
