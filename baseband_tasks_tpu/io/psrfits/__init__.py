@@ -128,7 +128,7 @@ class PSRFITSWriter:
     """
 
     def __init__(self, name, template, *, source="", telescope="",
-                 pol_type=None):
+                 pol_type=None, dm=0.0, rm=0.0):
         self._name = name
         shape = template.shape
         while len(shape) < 4:
@@ -140,6 +140,8 @@ class PSRFITSWriter:
         self._template = template
         self._source = source
         self._telescope = telescope
+        self._dm = float(getattr(dm, "value", dm))
+        self._rm = float(rm)
         attrs = getattr(template, "meta", {}).get("__attributes__", {})
         freq = attrs.get("frequency")
         if freq is None:
@@ -180,6 +182,7 @@ class PSRFITSWriter:
         offs = sec_of_day - smjd
 
         primary = Header()
+        primary.set("HDRVER", "5.4", "header version")
         primary.set("FITSTYPE", "PSRFITS", "FITS definition for pulsar data")
         primary.set("OBS_MODE", "PSR", "fold mode")
         primary.set("SRC_NAME", self._source)
@@ -201,16 +204,32 @@ class PSRFITSWriter:
             ("DAT_SCL", f"{nchan * npol}E", None, None),
             ("DATA", f"{nbin * nchan * npol}I", (nbin, nchan, npol), None),
         ]
+        # spec-required SUBINT description cards, using the conventions
+        # of real PUPPI files (reference data
+        # B1855+09.430.PUPPI.11y.x.sum.sm; '*' marks not-applicable)
         hdr = bintable_header(columns, nt, "SUBINT")
-        hdr.set("NBIN", nbin)
-        hdr.set("NCHAN", nchan)
+        hdr.set("EPOCHS", "VALID", "epoch convention (VALID/MIDTIME/STT_MJD)")
+        hdr.set("INT_TYPE", "TIME", "subint axis: time")
+        hdr.set("INT_UNIT", "SEC", "subint axis unit")
+        hdr.set("SCALE", "FluxDen", "data scale (FluxDen/RefFlux/Jansky)")
         hdr.set("NPOL", npol)
         hdr.set("POL_TYPE", self._pol_type)
         hdr.set("TBIN", tsubint / nbin)
+        hdr.set("NBIN", nbin)
+        hdr.set("NBIN_PRD", nbin, "bins in one period")
+        hdr.set("PHS_OFFS", 0.0, "phase offset of bin 0")
+        hdr.set("NBITS", 1, "unused in fold mode")
+        hdr.set("ZERO_OFF", 0.0)
+        hdr.set("SIGNINT", 0, "1 if data are signed ints")
+        hdr.set("NSUBOFFS", 0, "subint offset")
+        hdr.set("NCHAN", nchan)
         hdr.set("CHAN_BW", float(self._freq[1] - self._freq[0])
                 if nchan > 1 else 0.0)
+        hdr.set("DM", self._dm, "pc/cm^3")
+        hdr.set("RM", self._rm, "rad m^-2")
+        hdr.set("NCHNOFFS", 0, "channel offset")
         hdr.set("NSBLK", 1)
-        hdr.set("ZERO_OFF", 0.0)
+        hdr.set("NSTOT", nt, "total subints")
         dtype = fitsio._table_dtype(hdr)
         rows = np.zeros(nt, dtype=dtype)
         for i, frame in enumerate(self._rows):

@@ -198,3 +198,66 @@ class TestSearchMode:
         # quantization noise scales as range / (2^nbits - 1)
         np.testing.assert_allclose(back, data,
                                    atol=np.ptp(data) * tol + 1e-3)
+
+
+class TestWrittenHeaderAudit:
+    """Audit written fold-mode files against the PSRFITS definition's
+    required PRIMARY + SUBINT cards (the reference builds its template
+    from the spec HTML, psrfits_htm_parser.py:170-183; conventions here
+    follow the real PUPPI file in its test data)."""
+
+    REQUIRED_PRIMARY = ["HDRVER", "FITSTYPE", "OBS_MODE", "TELESCOP",
+                        "OBSFREQ", "OBSBW", "OBSNCHAN",
+                        "STT_IMJD", "STT_SMJD", "STT_OFFS"]
+    REQUIRED_SUBINT = ["EPOCHS", "INT_TYPE", "INT_UNIT", "SCALE",
+                       "POL_TYPE", "NPOL", "TBIN", "NBIN", "NBIN_PRD",
+                       "PHS_OFFS", "NBITS", "ZERO_OFF", "SIGNINT",
+                       "NSUBOFFS", "NCHAN", "CHAN_BW", "DM", "RM",
+                       "NCHNOFFS", "NSBLK", "NSTOT"]
+
+    def _write_one(self, tmp_path):
+        from baseband_tasks_tpu.io import psrfits
+        from baseband_tasks_tpu import SetAttribute, EmptyStreamGenerator
+        from baseband_tasks_tpu.utils import Time, units as u
+
+        tmpl = SetAttribute(
+            EmptyStreamGenerator(shape=(3, 16, 4, 2),
+                                 start_time=Time("2020-01-01T00:00:00.0"),
+                                 sample_rate=u.Quantity(0.5, u.Hz),
+                                 samples_per_frame=1,
+                                 dtype=np.float32),
+            frequency=(1400 + np.arange(4)[:, None] * 1.5) * u.MHz,
+            sideband=1)
+        path = str(tmp_path / "audit.fits")
+        with psrfits.open(path, "w", template=tmpl, source="J0000+0000",
+                          telescope="GBT", dm=13.3) as wh:
+            for i in range(3):
+                wh.write(np.full((1, 16, 4, 2), float(i + 1), np.float32))
+        return path
+
+    def test_required_cards_present(self, tmp_path):
+        from baseband_tasks_tpu.io.psrfits import fitsio
+        path = self._write_one(tmp_path)
+        hdus = fitsio.read_fits(path)
+        primary = hdus[0].header
+        subint = next(h.header for h in hdus
+                      if str(h.header.get("EXTNAME", "")).strip()
+                      == "SUBINT")
+        missing_p = [k for k in self.REQUIRED_PRIMARY if k not in primary]
+        missing_s = [k for k in self.REQUIRED_SUBINT if k not in subint]
+        assert not missing_p, f"PRIMARY missing {missing_p}"
+        assert not missing_s, f"SUBINT missing {missing_s}"
+        assert subint["INT_TYPE"].strip() == "TIME"
+        assert subint["INT_UNIT"].strip() == "SEC"
+        assert subint["NBIN"] == 16 and subint["NPOL"] == 2
+        assert subint["DM"] == 13.3
+        assert subint["NSTOT"] == 3
+
+    def test_reader_accepts_audited_file(self, tmp_path):
+        from baseband_tasks_tpu.io import psrfits
+        path = self._write_one(tmp_path)
+        rh = psrfits.open(path)
+        out = np.asarray(rh.read(3))
+        np.testing.assert_allclose(
+            out, np.stack([np.full((16, 4, 2), float(i + 1))
+                           for i in range(3)]), rtol=1e-3)
