@@ -185,6 +185,17 @@ class CompiledPipeline:
                 delay_stack[-1] += n.pad_start + n.pad_end
                 continue
             if isinstance(n, TaskBase):
+                import inspect
+                if "task" in n.__dict__ and inspect.ismethod(n.task):
+                    # method-style Task callables receive the node and
+                    # typically read tell()/time — position-dependent
+                    # state a traced step would freeze at construction
+                    raise ValueError(
+                        "cannot compile a Task with a method-style "
+                        "callable (it sees the stream position, which "
+                        "is not defined inside the compiled scan); "
+                        "generate position-dependent data in the source "
+                        "(StreamGenerator) instead")
                 ratio = Fraction(n.samples_per_frame,
                                  n._ih_samples_per_frame)
                 stages.append(_Stage(n, False, 0, ratio.denominator,

@@ -405,6 +405,9 @@ def _stage_b(y_r, y_i, chr_, chi, *, n1, n2, block_c, interpret, params):
         out_specs=(spec_c, spec_c),
         out_shape=(jax.ShapeDtypeStruct((n2, n1, L), jnp.float32),
                    jax.ShapeDtypeStruct((n2, n1, L), jnp.float32)),
+        # z tiles overwrite the (dead after this kernel) y tiles in
+        # place: each grid step fully reads its y tile before writing
+        input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
     )(y_r, y_i, chr_, chi)
 

@@ -166,3 +166,28 @@ class TestMultiInput:
         with pytest.raises(ValueError, match="different streaming delays"):
             CompiledPipeline(Square(CombineStreams(
                 [ded, SetAttribute(s2)], lambda d: d[0] + d[1])))
+
+
+class TestPositionDependentTask:
+    def test_method_style_task_rejected(self):
+        """A Task whose callable sees the node (and thus tell()/time)
+        cannot be compiled: the scan would freeze its position at the
+        construction-time value and silently corrupt the data."""
+        from baseband_tasks_tpu import Task
+
+        def with_handle(fh, data):
+            return data * fh.tell()
+
+        tail = Square(Task(noise(67), with_handle))
+        with pytest.raises(ValueError, match="method-style"):
+            CompiledPipeline(tail)
+
+    def test_plain_function_task_compiles(self):
+        from baseband_tasks_tpu import Task
+
+        tail = Square(Task(noise(71), lambda data: data * 2.0))
+        cp = CompiledPipeline(tail)
+        out = np.asarray(cp.run_blocks(cp.read_source_blocks(2)))
+        tail.seek(0)
+        np.testing.assert_allclose(out, np.asarray(tail.read(len(out))),
+                                   rtol=1e-5, atol=1e-5)

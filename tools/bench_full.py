@@ -218,16 +218,20 @@ def config4():
     # (chan, pol) component), then stream it back through the reader ---
     n_chan, n_pol = 16, 2
     block = 1 << 15
+    # template for metadata only; payload comes from host numpy noise
+    # (reading a device-backed generator would complex-fetch on axon)
     src = NoiseGenerator(shape=(block * 4, n_chan * n_pol),
                          start_time=Time.from_mjd(58000.0),
                          sample_rate=250 * u.kHz,
                          samples_per_frame=8192, seed=3)
+    rng = np.random.default_rng(3)
     path = os.path.join(tempfile.mkdtemp(), "bench4.vdif")
     with vdif.open(path, "w", template=src, bps=8,
                    samples_per_frame=2500) as wh:
-        src.seek(0)
         for _ in range(4):
-            wh.write(np.asarray(src.read(block)) * 0.25)
+            x = (rng.standard_normal((block, n_chan * n_pol, 2))
+                 .astype(np.float32) * 0.25)
+            wh.write((x[..., 0] + 1j * x[..., 1]).astype(np.complex64))
 
     raw = np.fromfile(path, np.uint8)
     t0 = time.perf_counter()
