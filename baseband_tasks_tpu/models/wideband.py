@@ -159,9 +159,13 @@ class WidebandPulsarPipeline:
             # can then assemble windows in VMEM from block + halo edges
             # instead of materializing the padded window in HBM
             from ..ops.dedisperse_pallas import split_n
-            _, n2 = split_n(n_fft)
+            n1, n2 = split_n(n_fft)
             self.pad_start = -(-self.pad_start // n2) * n2
             self.pad_end = -(-self.pad_end // n2) * n2
+            # quarter-packed ingest needs the main rows (n1 - pads/n2)
+            # divisible by 4; grow pad_end by up to 3*n2 (<1% of block)
+            extra = (n1 - (self.pad_start + self.pad_end) // n2) % 4
+            self.pad_end += extra * n2
         else:
             n_fft = next_fast_len(n_min)
         self.block_samples = n_fft - self.pad_start - self.pad_end
@@ -366,20 +370,52 @@ class WidebandPulsarPipeline:
 
     def _local_step_pallas_split_packed(self, cr, ci, csr, csi, off,
                                         foldv):
-        """Packed-8-bit ingest step: ``cr``/``ci`` are (T, L/4) float32
-        carriers whose bit patterns hold one offset-binary byte per
-        real/imag component (L = C_local * n_pol component order, four
-        consecutive components per 32-bit word).  Decodes on device and
-        runs :meth:`_local_step_pallas_split`; the 1/64 scale keeps the
-        decoded values in a unit-ish range."""
-        from ..ops.unpack_device import unpack_8bit_device
-        T = cr.shape[0]
-        c_local = cr.shape[1] * 4 // self.n_pol
-        xr = unpack_8bit_device(cr).reshape(T, c_local, self.n_pol) \
-            * jnp.float32(1.0 / 64.0)
-        xi = unpack_8bit_device(ci).reshape(T, c_local, self.n_pol) \
-            * jnp.float32(1.0 / 64.0)
-        return self._local_step_pallas_split(xr, xi, csr, csi, off, foldv)
+        """Packed-8-bit ingest step with the decode FUSED into K1.
+
+        ``cr``/``ci`` : (T/4, C_local, P) float32 *quarter-packed*
+        carriers (ops/unpack_device.pack_time_quarters): byte j of each
+        word is the sample j*T/4 later, one offset-binary byte per
+        real/imag component.  Only the halo-edge samples are decoded
+        here (to build the exchange buffers); the bulk block is decoded
+        inside the stage-A kernel in the same pass as the FFT — the raw
+        bytes cross HBM once, at 1/4 the read traffic of float planes.
+        The 1/64 scale (keeping decoded values unit-ish) is folded into
+        the kernel's per-iteration scale.
+        """
+        from ..ops.dedisperse_pallas import dedisperse_fold_split_packed
+        from ..ops.unpack_device import quarter_edges_device
+        tq, c_local, n_pol = cr.shape
+        T = tq * 4
+        L = c_local * n_pol
+        ps, pe = self.pad_start, self.pad_end
+        n_sh = jax.lax.axis_size("time")
+        fwd = [(i, i + 1) for i in range(n_sh - 1)]
+        bwd = [(i + 1, i) for i in range(n_sh - 1)]
+
+        def edges(c):
+            # decode only the edge samples; exchange them as f32
+            send_bwd, send_fwd = quarter_edges_device(c, pe, ps)
+            front = jax.lax.ppermute(send_fwd, "time", fwd)
+            end = jax.lax.ppermute(send_bwd, "time", bwd)
+            return front, end
+
+        fr, er = edges(cr)
+        fi, ei = edges(ci)
+        scale = ((1.0 + 1e-6 * off) * (1.0 / 64.0)).reshape(1)
+        shard = jax.lax.axis_index("time")
+        fold3 = self._shard_fold3(foldv, shard, T, include_pad=True)
+        prof, cnt = dedisperse_fold_split_packed(
+            cr.reshape(tq, L), ci.reshape(tq, L),
+            fr.reshape(ps, L), fi.reshape(ps, L),
+            er.reshape(pe, L), ei.reshape(pe, L),
+            csr.reshape(csr.shape[0], csr.shape[1], -1),
+            csi.reshape(csi.shape[0], csi.shape[1], -1),
+            fold3, scale,
+            n_phase=self.n_phase, pad_start=ps, n_valid=T)
+        prof = prof[:self.n_phase].reshape(self.n_phase, c_local, n_pol)
+        prof = jax.lax.psum(prof, "time")
+        cnt = jax.lax.psum(cnt[:self.n_phase], "time")
+        return prof, cnt
 
     def _local_step_pallas_split(self, xr, xi, csr, csi, off, foldv):
         """Split-plane fused step: like :meth:`_local_step_pallas_planes`
@@ -591,10 +627,7 @@ class WidebandPulsarPipeline:
             chirp_args = (jax.device_put(csr, spec),
                           jax.device_put(csi, spec))
             if ingest_bits:
-                L = self.n_chan * self.n_pol
-                if (L // self.n_chan_shards) % 4:
-                    raise ValueError("packed ingest needs 4 | L per shard")
-                shape = (T, L // 4)
+                shape = (T // 4, self.n_chan, self.n_pol)
             else:
                 shape = (T, self.n_chan, self.n_pol)
             split_planes = True

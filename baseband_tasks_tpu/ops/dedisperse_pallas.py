@@ -646,6 +646,148 @@ def dedisperse_fold_split(xr, xi, fr, fi, er, ei, chirp_storage_r,
         interpret=interpret)
 
 
+def _k1_body_stream2_packed(n1, n2, n, offset, s_ref, fr_ref, fi_ref,
+                            xpr_ref, xpi_ref, er_ref, ei_ref,
+                            yr_ref, yi_ref):
+    """K1 whose MAIN block arrives as packed offset-binary bytes.
+
+    ``xpr``/``xpi`` tiles are (nm//4, bb, L) float32 *carriers*: byte j
+    of each 32-bit word holds the sample ``j * t_main/4`` later in time
+    (time-quarter byte planes, ops/unpack_device.pack_time_quarters).
+    Decoding is therefore four row-block writes — shifts/masks on the
+    VPU with **no lane movement** — and the raw bytes are read from HBM
+    exactly once, inside the same pass that runs the stage-A FFT: the
+    decode costs 1/4 the read traffic of float32 planes instead of an
+    extra pass.  The halo edges (pads; a few % of the block) arrive
+    pre-decoded.
+    """
+    s = s_ref[0]
+    off_s = jnp.float32(offset)
+
+    def dec(ref):
+        v = jax.lax.bitcast_convert_type(ref[:], jnp.uint32)
+        parts = [(((v >> jnp.uint32(8 * k)) & jnp.uint32(0xFF))
+                  .astype(jnp.float32) - off_s) for k in range(4)]
+        return jnp.concatenate(parts, axis=0)
+
+    xr = jnp.concatenate([fr_ref[:], dec(xpr_ref), er_ref[:]], axis=0) * s
+    xi = jnp.concatenate([fi_ref[:], dec(xpi_ref), ei_ref[:]], axis=0) * s
+    rr, ii = _stockham(xr, xi, -1.0)
+    _stage_a_twiddle(rr, ii, n1, n, yr_ref, yi_ref)
+
+
+def _stage_a_stream2_packed(xpr, xpi, fr, fi, er, ei, scale, offset, *,
+                            n1, n2, block_b, interpret, params):
+    """K1 from packed byte carriers plus decoded f32 halo edges."""
+    n = n1 * n2
+    L = xpr.shape[-1]
+    kf = fr.shape[0] // n2
+    ke = er.shape[0] // n2
+    nm = n1 - kf - ke
+    if nm % 4:
+        raise ValueError(f"main rows {nm} must divide by 4 for "
+                         f"quarter-packed input")
+    nmp = nm // 4
+
+    def blk(rows):
+        return pl.BlockSpec((rows, block_b, L), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    spec_s = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_k1_body_stream2_packed, n1, n2, n,
+                          float(offset)),
+        compiler_params=params,
+        grid=(n2 // block_b,),
+        in_specs=[spec_s, blk(kf), blk(kf), blk(nmp), blk(nmp), blk(ke),
+                  blk(ke)],
+        out_specs=(spec_bT, spec_bT),
+        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), jnp.float32),
+                   jax.ShapeDtypeStruct((n2, n1, L), jnp.float32)),
+        interpret=interpret,
+    )(scale, fr.reshape(kf, n2, L), fi.reshape(kf, n2, L),
+      xpr.reshape(nmp, n2, L), xpi.reshape(nmp, n2, L),
+      er.reshape(ke, n2, L), ei.reshape(ke, n2, L))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "offset", "n1", "n2", "block_b", "block_c", "n_phase",
+    "pad_start", "n_valid", "interpret"))
+def _dedisperse_fold_split_packed_impl(xpr, xpi, fr, fi, er, ei, chr_,
+                                       chi, fold, scale, *, offset, n1,
+                                       n2, block_b, block_c, n_phase,
+                                       pad_start, n_valid, interpret):
+    L = xpr.shape[-1]
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    y_r, y_i = _stage_a_stream2_packed(
+        xpr, xpi, fr, fi, er, ei, scale, offset, n1=n1, n2=n2,
+        block_b=block_b, interpret=interpret, params=params)
+    z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
+                        block_c=block_c, interpret=interpret, params=params)
+    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_fold = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    prof, cnt = pl.pallas_call(
+        functools.partial(_k3_fold_body, n1, n2, pad_start, n_valid,
+                          n_phase),
+        compiler_params=params,
+        grid=(n2 // block_b,),
+        in_specs=[spec_fold, spec_bT, spec_bT],
+        out_specs=(spec_prof, spec_cnt),
+        out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
+        interpret=interpret,
+    )(fold, z_r, z_i)
+    return prof, cnt[0]
+
+
+def dedisperse_fold_split_packed(xpr, xpi, fr, fi, er, ei,
+                                 chirp_storage_r, chirp_storage_i, fold,
+                                 scale, *, n_phase, pad_start, n_valid,
+                                 offset=127.5, block_b=None, block_c=None,
+                                 interpret=None):
+    """As :func:`dedisperse_fold_split` but the main block arrives as
+    packed 8-bit offset-binary bytes riding in float32 carriers.
+
+    ``xpr``/``xpi`` : (t_main // 4, L) float32 carriers (see
+    ``ops/unpack_device.pack_time_quarters``); ``fr``/``fi``/``er``/
+    ``ei`` : decoded float32 halo edges in the SAME units the decode
+    produces (byte - offset) — the common scale (e.g. the 1/64
+    normalization) belongs in ``scale``, which multiplies pads and
+    decoded block alike.
+    """
+    tq, L = xpr.shape
+    t_main = tq * 4
+    p0 = fr.shape[0]
+    p1 = er.shape[0]
+    n = t_main + p0 + p1
+    if not _is_pow2(n):
+        raise ValueError(f"window {n} must be a power of two")
+    n1, n2 = _split_n(n)
+    for name, val in (("pad_start", p0), ("pad_end", p1),
+                      ("block", t_main)):
+        if val % n2 or val == 0:
+            raise ValueError(f"{name}={val} must be a non-zero multiple "
+                             f"of N2={n2}")
+    if p0 != pad_start:
+        raise ValueError("front buffer length must equal pad_start")
+    block_b, block_c = _choose_blocks(n, n1, n2, L, block_b, block_c)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _dedisperse_fold_split_packed_impl(
+        xpr, xpi, fr, fi, er, ei, chirp_storage_r, chirp_storage_i,
+        _fold_vector(fold), scale, offset=float(offset), n1=n1, n2=n2,
+        block_b=block_b, block_c=block_c,
+        n_phase=_check_n_phase(n_phase), pad_start=int(pad_start),
+        n_valid=int(n_valid), interpret=interpret)
+
+
 def _stage_a_stream(x2, front, end, scale, *, n1, n2, block_b, interpret,
                     params):
     """K1 assembling padded windows in VMEM from block + halo edges."""

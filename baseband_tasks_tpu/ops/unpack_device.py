@@ -32,7 +32,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pack_bytes_to_f32", "words_from_f32", "unpack_8bit_device",
+__all__ = ["pack_bytes_to_f32", "pack_time_quarters",
+           "quarter_edges_device", "words_from_f32", "unpack_8bit_device",
            "unpack_4bit_device", "unpack_2bit_device",
            "unpack_1bit_device", "VDIF_2BIT_LEVELS"]
 
@@ -101,3 +102,39 @@ def unpack_1bit_device(x, low=-1.0, high=1.0):
     low (LSB first)."""
     b = _fields(x, 1).astype(jnp.float32)
     return jnp.float32(low) + b * jnp.float32(high - low)
+
+
+def pack_time_quarters(raw):
+    """Host helper: (T, L) uint8 samples -> (T//4, L) float32 carriers
+    whose word at (t, l) holds bytes j = sample (t + j*T/4, l).
+
+    This "time-quarter byte plane" layout is what the fused stage-A
+    kernel (ops/dedisperse_pallas.dedisperse_fold_split_packed) expects:
+    each decoded byte plane is a contiguous row block of the FFT window,
+    so the in-kernel decode needs no lane or sublane movement.
+    """
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    t, L = raw.shape
+    if t % 4:
+        raise ValueError("time axis must divide by 4")
+    q = np.ascontiguousarray(np.moveaxis(raw.reshape(4, t // 4, L),
+                                         0, -1))          # (T/4, L, 4)
+    return q.reshape(t // 4, L * 4).view("<u4").view(np.float32)
+
+
+def quarter_edges_device(xp, pad_start, pad_end, offset=127.5):
+    """Decoded (front, end) edge samples of a quarter-packed block.
+
+    ``xp`` : (T/4, L) carriers as produced by :func:`pack_time_quarters`.
+    front = first ``pad_start`` samples (byte 0 of the leading words),
+    end = last ``pad_end`` samples (byte 3 of the trailing words); both
+    returned as float32 ``byte - offset`` (same units as the in-kernel
+    decode).  Used to build halo-exchange buffers without decoding the
+    whole block.
+    """
+    u = words_from_f32(xp)
+    front = ((u[:pad_start] & jnp.uint32(0xFF)).astype(jnp.float32)
+             - jnp.float32(offset))
+    end = (((u[-pad_end:] >> jnp.uint32(24)) & jnp.uint32(0xFF))
+           .astype(jnp.float32) - jnp.float32(offset))
+    return front, end

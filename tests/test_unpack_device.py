@@ -14,9 +14,9 @@ import jax.numpy as jnp
 
 from baseband_tasks_tpu import native
 from baseband_tasks_tpu.ops.unpack_device import (
-    VDIF_2BIT_LEVELS, pack_bytes_to_f32, unpack_1bit_device,
-    unpack_2bit_device, unpack_4bit_device, unpack_8bit_device,
-    words_from_f32)
+    VDIF_2BIT_LEVELS, pack_bytes_to_f32, pack_time_quarters,
+    quarter_edges_device, unpack_1bit_device, unpack_2bit_device,
+    unpack_4bit_device, unpack_8bit_device, words_from_f32)
 
 
 def all_bytes():
@@ -106,3 +106,102 @@ class TestShapes:
         x = pack_bytes_to_f32(all_bytes())
         out = jax.jit(lambda v: unpack_2bit_device(v) ** 2)(x)
         assert out.dtype == jnp.float32
+
+
+class TestQuarterPacking:
+    """Fused-decode layout (pack_time_quarters + in-K1 decode): the
+    packed pipeline must reproduce the float path bit-for-bit at the
+    decode and to float roundoff through the kernels."""
+
+    def test_quarter_edges_match_decode(self):
+        rng = np.random.default_rng(5)
+        b = rng.integers(0, 256, (64, 16), dtype=np.uint8)
+        xp = jnp.asarray(pack_time_quarters(b))
+        front, end = quarter_edges_device(xp, 5, 7)
+        dec = b.astype(np.float32) - 127.5
+        np.testing.assert_array_equal(np.asarray(front), dec[:5])
+        np.testing.assert_array_equal(np.asarray(end), dec[-7:])
+
+    def test_fused_kernel_matches_split_path(self):
+        from baseband_tasks_tpu.ops import dedisperse_pallas as dp
+        t_main, p0, p1 = 896, 32, 96    # window 1024, rows%4==0
+        L, n_phase = 128, 8
+        rng = np.random.default_rng(0)
+        br = rng.integers(0, 256, (t_main, L), dtype=np.uint8)
+        bi = rng.integers(0, 256, (t_main, L), dtype=np.uint8)
+        dec_r = br.astype(np.float32) - 127.5
+        dec_i = bi.astype(np.float32) - 127.5
+        fr, er = dec_r[-p0:], dec_r[:p1]
+        fi, ei = dec_i[-p0:], dec_i[:p1]
+        ph = rng.uniform(-0.5, 0.5, (t_main + p0 + p1, L))
+        cr = np.cos(2 * np.pi * ph).astype(np.float32)
+        ci = np.sin(2 * np.pi * ph).astype(np.float32)
+        n1, n2 = dp.split_n(t_main + p0 + p1)
+        csr = dp.permute_to_storage_order(cr, n1, n2)
+        csi = dp.permute_to_storage_order(ci, n1, n2)
+        fold = dp.fold_phase_vector(0.1, 1.0 / 97.0)
+        scale = np.float32(1 / 64.0).reshape(1)
+        ref = dp.dedisperse_fold_split(
+            dec_r, dec_i, fr, fi, er, ei, csr, csi, fold, scale,
+            n_phase=n_phase, pad_start=p0, n_valid=t_main)
+        got = dp.dedisperse_fold_split_packed(
+            jnp.asarray(pack_time_quarters(br)),
+            jnp.asarray(pack_time_quarters(bi)),
+            fr, fi, er, ei, csr, csi, fold, scale,
+            n_phase=n_phase, pad_start=p0, n_valid=t_main)
+        np.testing.assert_array_equal(np.asarray(ref[1]),
+                                      np.asarray(got[1]))
+        np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]),
+                                   rtol=1e-5, atol=1e-3)
+
+    def test_packed_pipeline_matches_float_on_mesh(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from baseband_tasks_tpu.models import WidebandPulsarPipeline
+        from baseband_tasks_tpu.utils import units as u
+
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                    ("time", "chan"))
+        pipe = WidebandPulsarPipeline(
+            n_chan=8, n_pol=2, dm=0.5, freq_center=600 * u.MHz,
+            chan_rate=250 * u.kHz, period_samples=(512, 1), n_phase=8,
+            block_samples=1024, mesh=mesh, use_pallas=True)
+        T = pipe.global_block
+        rng = np.random.default_rng(1)
+        br = rng.integers(0, 256, (T, 8, 2), dtype=np.uint8)
+        bi = rng.integers(0, 256, (T, 8, 2), dtype=np.uint8)
+        xr = (br.astype(np.float32) - 127.5) / 64.0
+        xi = (bi.astype(np.float32) - 127.5) / 64.0
+        csr, csi = pipe._chirp_storage_np()
+        spec = NamedSharding(mesh, P(None, None, "chan"))
+        cs = (jax.device_put(csr, spec), jax.device_put(csi, spec))
+        foldv = pipe._foldv_device(jnp.asarray(np.float32(0)))
+
+        def run(fn, a, b):
+            sharded = jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=(P("time", "chan"), P("time", "chan"),
+                          P(None, None, "chan"), P(None, None, "chan"),
+                          P(), P()),
+                out_specs=(P(None, "chan"), P()), check_vma=False)
+            return jax.jit(lambda x, y: sharded(
+                x, y, *cs, jnp.zeros(()), foldv))(a, b)
+
+        prof_ref, cnt_ref = run(pipe._local_step_pallas_split,
+                                jnp.asarray(xr), jnp.asarray(xi))
+
+        half = T // 2
+
+        def pack_sharded(bb):
+            parts = [pack_time_quarters(
+                bb[s * half:(s + 1) * half].reshape(half, -1)
+            ).reshape(half // 4, 8, 2) for s in range(2)]
+            return np.concatenate(parts, axis=0)
+
+        prof_p, cnt_p = run(pipe._local_step_pallas_split_packed,
+                            jnp.asarray(pack_sharded(br)),
+                            jnp.asarray(pack_sharded(bi)))
+        np.testing.assert_array_equal(np.asarray(cnt_ref),
+                                      np.asarray(cnt_p))
+        np.testing.assert_allclose(np.asarray(prof_ref),
+                                   np.asarray(prof_p),
+                                   rtol=1e-5, atol=1e-3)
