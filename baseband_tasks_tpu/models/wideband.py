@@ -71,7 +71,8 @@ class WidebandPulsarPipeline:
                  freq_center=None, chan_rate=None,
                  period_samples=(16000, 3), n_phase=64,
                  block_samples=16384, mesh=None, fft_pow2=False,
-                 use_pallas=False, phase_model=None, start_time=None):
+                 use_pallas=False, phase_model=None, start_time=None,
+                 ingest_bits=8):
         if freq_center is None:
             freq_center = 1400 * u.MHz
         if chan_rate is None:
@@ -162,9 +163,11 @@ class WidebandPulsarPipeline:
             n1, n2 = split_n(n_fft)
             self.pad_start = -(-self.pad_start // n2) * n2
             self.pad_end = -(-self.pad_end // n2) * n2
-            # quarter-packed ingest needs the main rows (n1 - pads/n2)
-            # divisible by 4; grow pad_end by up to 3*n2 (<1% of block)
-            extra = (n1 - (self.pad_start + self.pad_end) // n2) % 4
+            # plane-packed ingest needs the main rows (n1 - pads/n2)
+            # divisible by 32/ingest_bits (4 for 8-bit, 16 for 2-bit);
+            # grow pad_end accordingly (at most (planes-1)*n2 rows)
+            planes = 32 // int(ingest_bits)
+            extra = (n1 - (self.pad_start + self.pad_end) // n2) % planes
             self.pad_end += extra * n2
         else:
             n_fft = next_fast_len(n_min)
@@ -172,6 +175,7 @@ class WidebandPulsarPipeline:
         self._n_fft = n_fft
         self._chirp_np = self._build_chirp()
         self._step_cache = None
+        self._ingest_bits = int(ingest_bits)  # packed-ingest bit depth
 
     def _build_chirp(self):
         """Dedispersion chirp conj(exp(2πi φ)) over (n_fft, n_chan, 1)."""
@@ -370,12 +374,12 @@ class WidebandPulsarPipeline:
 
     def _local_step_pallas_split_packed(self, cr, ci, csr, csi, off,
                                         foldv):
-        """Packed-8-bit ingest step with the decode FUSED into K1.
+        """Packed 1/2/4/8-bit ingest step with the decode FUSED into K1.
 
-        ``cr``/``ci`` : (T/4, C_local, P) float32 *quarter-packed*
-        carriers (ops/unpack_device.pack_time_quarters): byte j of each
-        word is the sample j*T/4 later, one offset-binary byte per
-        real/imag component.  Only the halo-edge samples are decoded
+        ``cr``/``ci`` : (T*bits/32, C_local, P) float32 *plane-packed*
+        carriers (ops/unpack_device.pack_time_planes): field j of each
+        word is the sample j*T/planes later, one encoded field per
+        real/imag component (bit depth = ``run_fn``'s ``ingest_bits``).  Only the halo-edge samples are decoded
         here (to build the exchange buffers); the bulk block is decoded
         inside the stage-A kernel in the same pass as the FFT — the raw
         bytes cross HBM once, at 1/4 the read traffic of float planes.
@@ -383,9 +387,11 @@ class WidebandPulsarPipeline:
         the kernel's per-iteration scale.
         """
         from ..ops.dedisperse_pallas import dedisperse_fold_split_packed
-        from ..ops.unpack_device import quarter_edges_device
+        from ..ops.unpack_device import plane_edges_device
+        bits = self._ingest_bits
+        per = 32 // bits
         tq, c_local, n_pol = cr.shape
-        T = tq * 4
+        T = tq * per
         L = c_local * n_pol
         ps, pe = self.pad_start, self.pad_end
         n_sh = jax.lax.axis_size("time")
@@ -394,14 +400,15 @@ class WidebandPulsarPipeline:
 
         def edges(c):
             # decode only the edge samples; exchange them as f32
-            send_bwd, send_fwd = quarter_edges_device(c, pe, ps)
+            send_bwd, send_fwd = plane_edges_device(c, pe, ps, bits)
             front = jax.lax.ppermute(send_fwd, "time", fwd)
             end = jax.lax.ppermute(send_bwd, "time", bwd)
             return front, end
 
         fr, er = edges(cr)
         fi, ei = edges(ci)
-        scale = ((1.0 + 1e-6 * off) * (1.0 / 64.0)).reshape(1)
+        norm = {8: 1.0 / 64.0, 4: 1.0 / 4.0, 2: 1.0, 1: 1.0}[bits]
+        scale = ((1.0 + 1e-6 * off) * norm).reshape(1)
         shard = jax.lax.axis_index("time")
         fold3 = self._shard_fold3(foldv, shard, T, include_pad=True)
         prof, cnt = dedisperse_fold_split_packed(
@@ -410,7 +417,7 @@ class WidebandPulsarPipeline:
             er.reshape(pe, L), ei.reshape(pe, L),
             csr.reshape(csr.shape[0], csr.shape[1], -1),
             csi.reshape(csi.shape[0], csi.shape[1], -1),
-            fold3, scale,
+            fold3, scale, bits=bits,
             n_phase=self.n_phase, pad_start=ps, n_valid=T)
         prof = prof[:self.n_phase].reshape(self.n_phase, c_local, n_pol)
         prof = jax.lax.psum(prof, "time")
@@ -599,10 +606,20 @@ class WidebandPulsarPipeline:
         """
         T = self.global_block
         per_q = float(self._per_q)
-        if ingest_bits not in (None, 8):
-            raise ValueError("ingest_bits must be None or 8")
+        if ingest_bits not in (None, 1, 2, 4, 8):
+            raise ValueError("ingest_bits must be None, 1, 2, 4 or 8")
         if ingest_bits and not self.use_pallas:
             raise ValueError("packed ingest requires use_pallas=True")
+        if ingest_bits:
+            from ..ops.dedisperse_pallas import split_n
+            n1, n2 = split_n(self._n_fft)
+            nm = (self._n_fft - self.pad_start - self.pad_end) // n2
+            per = 32 // ingest_bits
+            if nm % per:
+                raise ValueError(
+                    f"{ingest_bits}-bit ingest needs the window main rows "
+                    f"({nm}) divisible by {per}; adjust block_samples")
+            self._ingest_bits = ingest_bits
         if self.fold_model is not None:
             fold_table = jnp.asarray(self.fold_model.table(
                 offset0 + np.arange(n_iter) * T, T))
@@ -627,7 +644,7 @@ class WidebandPulsarPipeline:
             chirp_args = (jax.device_put(csr, spec),
                           jax.device_put(csi, spec))
             if ingest_bits:
-                shape = (T // 4, self.n_chan, self.n_pol)
+                shape = (T * ingest_bits // 32, self.n_chan, self.n_pol)
             else:
                 shape = (T, self.n_chan, self.n_pol)
             split_planes = True

@@ -646,48 +646,73 @@ def dedisperse_fold_split(xr, xi, fr, fi, er, ei, chirp_storage_r,
         interpret=interpret)
 
 
-def _k1_body_stream2_packed(n1, n2, n, offset, s_ref, fr_ref, fi_ref,
-                            xpr_ref, xpi_ref, er_ref, ei_ref,
-                            yr_ref, yi_ref):
-    """K1 whose MAIN block arrives as packed offset-binary bytes.
+def _decode_planes(ref, bits, offset, levels):
+    """In-kernel decode of time-plane packed samples.
 
-    ``xpr``/``xpi`` tiles are (nm//4, bb, L) float32 *carriers*: byte j
-    of each 32-bit word holds the sample ``j * t_main/4`` later in time
-    (time-quarter byte planes, ops/unpack_device.pack_time_quarters).
-    Decoding is therefore four row-block writes — shifts/masks on the
-    VPU with **no lane movement** — and the raw bytes are read from HBM
-    exactly once, inside the same pass that runs the stage-A FFT: the
-    decode costs 1/4 the read traffic of float32 planes instead of an
-    extra pass.  The halo edges (pads; a few % of the block) arrive
-    pre-decoded.
+    ``ref`` holds (rows, bb, L) float32 carriers whose 32-bit words each
+    pack ``32/bits`` samples, field k belonging to time plane k (the
+    sample k*T/planes later; ops/unpack_device.pack_time_planes).  Each
+    plane decodes to a contiguous row block, so the result is shift/mask
+    VPU work plus row-block concats — no lane or sublane movement.
+    Mosaic has no u32->f32 convert, so fields are masked in int32 (all
+    fit) and converted from there.  8/4-bit subtract ``offset``; 2-bit
+    maps crumbs through the 4-entry ``levels`` table with nested selects
+    (bit-identical to the host LUT); 1-bit maps to levels[0]/levels[3].
+    """
+    per = 32 // bits
+    v = jax.lax.bitcast_convert_type(ref[:], jnp.int32)
+    mask = jnp.int32((1 << bits) - 1)
+    parts = []
+    for k in range(per):
+        f = jax.lax.shift_right_logical(v, jnp.int32(bits * k)) & mask
+        if bits == 2:
+            lv = [jnp.float32(x) for x in levels]
+            d = jnp.where(f < 2, jnp.where(f == 0, lv[0], lv[1]),
+                          jnp.where(f == 2, lv[2], lv[3]))
+        elif bits == 1:
+            d = jnp.where(f == 0, jnp.float32(levels[0]),
+                          jnp.float32(levels[3]))
+        else:
+            d = f.astype(jnp.float32) - jnp.float32(offset)
+        parts.append(d)
+    return jnp.concatenate(parts, axis=0)
+
+
+def _k1_body_stream2_packed(n1, n2, n, bits, offset, levels, s_ref,
+                            fr_ref, fi_ref, xpr_ref, xpi_ref, er_ref,
+                            ei_ref, yr_ref, yi_ref):
+    """K1 whose MAIN block arrives as packed 1/2/4/8-bit samples.
+
+    The raw packed data is read from HBM exactly once, inside the same
+    pass that runs the stage-A FFT — 1/4 (8-bit) to 1/32 (1-bit) of the
+    read traffic of float32 planes, with no separate decode pass.  The
+    halo edges (pads; a few %% of the block) arrive pre-decoded.
     """
     s = s_ref[0]
-    off_s = jnp.float32(offset)
-
-    def dec(ref):
-        v = jax.lax.bitcast_convert_type(ref[:], jnp.uint32)
-        parts = [(((v >> jnp.uint32(8 * k)) & jnp.uint32(0xFF))
-                  .astype(jnp.float32) - off_s) for k in range(4)]
-        return jnp.concatenate(parts, axis=0)
-
-    xr = jnp.concatenate([fr_ref[:], dec(xpr_ref), er_ref[:]], axis=0) * s
-    xi = jnp.concatenate([fi_ref[:], dec(xpi_ref), ei_ref[:]], axis=0) * s
+    xr = jnp.concatenate([fr_ref[:], _decode_planes(xpr_ref, bits, offset,
+                                                    levels),
+                          er_ref[:]], axis=0) * s
+    xi = jnp.concatenate([fi_ref[:], _decode_planes(xpi_ref, bits, offset,
+                                                    levels),
+                          ei_ref[:]], axis=0) * s
     rr, ii = _stockham(xr, xi, -1.0)
     _stage_a_twiddle(rr, ii, n1, n, yr_ref, yi_ref)
 
 
-def _stage_a_stream2_packed(xpr, xpi, fr, fi, er, ei, scale, offset, *,
-                            n1, n2, block_b, interpret, params):
-    """K1 from packed byte carriers plus decoded f32 halo edges."""
+def _stage_a_stream2_packed(xpr, xpi, fr, fi, er, ei, scale, *, bits,
+                            offset, levels, n1, n2, block_b, interpret,
+                            params):
+    """K1 from packed sample carriers plus decoded f32 halo edges."""
     n = n1 * n2
     L = xpr.shape[-1]
     kf = fr.shape[0] // n2
     ke = er.shape[0] // n2
     nm = n1 - kf - ke
-    if nm % 4:
-        raise ValueError(f"main rows {nm} must divide by 4 for "
-                         f"quarter-packed input")
-    nmp = nm // 4
+    planes = 32 // bits
+    if nm % planes:
+        raise ValueError(f"main rows {nm} must divide by {planes} for "
+                         f"{bits}-bit plane-packed input")
+    nmp = nm // planes
 
     def blk(rows):
         return pl.BlockSpec((rows, block_b, L), lambda i: (0, i, 0),
@@ -697,8 +722,8 @@ def _stage_a_stream2_packed(xpr, xpi, fr, fi, er, ei, scale, offset, *,
     spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_k1_body_stream2_packed, n1, n2, n,
-                          float(offset)),
+        functools.partial(_k1_body_stream2_packed, n1, n2, n, bits,
+                          float(offset), levels),
         compiler_params=params,
         grid=(n2 // block_b,),
         in_specs=[spec_s, blk(kf), blk(kf), blk(nmp), blk(nmp), blk(ke),
@@ -713,16 +738,18 @@ def _stage_a_stream2_packed(xpr, xpi, fr, fi, er, ei, scale, offset, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "offset", "n1", "n2", "block_b", "block_c", "n_phase",
-    "pad_start", "n_valid", "interpret"))
+    "bits", "offset", "levels", "n1", "n2", "block_b", "block_c",
+    "n_phase", "pad_start", "n_valid", "interpret"))
 def _dedisperse_fold_split_packed_impl(xpr, xpi, fr, fi, er, ei, chr_,
-                                       chi, fold, scale, *, offset, n1,
-                                       n2, block_b, block_c, n_phase,
-                                       pad_start, n_valid, interpret):
+                                       chi, fold, scale, *, bits, offset,
+                                       levels, n1, n2, block_b, block_c,
+                                       n_phase, pad_start, n_valid,
+                                       interpret):
     L = xpr.shape[-1]
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     y_r, y_i = _stage_a_stream2_packed(
-        xpr, xpi, fr, fi, er, ei, scale, offset, n1=n1, n2=n2,
+        xpr, xpi, fr, fi, er, ei, scale, bits=bits, offset=offset,
+        levels=levels, n1=n1, n2=n2,
         block_b=block_b, interpret=interpret, params=params)
     z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
                         block_c=block_c, interpret=interpret, params=params)
@@ -750,20 +777,32 @@ def _dedisperse_fold_split_packed_impl(xpr, xpi, fr, fi, er, ei, chr_,
 def dedisperse_fold_split_packed(xpr, xpi, fr, fi, er, ei,
                                  chirp_storage_r, chirp_storage_i, fold,
                                  scale, *, n_phase, pad_start, n_valid,
-                                 offset=127.5, block_b=None, block_c=None,
+                                 bits=8, offset=None, levels=None,
+                                 block_b=None, block_c=None,
                                  interpret=None):
     """As :func:`dedisperse_fold_split` but the main block arrives as
-    packed 8-bit offset-binary bytes riding in float32 carriers.
+    packed 1/2/4/8-bit samples riding in float32 carriers.
 
-    ``xpr``/``xpi`` : (t_main // 4, L) float32 carriers (see
-    ``ops/unpack_device.pack_time_quarters``); ``fr``/``fi``/``er``/
-    ``ei`` : decoded float32 halo edges in the SAME units the decode
-    produces (byte - offset) — the common scale (e.g. the 1/64
-    normalization) belongs in ``scale``, which multiplies pads and
-    decoded block alike.
+    ``xpr``/``xpi`` : (t_main * bits // 32, L) float32 carriers (see
+    ``ops/unpack_device.pack_time_planes``); ``fr``/``fi``/``er``/
+    ``ei`` : decoded float32 halo edges in the SAME units the in-kernel
+    decode produces (field - offset, or table levels) — any common
+    normalization belongs in ``scale``, which multiplies pads and
+    decoded block alike.  ``bits``: 8/4 use ``offset`` (default
+    127.5/7.5); 2 maps crumbs through the 4-entry ``levels`` table
+    (default VDIF); 1 maps bits to levels[0]/levels[3] (default ±1).
     """
+    if bits not in (1, 2, 4, 8):
+        raise ValueError("bits must be 1, 2, 4 or 8")
+    per = 32 // bits
+    if offset is None:
+        offset = {8: 127.5, 4: 7.5, 2: 0.0, 1: 0.0}[bits]
+    if levels is None:
+        levels = ((-3.3359, -1.0, 1.0, 3.3359) if bits == 2
+                  else (-1.0, -1.0, 1.0, 1.0))
+    levels = tuple(float(v) for v in levels)
     tq, L = xpr.shape
-    t_main = tq * 4
+    t_main = tq * per
     p0 = fr.shape[0]
     p1 = er.shape[0]
     n = t_main + p0 + p1
@@ -782,7 +821,8 @@ def dedisperse_fold_split_packed(xpr, xpi, fr, fi, er, ei,
         interpret = jax.default_backend() != "tpu"
     return _dedisperse_fold_split_packed_impl(
         xpr, xpi, fr, fi, er, ei, chirp_storage_r, chirp_storage_i,
-        _fold_vector(fold), scale, offset=float(offset), n1=n1, n2=n2,
+        _fold_vector(fold), scale, bits=int(bits), offset=float(offset),
+        levels=levels, n1=n1, n2=n2,
         block_b=block_b, block_c=block_c,
         n_phase=_check_n_phase(n_phase), pad_start=int(pad_start),
         n_valid=int(n_valid), interpret=interpret)

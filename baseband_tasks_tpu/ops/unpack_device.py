@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["pack_bytes_to_f32", "pack_time_quarters",
+           "pack_time_planes", "plane_edges_device",
            "quarter_edges_device", "words_from_f32", "unpack_8bit_device",
            "unpack_4bit_device", "unpack_2bit_device",
            "unpack_1bit_device", "VDIF_2BIT_LEVELS"]
@@ -138,3 +139,85 @@ def quarter_edges_device(xp, pad_start, pad_end, offset=127.5):
     end = (((u[-pad_end:] >> jnp.uint32(24)) & jnp.uint32(0xFF))
            .astype(jnp.float32) - jnp.float32(offset))
     return front, end
+
+
+def pack_time_planes(fields, bits):
+    """Host helper: (T, L) small-int sample fields -> (T*bits//32, L)
+    float32 carriers for the fused stage-A decode.
+
+    ``fields`` holds the raw encoded values (bytes for 8-bit, nibbles
+    0..15 for 4-bit, crumbs 0..3 for 2-bit, bits 0..1); field k of each
+    32-bit word is the sample ``k * T/planes`` later in time, so each
+    decoded plane is a contiguous row block of the FFT window
+    (generalizes :func:`pack_time_quarters`).
+    """
+    if bits not in (1, 2, 4, 8):
+        raise ValueError("bits must be 1, 2, 4 or 8")
+    per = 32 // bits
+    f = np.ascontiguousarray(fields, dtype=np.uint32)
+    t, L = f.shape
+    if t % per:
+        raise ValueError(f"time axis must divide by {per}")
+    if f.max(initial=0) >> bits:
+        raise ValueError(f"field values exceed {bits} bits")
+    planes = f.reshape(per, t // per, L)
+    w = np.zeros((t // per, L), dtype=np.uint32)
+    for k in range(per):
+        w |= planes[k] << np.uint32(bits * k)
+    return w.view(np.float32)
+
+
+def plane_edges_device(xp, pad_start, pad_end, bits, offset=None,
+                       levels=None):
+    """Decoded (front, end) edge samples of a plane-packed block.
+
+    front = first ``pad_start`` samples (field 0 of the leading words),
+    end = last ``pad_end`` samples (highest field of the trailing
+    words), in the same units as the in-kernel decode (field - offset,
+    or table levels).  Defaults follow
+    ``dedisperse_pallas.dedisperse_fold_split_packed``.
+    """
+    per = 32 // bits
+    if offset is None:
+        offset = {8: 127.5, 4: 7.5, 2: 0.0, 1: 0.0}[bits]
+    u = words_from_f32(xp)
+    plen = u.shape[0]                     # samples per plane
+    mask = jnp.uint32((1 << bits) - 1)
+
+    def field(k, sl):
+        return ((u[sl] >> jnp.uint32(bits * k)) & mask).astype(jnp.int32)
+
+    # front pad may span several leading planes, end pad several trailing
+    lo_parts = []
+    need = pad_start
+    for k in range(per):
+        if need <= 0:
+            break
+        take = min(need, plen)
+        lo_parts.append(field(k, slice(0, take)))
+        need -= take
+    lo = jnp.concatenate(lo_parts, axis=0)
+    hi_parts = []
+    need = pad_end
+    for k in range(per - 1, -1, -1):
+        if need <= 0:
+            break
+        take = min(need, plen)
+        hi_parts.insert(0, field(k, slice(plen - take, plen)))
+        need -= take
+    hi = jnp.concatenate(hi_parts, axis=0)
+
+    def dec(f):
+        if bits == 2:
+            lv = (VDIF_2BIT_LEVELS if levels is None
+                  else np.asarray(levels, np.float32))
+            lv = [jnp.float32(v) for v in lv]
+            return jnp.where(f < 2, jnp.where(f == 0, lv[0], lv[1]),
+                             jnp.where(f == 2, lv[2], lv[3]))
+        if bits == 1:
+            lv = (-1.0, 1.0) if levels is None else (levels[0], levels[3])
+            return jnp.where(f == 0, jnp.float32(lv[0]),
+                             jnp.float32(lv[1]))
+        return f.astype(jnp.float32) - jnp.float32(offset)
+
+    return dec(lo), dec(hi)

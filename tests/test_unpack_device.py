@@ -14,9 +14,10 @@ import jax.numpy as jnp
 
 from baseband_tasks_tpu import native
 from baseband_tasks_tpu.ops.unpack_device import (
-    VDIF_2BIT_LEVELS, pack_bytes_to_f32, pack_time_quarters,
-    quarter_edges_device, unpack_1bit_device, unpack_2bit_device,
-    unpack_4bit_device, unpack_8bit_device, words_from_f32)
+    VDIF_2BIT_LEVELS, pack_bytes_to_f32, pack_time_planes,
+    pack_time_quarters, plane_edges_device, quarter_edges_device,
+    unpack_1bit_device, unpack_2bit_device, unpack_4bit_device,
+    unpack_8bit_device, words_from_f32)
 
 
 def all_bytes():
@@ -205,3 +206,73 @@ class TestQuarterPacking:
         np.testing.assert_allclose(np.asarray(prof_ref),
                                    np.asarray(prof_p),
                                    rtol=1e-5, atol=1e-3)
+
+
+class TestTwoBitFusedIngest:
+    """2-bit (VDIF-style) plane-packed ingest through the fused kernel:
+    1/16 the HBM read traffic of float planes, bit-identical decode."""
+
+    def test_fused_kernel_matches_host_decode(self):
+        from baseband_tasks_tpu.ops import dedisperse_pallas as dp
+        t_main, p0, p1 = 512, 256, 256   # window 1024, nm=16
+        L, n_phase = 128, 8
+        rng = np.random.default_rng(2)
+        cr2 = rng.integers(0, 4, (t_main, L), dtype=np.uint8)
+        ci2 = rng.integers(0, 4, (t_main, L), dtype=np.uint8)
+        dec_r = VDIF_2BIT_LEVELS[cr2]
+        dec_i = VDIF_2BIT_LEVELS[ci2]
+        fr, er = dec_r[-p0:], dec_r[:p1]
+        fi, ei = dec_i[-p0:], dec_i[:p1]
+        ph = rng.uniform(-0.5, 0.5, (t_main + p0 + p1, L))
+        n1, n2 = dp.split_n(1024)
+        csr = dp.permute_to_storage_order(
+            np.cos(2 * np.pi * ph).astype(np.float32), n1, n2)
+        csi = dp.permute_to_storage_order(
+            np.sin(2 * np.pi * ph).astype(np.float32), n1, n2)
+        fold = dp.fold_phase_vector(0.1, 1.0 / 97.0)
+        scale = np.float32(0.5).reshape(1)
+        ref = dp.dedisperse_fold_split(
+            dec_r, dec_i, fr, fi, er, ei, csr, csi, fold, scale,
+            n_phase=n_phase, pad_start=p0, n_valid=t_main)
+        got = dp.dedisperse_fold_split_packed(
+            jnp.asarray(pack_time_planes(cr2, 2)),
+            jnp.asarray(pack_time_planes(ci2, 2)),
+            fr, fi, er, ei, csr, csi, fold, scale,
+            n_phase=n_phase, pad_start=p0, n_valid=t_main, bits=2)
+        np.testing.assert_array_equal(np.asarray(ref[1]),
+                                      np.asarray(got[1]))
+        np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]),
+                                   rtol=1e-5, atol=1e-3)
+
+    def test_plane_edges_multi_plane_pads(self):
+        rng = np.random.default_rng(3)
+        for bits, hi in ((2, 4), (4, 16), (8, 256), (1, 2)):
+            c = rng.integers(0, hi, (512, 16), dtype=np.uint8)
+            if bits == 2:
+                dec = VDIF_2BIT_LEVELS[c]
+            elif bits == 1:
+                dec = np.where(c == 0, -1.0, 1.0).astype(np.float32)
+            else:
+                dec = c.astype(np.float32) - (127.5 if bits == 8 else 7.5)
+            xp = jnp.asarray(pack_time_planes(c, bits))
+            for ps, pe in ((16, 48), (200, 300), (512, 512)):
+                f, e = plane_edges_device(xp, ps, pe, bits)
+                np.testing.assert_array_equal(np.asarray(f), dec[:ps])
+                np.testing.assert_array_equal(np.asarray(e), dec[-pe:])
+
+    def test_run_fn_2bit_smoke(self):
+        from jax.sharding import Mesh
+        from baseband_tasks_tpu.models import WidebandPulsarPipeline
+        from baseband_tasks_tpu.utils import units as u
+
+        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                    ("time", "chan"))
+        pipe = WidebandPulsarPipeline(
+            n_chan=8, n_pol=2, dm=0.1, freq_center=600 * u.MHz,
+            chan_rate=250 * u.kHz, period_samples=(512, 1), n_phase=8,
+            block_samples=3584, mesh=mesh, use_pallas=True,
+            ingest_bits=2)
+        run = pipe.run_fn(2, ingest_bits=2)
+        prof, cnt = run(3)
+        assert float(np.asarray(cnt).sum()) == 2 * pipe.global_block
+        assert np.isfinite(np.asarray(prof)).all()

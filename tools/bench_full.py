@@ -342,7 +342,8 @@ def flagship(ingest_bits=None):
         chan_rate=250 * u.kHz, period_samples=(160000, 3), n_phase=64,
         block_samples=block, mesh=mesh, use_pallas=True,
         phase_model=bench_mod._b1937_polyco(),
-        start_time=Time.from_mjd(58000.0))
+        start_time=Time.from_mjd(58000.0),
+        ingest_bits=ingest_bits or 8)
     n_iter = 64
     run = pipe.run_fn(n_iter, ingest_bits=ingest_bits)
     prof, cnt = run(1)
@@ -354,7 +355,7 @@ def flagship(ingest_bits=None):
         np.asarray(cnt)
         dt = min(dt, time.perf_counter() - t0)
     rate = n_iter * block * n_chan * n_pol / dt
-    name = "ingest_8bit" if ingest_bits else "flagship_f32"
+    name = f"ingest_{ingest_bits}bit" if ingest_bits else "flagship_f32"
     return {"config": name, "samples_per_s": round(rate, 1),
             "vs_baseline": round(rate / 3.2e8, 2),
             "backend": jax.default_backend()}
@@ -380,7 +381,8 @@ def main():
     cmds = {"config1": config1, "config2": config2, "config3": config3,
             "config4": config4, "scaling": scaling, "roofline": roofline,
             "flagship": flagship,
-            "ingest": lambda: flagship(ingest_bits=8)}
+            "ingest": lambda: flagship(ingest_bits=8),
+            "ingest2": lambda: flagship(ingest_bits=2)}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     update = "--update" in sys.argv
     which = args or ["all"]

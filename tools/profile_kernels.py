@@ -73,14 +73,14 @@ def main():
     spec_cnt = pl.BlockSpec((1, 65), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     k3_call = pl.pallas_call(
-        functools.partial(dp._k3_fold_body, N1, N2, PAD, N - 2 * PAD,
-                          3, 160000, 64),
+        functools.partial(dp._k3_fold_body, N1, N2, PAD, N - 2 * PAD, 64),
         compiler_params=PARAMS, grid=(N2 // BB,),
         in_specs=[spec_i0, spec_bT, spec_bT],
         out_specs=(spec_prof, spec_cnt),
         out_shape=(jax.ShapeDtypeStruct((65, L), jnp.float32),
                    jax.ShapeDtypeStruct((1, 65), jnp.float32)),
     )
+    foldv = jnp.asarray(dp.fold_phase_vector(0.0, 3.0 / 160000.0))
 
     def base_body(k, a, b, c, d):
         s = a * (1.0 + 1e-6 * k.astype(jnp.float32))
@@ -100,7 +100,7 @@ def main():
 
     def k3_body(k, a, b, c, d):
         s = a * (1.0 + 1e-6 * k.astype(jnp.float32))
-        prof, cnt = k3_call(jnp.zeros((1,), jnp.int32), s, b)
+        prof, cnt = k3_call(foldv, s, b)
         return prof[0, :1]
 
     def chain_body(k, a, b, c, d):
@@ -109,7 +109,7 @@ def main():
                                   interpret=False, params=PARAMS)
         r, i = dp._stage_b(r, i, c, d, n1=N1, n2=N2, block_c=BC,
                            interpret=False, params=PARAMS)
-        prof, cnt = k3_call(jnp.zeros((1,), jnp.int32), r, i)
+        prof, cnt = k3_call(foldv, r, i)
         return prof[0, :1]
 
     results = {}
