@@ -29,6 +29,16 @@ def _psrfits_open(name, mode="r", **kwargs):
     return psrfits.open(name, mode, **kwargs)
 
 
+def _dada_open(name, mode="r", **kwargs):
+    from .io import dada
+    return dada.open(name, mode, **kwargs)
+
+
+def _dada_detect(head, name):
+    return head[:9] in (b"HDR_VERSI", b"HDR_SIZE ") or \
+        name.lower().endswith(".dada")
+
+
 #: name -> (opener, detector)
 FORMATS = {
     "hdf5": (_hdf5_open, lambda head, name:
@@ -37,14 +47,16 @@ FORMATS = {
                 head[:6] == b"SIMPLE"),
     "vdif": (_vdif_open, lambda head, name:
              name.lower().endswith((".vdif", ".vdf"))),
+    "dada": (_dada_open, _dada_detect),
 }
 
 
 def open(name, mode="r", format=None, **kwargs):
     """Open a stream file in any registered format.
 
-    ``format`` may be 'hdf5', 'vdif' or 'psrfits'; when omitted it is
-    detected from the file signature (reads) or required (writes).
+    ``format`` may be 'hdf5', 'vdif', 'psrfits' or 'dada'; when omitted
+    it is detected from the file signature (reads) or required
+    (writes).
     """
     if format is None:
         if "w" in mode:
