@@ -2,5 +2,6 @@
 
 from .wideband import WidebandPulsarPipeline
 from .dmsearch import DMTrialSearch
+from .runner import StreamRunner
 
-__all__ = ["WidebandPulsarPipeline", "DMTrialSearch"]
+__all__ = ["WidebandPulsarPipeline", "DMTrialSearch", "StreamRunner"]

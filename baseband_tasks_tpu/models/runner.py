@@ -1,0 +1,93 @@
+"""Double-buffered streaming execution: host I/O overlapped with device
+compute.
+
+SURVEY.md §7 prescribes double-buffered host→device feeding for
+production ingest: while the device processes block ``i``, the host
+reads/decodes block ``i+1`` and ships it, so the pipeline is bounded by
+max(host rate, device rate) instead of their sum.  The reference's
+analogue is the pull-based ``Base.read`` loop (base.py:389-438), which
+is strictly serial.
+
+:class:`StreamRunner` drives a :class:`~.compiled.CompiledPipeline` (or
+any ``(carry, block) -> (carry, out)`` step) from its source stream:
+
+- a reader thread pulls source blocks (file decode, bit-unpack — all
+  host work) ``prefetch`` blocks ahead;
+- each block is shipped with ``jax.device_put`` as soon as it is read
+  (transfers overlap compute on platforms with async dispatch);
+- the jitted per-block step keeps the overlap-save carries on device;
+  nothing synchronizes until the final fetch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["StreamRunner"]
+
+
+class StreamRunner:
+    """Run a compiled pipeline over a source stream with prefetch.
+
+    Parameters
+    ----------
+    cp : CompiledPipeline
+        The compiled graph (single-source).  Its ``cached_step`` is used,
+        so device caches travel as jit arguments.
+    prefetch : int
+        Blocks the reader thread may run ahead (>= 1; 2 = classic double
+        buffering).
+    """
+
+    def __init__(self, cp, prefetch=2):
+        if len(cp.sources) != 1:
+            raise ValueError("StreamRunner drives single-source graphs")
+        self.cp = cp
+        self.prefetch = max(int(prefetch), 1)
+        step_c, caches = cp.cached_step()
+        self._caches = caches
+
+        @jax.jit
+        def jstep(carry, block, *cs):
+            return step_c(carry, block, cs)
+
+        self._jstep = jstep
+
+    def _reader(self, n_blocks, offset, q):
+        src = self.cp.source
+        block = self.cp.block_samples
+        try:
+            src.seek(offset)
+            for _ in range(n_blocks):
+                data = np.asarray(src.read(block))
+                # ship immediately; on async platforms the transfer
+                # overlaps the device's current step
+                q.put(jax.device_put(data))
+        except Exception as exc:  # surface in the consumer
+            q.put(exc)
+
+    def run(self, n_blocks, offset=0):
+        """Process ``n_blocks`` source blocks; returns the concatenated
+        tail-rate output (device array)."""
+        q = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._reader,
+                             args=(n_blocks, offset, q), daemon=True)
+        t.start()
+        carry = self.cp.init_carry()
+        outs = []
+        try:
+            for _ in range(n_blocks):
+                item = q.get()
+                if isinstance(item, Exception):
+                    raise item
+                carry, y = self._jstep(carry, item, *self._caches)
+                outs.append(y)
+        finally:
+            t.join(timeout=60)
+        return jnp.concatenate(outs, axis=0)
