@@ -29,6 +29,21 @@ def _psrfits_open(name, mode="r", **kwargs):
     return psrfits.open(name, mode, **kwargs)
 
 
+def _guppi_open(name, mode="r", **kwargs):
+    from .io import guppi
+    return guppi.open(name, mode, **kwargs)
+
+
+def _guppi_detect(head, name):
+    if head[:6] == b"SIMPLE":
+        return False                      # FITS/PSRFITS
+    if name.lower().endswith((".raw", ".guppi")):
+        return True
+    # 80-char cards with '=' at column 8 and a known GUPPI keyword
+    return head[8:9] == b"=" and head[:8].strip().isalpha() and \
+        any(k in head for k in (b"BLOCSIZE", b"OBSNCHAN", b"PKTIDX"))
+
+
 def _dada_open(name, mode="r", **kwargs):
     from .io import dada
     return dada.open(name, mode, **kwargs)
@@ -48,13 +63,15 @@ FORMATS = {
     "vdif": (_vdif_open, lambda head, name:
              name.lower().endswith((".vdif", ".vdf"))),
     "dada": (_dada_open, _dada_detect),
+    "guppi": (_guppi_open, _guppi_detect),
 }
 
 
 def open(name, mode="r", format=None, **kwargs):
     """Open a stream file in any registered format.
 
-    ``format`` may be 'hdf5', 'vdif', 'psrfits' or 'dada'; when omitted
+    ``format`` may be 'hdf5', 'vdif', 'psrfits', 'dada' or 'guppi';
+    when omitted
     it is detected from the file signature (reads) or required
     (writes).
     """
@@ -62,7 +79,7 @@ def open(name, mode="r", format=None, **kwargs):
         if "w" in mode:
             raise ValueError("writing requires an explicit format=")
         with builtins.open(name, "rb") as fh:
-            head = fh.read(16)
+            head = fh.read(512)
         for fmt, (opener, detect) in FORMATS.items():
             if detect(head, str(name)):
                 format = fmt
