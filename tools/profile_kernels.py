@@ -7,10 +7,14 @@ readout) measures the loop floor; subtract it from each case.
 
 Usage:  python tools/profile_kernels.py          (on the TPU host)
 
-Typical v5e output at N=2^18, L=128 (2026-08, radix-8 kernels):
+Typical v5e output at N=2^18, L=128 (2026-08, radix-8 kernels + K2
+in-place tiles):
   base   ~1.9 ms   (~293 GB/s effective HBM on this tunnel chip)
-  k1     ~2.5 ms net    k2 ~2.6 ms net (HBM floor)    k3f ~1.7 ms net
-  chain  ~7.8 ms net → ~1 ms scheduling overhead between kernels
+  k1     ~2.5 ms net    k2 ~3.3 ms net*   k3f ~1.1 ms net
+  chain  ~5.7 ms net  (was ~7.8 before K2 input_output_aliases)
+  * isolated k2 is inflated by a donation copy (the probe reuses its
+    input every iteration; in the chain K1's fresh output donates
+    cleanly — trust the chain number)
 """
 
 import functools
