@@ -17,6 +17,11 @@ Supported graphs:
 * multi-input graphs: ``CombineStreamsBase`` nodes (CombineStreams,
   Concatenate, Stack) join several such chains; the compiled step takes
   one source block per input stream (reference combining.py:11-128);
+* ``GetSlice`` time slices anywhere in the graph: a slice is a pure
+  shift of the stream timeline, so it compiles to a per-source read
+  offset (``source_offsets``) rather than device work; the slice's
+  ``stop`` is not enforced — the scan processes however many blocks the
+  caller feeds it (reference shaping.py:358-416);
 * a trailing ``Integrate`` / ``Fold`` / ``PulseStack`` reduction: its
   per-sample bin assignment is evaluated on the host at two-double Phase
   precision (reference integration.py:174-228,380-395), shipped to the
@@ -51,6 +56,7 @@ import jax.numpy as jnp
 from ..base import BaseTaskBase, PaddedTaskBase, SetAttribute, TaskBase
 from ..combining import CombineStreamsBase
 from ..integration import Fold, Integrate
+from ..shaping import GetSlice
 from ..utils import units as u
 
 __all__ = ["CompiledPipeline"]
@@ -132,17 +138,22 @@ class CompiledPipeline:
         constraints = []  # (coef, granularity): coef*B % gran == 0
         delay_stack = []
         coef_stack = []
+        srcs_stack = []   # source indices feeding the branch
+        source_offsets = [0] * len(sources)
 
         for kind, *rest in program:
             if kind == "input":
                 coef_stack.append(Fraction(1))
                 delay_stack.append(Fraction(0))
+                srcs_stack.append([rest[0]])
                 continue
             if kind == "combine":
                 node, k = rest
                 coefs = coef_stack[-k:]
                 delays = delay_stack[-k:]
-                del coef_stack[-k:], delay_stack[-k:]
+                merged = [i for lst in srcs_stack[-k:] for i in lst]
+                del coef_stack[-k:], delay_stack[-k:], srcs_stack[-k:]
+                srcs_stack.append(merged)
                 if len(set(coefs)) != 1:
                     raise ValueError(
                         "combined branches arrive with different block "
@@ -163,6 +174,21 @@ class CompiledPipeline:
                 continue
             n = rest[0]
             if isinstance(n, SetAttribute):
+                stages.append(_Stage(n, False, 0, None, None))
+                continue
+            if isinstance(n, GetSlice):
+                # A time slice is a pure shift: start samples at this
+                # point of the chain map back to start/coef source
+                # samples, folded into the branch's read offset.
+                shift = Fraction(n._start) / coef_stack[-1]
+                if shift.denominator != 1:
+                    raise ValueError(
+                        f"GetSlice start {n._start} is not a whole "
+                        f"number of source samples (stage rate ratio "
+                        f"{coef_stack[-1]}); slice at a multiple of "
+                        f"{coef_stack[-1].numerator} samples instead")
+                for i in srcs_stack[-1]:
+                    source_offsets[i] += int(shift)
                 stages.append(_Stage(n, False, 0, None, None))
                 continue
             if isinstance(n, PaddedTaskBase):
@@ -226,6 +252,8 @@ class CompiledPipeline:
 
         self.program = program
         self.stages = stages
+        #: per-source extra read offset (source samples) from GetSlice
+        self.source_offsets = source_offsets
         self.block_samples = B
         self._tail_coef = tail_coef
         t = tail_coef * B
@@ -387,7 +415,7 @@ class CompiledPipeline:
                     del stack[-st.k:]
                     stack.append(st.node.task(list(args)))
                     continue
-                if isinstance(st.node, SetAttribute):
+                if isinstance(st.node, (SetAttribute, GetSlice)):
                     continue
                 x = stack.pop()
                 if st.padded:
@@ -546,8 +574,8 @@ class CompiledPipeline:
         """Read ``n_blocks`` blocks from the graph's source stream(s),
         stacked for :meth:`run_blocks` (a tuple for multi-source)."""
         stacks = []
-        for src in self.sources:
-            src.seek(offset)
+        for src, extra in zip(self.sources, self.source_offsets):
+            src.seek(extra + offset)
             stacks.append(jnp.stack(
                 [jnp.asarray(src.read(self.block_samples))
                  for _ in range(n_blocks)]))

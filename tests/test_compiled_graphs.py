@@ -191,3 +191,78 @@ class TestPositionDependentTask:
         tail.seek(0)
         np.testing.assert_allclose(out, np.asarray(tail.read(len(out))),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestCompiledShaping:
+    """GetSlice compiles to a per-source read offset; sample-shape ops
+    (GetItem/Reshape/Transpose) compile as ordinary pure tasks
+    (reference shaping.py:231-416)."""
+
+    def test_getslice_midchain(self):
+        from baseband_tasks_tpu.shaping import GetSlice
+
+        src = noise(21)
+        tail = Square(Channelize(GetSlice(src, slice(96, None)), 16))
+        cp = CompiledPipeline(tail)
+        assert cp.source_offsets == [96]
+        n_blocks = 4
+        out = np.asarray(cp.run_blocks(cp.read_source_blocks(n_blocks)))
+        tail.seek(0)
+        eager = np.asarray(tail.read(len(out)))
+        np.testing.assert_allclose(out, eager, rtol=1e-5, atol=1e-5)
+
+    def test_getslice_after_rate_change(self):
+        """Slice start in post-Channelize samples maps back through the
+        1/16 rate ratio to 3*16 source samples."""
+        from baseband_tasks_tpu.shaping import GetSlice
+
+        src = noise(22)
+        tail = Square(GetSlice(Channelize(src, 16), slice(3, None)))
+        cp = CompiledPipeline(tail)
+        assert cp.source_offsets == [48]
+        out = np.asarray(cp.run_blocks(cp.read_source_blocks(4)))
+        tail.seek(0)
+        eager = np.asarray(tail.read(len(out)))
+        np.testing.assert_allclose(out, eager, rtol=1e-5, atol=1e-5)
+
+    def test_getslice_nonintegral_start_raises(self):
+        from baseband_tasks_tpu import Dechannelize
+        from baseband_tasks_tpu.shaping import GetSlice
+
+        src = NoiseGenerator(shape=(1024, 16), start_time=T0,
+                             sample_rate=1 * u.kHz, samples_per_frame=64,
+                             seed=5, dtype=np.complex64)
+        tail = Square(GetSlice(Dechannelize(src), slice(3, None)))
+        with pytest.raises(ValueError, match="whole number of source"):
+            CompiledPipeline(tail)
+
+    def test_getslice_feeding_absorbed_fold(self):
+        from baseband_tasks_tpu.shaping import GetSlice
+
+        f0 = 37.25
+        phase = lambda t: u.Quantity((t - T0).sec * f0, u.cycle)
+        src = noise(23)
+        tail = Fold(Square(Channelize(GetSlice(src, slice(256, None)),
+                                      16)), 8, phase, samples_per_frame=1)
+        cp = CompiledPipeline(tail)
+        n_blocks = ((16384 - 256) // 16) // cp.tail_block
+        data, counts = cp.run_reduced(cp.read_source_blocks(n_blocks))
+        tail.seek(0)
+        eager = tail.read(data.shape[0])
+        np.testing.assert_allclose(np.asarray(data), eager,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_sample_shape_ops_compile(self):
+        from baseband_tasks_tpu.shaping import (GetItem, Reshape,
+                                                Transpose)
+
+        src = NoiseGenerator(shape=(4096, 6), start_time=T0,
+                             sample_rate=1 * u.MHz, samples_per_frame=512,
+                             seed=9, dtype=np.complex64)
+        tail = Square(GetItem(Transpose(Reshape(src, (2, 3)), (2, 1)),
+                              (slice(None), 1)))
+        cp = CompiledPipeline(tail)
+        out = np.asarray(cp.run_blocks(cp.read_source_blocks(3)))
+        tail.seek(0)
+        eager = np.asarray(tail.read(len(out)))
+        np.testing.assert_allclose(out, eager, rtol=1e-5, atol=1e-5)
