@@ -2,11 +2,15 @@
 
 The pluggable-engine slot SURVEY.md §2 L2 prescribes: select with
 ``fft_maker.set('pallas')`` (context-manageable) and every task built
-under it plans transforms through the VMEM-resident four-step kernels
-(`ops/fft_pallas.py`).  Transforms the kernels do not cover — real input,
-non-power-of-two lengths, fewer than 8 trailing lanes, or tiny sizes —
-transparently fall back to the XLA engine, so 'pallas' is always safe to
-select globally.
+under it plans transforms through the fastest TPU path for the shape:
+
+* long power-of-two complex transforms (n ≥ 512, ≥ 8 lanes): the
+  VMEM-resident four-step Stockham kernels (`ops/fft_pallas.py`);
+* short transforms (n ≤ 256, any length, real or complex): a dense DFT
+  matmul on the MXU (`ops/dft_matmul.py`) — batched small FFTs on the
+  VPU lanes are the one shape XLA's FFT handles badly;
+* anything else (odd sizes in between, float64) transparently falls
+  back to the XLA engine, so 'pallas' is always safe to select globally.
 """
 
 from __future__ import annotations
@@ -36,6 +40,14 @@ class PallasFFTBase(FFTBase):
                 and n >= _MIN_N and (n & (n - 1)) == 0
                 and lanes >= _MIN_LANES)
 
+    @property
+    def _use_matmul(self):
+        from ..ops.dft_matmul import MAX_MATMUL_N
+        n = self._time_shape[self._axis]
+        return (self._time_dtype in (np.dtype("float32"),
+                                     np.dtype("complex64"))
+                and 4 <= n <= MAX_MATMUL_N)
+
     def _fft(self, data):
         if self._direction == "forward":
             expected = self._time_dtype
@@ -45,6 +57,13 @@ class PallasFFTBase(FFTBase):
         if data.dtype != expected:
             data = data.astype(expected)
         if not self._use_pallas:
+            if self._use_matmul:
+                from ..ops.dft_matmul import dft_matmul
+                return dft_matmul(data, axis=self._axis,
+                                  direction=self._direction,
+                                  ortho=self._ortho,
+                                  real=self.real_input,
+                                  n=self._time_shape[self._axis])
             return _xla_fft(data, axis=self._axis, ortho=self._ortho,
                             real=self.real_input,
                             direction=self._direction,

@@ -1,0 +1,117 @@
+"""Small-transform DFT as an MXU matmul.
+
+For short transforms (n ≤ ~256 — e.g. the per-channel FFT of a
+256-channel Channelize, reference channelize.py:56-58) XLA's batched FFT
+on TPU runs far below the HBM bound: the transform axis sits on the 128
+lanes where the butterfly's cross-lane shuffles serialize on the VPU.
+The MXU view is better: a length-n DFT of a (B, n) batch is simply
+``X @ F`` with F the (n, n) DFT matrix — a dense matmul with the batch on
+sublanes and the transform on lanes, i.e. zero relayouts.  The extra
+arithmetic (n/log n ≈ 32× at n=256) rides the systolic array, which is
+otherwise idle; at n ≤ 256 the matmul meets the HBM read bound, so this
+is speed-of-light for the op.
+
+Works for *any* n (no power-of-two or smoothness requirement).  All
+matmuls run at ``Precision.HIGHEST`` (full f32): relative error is
+~√n·ε ≈ 2e-6 at n=256, far inside the 60 dB correctness bar; the default
+TPU matmul precision (single bf16 pass) would not be.
+
+Used by the 'pallas' performance FFT engine (fourier/pallas.py) for
+transforms too short for the four-step kernels.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["dft_matmul", "MAX_MATMUL_N"]
+
+#: largest transform length routed to the MXU (above this the O(n²)
+#: arithmetic exceeds the HBM-bound FFT kernels' cost)
+MAX_MATMUL_N = 256
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+@lru_cache(maxsize=None)
+def _forward_mats(n, m):
+    """cos/sin planes of F[j, k] = exp(-2πi j k / n), shape (n, m)."""
+    theta = -2.0 * np.pi / n * np.outer(np.arange(n), np.arange(m))
+    return (np.cos(theta).astype(np.float32),
+            np.sin(theta).astype(np.float32))
+
+
+@lru_cache(maxsize=None)
+def _inverse_mats(n):
+    """cos/sin planes of conj(F)/n, shape (n, n)."""
+    theta = 2.0 * np.pi / n * np.outer(np.arange(n), np.arange(n))
+    return ((np.cos(theta) / n).astype(np.float32),
+            (np.sin(theta) / n).astype(np.float32))
+
+
+@lru_cache(maxsize=None)
+def _irfft_mats(n):
+    """Real-synthesis matrices (m, n), m = n//2 + 1:
+    x = Zr @ C + Zi @ S with hermitian bin weights folded in."""
+    m = n // 2 + 1
+    k = np.arange(m)
+    w = np.full(m, 2.0)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    theta = 2.0 * np.pi / n * np.outer(k, np.arange(n))
+    return ((w[:, None] * np.cos(theta) / n).astype(np.float32),
+            (-w[:, None] * np.sin(theta) / n).astype(np.float32))
+
+
+def _dot(x, mat, axis):
+    """Contract ``axis`` of x with rows of the host-constant ``mat``;
+    transformed axis returned in place of ``axis``."""
+    out = jax.lax.dot_general(
+        x, jnp.asarray(mat),
+        dimension_numbers=(((axis % x.ndim,), (0,)), ((), ())),
+        precision=_HIGH)
+    # dot_general appends the rhs free axis last; put it back.
+    return jnp.moveaxis(out, -1, axis)
+
+
+def dft_matmul(data, *, axis, direction, ortho, real, n):
+    """DFT along ``axis`` via MXU matmuls; numpy.fft-compatible results.
+
+    direction 'forward' with ``real`` does an rfft (n real → n//2+1
+    complex); 'backward' with ``real`` does an irfft back to length-n
+    real output.  Scaling matches numpy: forward unscaled, inverse 1/n
+    (``ortho``: 1/√n each way).
+    """
+    if direction == "forward":
+        m = n // 2 + 1 if real else n
+        fr, fi = _forward_mats(n, m)
+        if real:
+            x = data.real if jnp.iscomplexobj(data) else data
+            out = jax.lax.complex(_dot(x, fr, axis), _dot(x, fi, axis))
+        else:
+            xr, xi = jnp.real(data), jnp.imag(data)
+            out = jax.lax.complex(
+                _dot(xr, fr, axis) - _dot(xi, fi, axis),
+                _dot(xr, fi, axis) + _dot(xi, fr, axis))
+        if ortho:
+            out = out * np.float32(1.0 / np.sqrt(n))
+        return out
+    # inverse
+    zr, zi = jnp.real(data), jnp.imag(data)
+    if real:
+        c, s = _irfft_mats(n)
+        out = _dot(zr, c, axis) + _dot(zi, s, axis)
+    else:
+        fr, fi = _inverse_mats(n)
+        out = jax.lax.complex(
+            _dot(zr, fr, axis) - _dot(zi, fi, axis),
+            _dot(zr, fi, axis) + _dot(zi, fr, axis))
+    if ortho:
+        out = out * np.float32(np.sqrt(n))
+    return out

@@ -207,3 +207,77 @@ class TestPallasEngine:
         err = np.mean(np.abs(data - expected) ** 2) \
             / np.mean(np.abs(expected) ** 2)
         assert err < 1e-6
+
+
+class TestMatmulDFT:
+    """Short transforms under the 'pallas' engine route to the MXU DFT
+    matmul (ops/dft_matmul.py) and must be numpy-exact to f32 level."""
+
+    @pytest.mark.parametrize("n", [16, 64, 100, 256])
+    @pytest.mark.parametrize("ortho", [False, True])
+    def test_complex_forward_inverse(self, n, ortho):
+        from baseband_tasks_tpu.fourier import PallasFFTMaker
+        maker = PallasFFTMaker()
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal((40, n))
+             + 1j * rng.standard_normal((40, n))).astype(np.complex64)
+        fwd = maker((40, n), np.complex64, axis=1, ortho=ortho)
+        assert fwd._use_matmul and not fwd._use_pallas
+        norm = "ortho" if ortho else None
+        got = np.asarray(fwd(x))
+        np.testing.assert_allclose(got, np.fft.fft(x, axis=1, norm=norm),
+                                   rtol=2e-5, atol=2e-4)
+        back = np.asarray(fwd.inverse()(got))
+        np.testing.assert_allclose(back, x, rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("n", [32, 63, 256])
+    def test_real_rfft_irfft(self, n):
+        from baseband_tasks_tpu.fourier import PallasFFTMaker
+        maker = PallasFFTMaker()
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((24, n)).astype(np.float32)
+        fwd = maker((24, n), np.float32, axis=1)
+        assert fwd._use_matmul
+        got = np.asarray(fwd(x))
+        assert got.shape == (24, n // 2 + 1)
+        np.testing.assert_allclose(got, np.fft.rfft(x, axis=1),
+                                   rtol=2e-5, atol=2e-4)
+        back = np.asarray(fwd.inverse()(got))
+        np.testing.assert_allclose(back, x, rtol=2e-5, atol=2e-5)
+
+    def test_axis0_and_trailing_dims(self):
+        from baseband_tasks_tpu.fourier import PallasFFTMaker
+        maker = PallasFFTMaker()
+        rng = np.random.default_rng(5)
+        x = (rng.standard_normal((128, 10, 2))
+             + 1j * rng.standard_normal((128, 10, 2))).astype(np.complex64)
+        fft = maker((128, 10, 2), np.complex64, axis=0)
+        assert fft._use_matmul
+        np.testing.assert_allclose(np.asarray(fft(x)),
+                                   np.fft.fft(x, axis=0),
+                                   rtol=2e-5, atol=2e-4)
+        # middle axis with a trailing (pol) dim — Channelize's shape
+        fft1 = maker((64, 100, 2), np.complex64, axis=1)
+        y = (rng.standard_normal((64, 100, 2))
+             + 1j * rng.standard_normal((64, 100, 2))).astype(np.complex64)
+        np.testing.assert_allclose(np.asarray(fft1(y)),
+                                   np.fft.fft(y, axis=1),
+                                   rtol=2e-5, atol=2e-4)
+
+    def test_channelize_256_under_pallas_engine(self):
+        """BASELINE config-1 shape: 256-channel channelizer + detect."""
+        from baseband_tasks_tpu.fourier import fft_maker
+        from baseband_tasks_tpu import Channelize, NoiseGenerator, Square
+        from baseband_tasks_tpu.utils import Time, units as u
+        sh = NoiseGenerator(shape=(8192,),
+                            start_time=Time("2018-01-01T00:00:00.0"),
+                            sample_rate=1 * u.MHz, samples_per_frame=8192,
+                            dtype=np.complex64, seed=11)
+        raw = np.asarray(sh.read())
+        sh.seek(0)
+        with fft_maker.set("pallas"):
+            sq = Square(Channelize(sh, 256))
+            data = np.asarray(sq.read(16))
+        expected = np.abs(np.fft.fft(raw[:16 * 256].reshape(16, 256),
+                                     axis=1)) ** 2
+        np.testing.assert_allclose(data, expected, rtol=2e-5, atol=2e-3)
