@@ -4,7 +4,11 @@ The reference injects itself into the ``baseband`` namespace via entry
 points so ``baseband.open(file, format='hdf5')`` works
 (`/root/reference/pyproject.toml:44-67`).  With no host package to extend,
 this module provides the equivalent single entry point:
-``baseband_tasks_tpu.open(file, mode, format=...)`` with auto-detection.
+``baseband_tasks_tpu.open(file, mode, format=...)`` with auto-detection —
+and the mirror-image plugin hook: third-party packages can register
+additional formats under the ``baseband_tasks_tpu.io`` entry-point group
+(module or object with ``open(name, mode, **kw)`` and optionally
+``detect_format(head, name) -> bool``), picked up lazily on first use.
 """
 
 from __future__ import annotations
@@ -67,14 +71,48 @@ FORMATS = {
 }
 
 
+_entry_points_loaded = False
+
+
+def _load_entry_points():
+    """Merge third-party formats from the ``baseband_tasks_tpu.io``
+    entry-point group into ``FORMATS`` (reference analogue: the
+    ``baseband.io`` plugin group, ref pyproject.toml:65-67).  Built-in
+    names cannot be overridden; a plugin without ``detect_format`` is
+    only reachable via an explicit ``format=`` (or its name as a file
+    suffix)."""
+    global _entry_points_loaded
+    if _entry_points_loaded:
+        return
+    _entry_points_loaded = True
+    try:
+        from importlib.metadata import entry_points
+        eps = entry_points(group="baseband_tasks_tpu.io")
+    except Exception:  # metadata unavailable — plugins simply absent
+        return
+    for ep in eps:
+        if ep.name in FORMATS:
+            continue
+        try:
+            obj = ep.load()
+        except Exception:
+            continue
+        opener = getattr(obj, "open", obj)
+        detect = getattr(obj, "detect_format", None)
+        if detect is None:
+            def detect(head, name, _suffix="." + ep.name):
+                return str(name).lower().endswith(_suffix)
+        FORMATS[ep.name] = (opener, detect)
+
+
 def open(name, mode="r", format=None, **kwargs):
     """Open a stream file in any registered format.
 
-    ``format`` may be 'hdf5', 'vdif', 'psrfits', 'dada' or 'guppi';
-    when omitted
-    it is detected from the file signature (reads) or required
-    (writes).
+    ``format`` may be 'hdf5', 'vdif', 'psrfits', 'dada', 'guppi', or any
+    plugin-registered name; when omitted it is detected from the file
+    signature (reads) or required (writes).
     """
+    _load_entry_points()
     if format is None:
         if "w" in mode:
             raise ValueError("writing requires an explicit format=")

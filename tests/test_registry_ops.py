@@ -111,3 +111,68 @@ class TestMultihost:
         x = np.arange(64, dtype=np.float32).reshape(8, 8)
         arr = multihost.host_local(x, NamedSharding(mesh, P("time", "chan")))
         np.testing.assert_array_equal(np.asarray(arr), x)
+
+
+class TestEntryPointPlugins:
+    """Third-party formats register via the baseband_tasks_tpu.io
+    entry-point group (the reference's baseband.io plugin analogue)."""
+
+    def _fake_eps(self, plugin):
+        class EP:
+            name = "fake"
+
+            @staticmethod
+            def load():
+                return plugin
+
+        def entry_points(group=None):
+            assert group == "baseband_tasks_tpu.io"
+            return [EP]
+
+        return entry_points
+
+    def test_plugin_format_dispatch(self, tmp_path, monkeypatch):
+        from baseband_tasks_tpu import registry
+        import importlib.metadata as md
+
+        calls = {}
+
+        class Plugin:
+            @staticmethod
+            def open(name, mode="r", **kw):
+                calls["args"] = (str(name), mode)
+                return "handle"
+
+            @staticmethod
+            def detect_format(head, name):
+                return head.startswith(b"FAKE")
+
+        monkeypatch.setattr(md, "entry_points", self._fake_eps(Plugin))
+        monkeypatch.setattr(registry, "_entry_points_loaded", False)
+        monkeypatch.setattr(registry, "FORMATS", dict(registry.FORMATS))
+
+        p = tmp_path / "x.bin"
+        p.write_bytes(b"FAKEDATA" * 8)
+        # auto-detection via the plugin's detect_format
+        assert registry.open(p) == "handle"
+        assert calls["args"] == (str(p), "r")
+        # explicit format= dispatch
+        assert registry.open(p, "r", format="fake") == "handle"
+
+    def test_builtin_not_overridden(self, tmp_path, monkeypatch):
+        from baseband_tasks_tpu import registry
+        import importlib.metadata as md
+
+        class Evil:
+            name = "vdif"
+
+            @staticmethod
+            def load():  # pragma: no cover - must not be reached
+                raise AssertionError("built-in was overridden")
+
+        monkeypatch.setattr(md, "entry_points",
+                            lambda group=None: [Evil])
+        monkeypatch.setattr(registry, "_entry_points_loaded", False)
+        monkeypatch.setattr(registry, "FORMATS", dict(registry.FORMATS))
+        registry._load_entry_points()
+        assert registry.FORMATS["vdif"][0] is not Evil
