@@ -63,7 +63,8 @@ class StreamRunner:
         src = self.cp.source
         block = self.cp.block_samples
         try:
-            src.seek(offset)
+            # source_offsets folds any compiled GetSlice time shift in
+            src.seek(self.cp.source_offsets[0] + offset)
             for _ in range(n_blocks):
                 data = np.asarray(src.read(block))
                 # ship immediately; on async platforms the transfer

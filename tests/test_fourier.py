@@ -281,3 +281,37 @@ class TestMatmulDFT:
         expected = np.abs(np.fft.fft(raw[:16 * 256].reshape(16, 256),
                                      axis=1)) ** 2
         np.testing.assert_allclose(data, expected, rtol=2e-5, atol=2e-3)
+
+
+class TestXLAEngineMatmulGate:
+    """The default engine substitutes the MXU DFT matmul only on TPU and
+    only for short f32/c64 transforms; on CPU (these tests) jnp.fft runs."""
+
+    def test_gate_logic(self, monkeypatch):
+        import jax
+        from baseband_tasks_tpu.fourier import XLAFFTMaker
+        maker = XLAFFTMaker()
+        fft = maker((40, 256), np.complex64, axis=1)
+        assert not fft._use_matmul  # CPU backend here
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert fft._use_matmul
+        assert not maker((40, 512), np.complex64, axis=1)._use_matmul
+        assert not maker((40, 2), np.complex64, axis=1)._use_matmul
+
+    def test_matmul_result_matches_fft(self, monkeypatch):
+        """Force the matmul branch (still executing on CPU) and compare
+        against numpy — the exact substitution users get on TPU."""
+        import jax
+        from baseband_tasks_tpu.fourier import XLAFFTMaker
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        maker = XLAFFTMaker()
+        rng = np.random.default_rng(8)
+        x = (rng.standard_normal((32, 128))
+             + 1j * rng.standard_normal((32, 128))).astype(np.complex64)
+        fwd = maker((32, 128), np.complex64, axis=1)
+        assert fwd._use_matmul
+        np.testing.assert_allclose(np.asarray(fwd(x)),
+                                   np.fft.fft(x, axis=1),
+                                   rtol=2e-5, atol=2e-4)
+        back = np.asarray(fwd.inverse()(np.fft.fft(x, axis=1)))
+        np.testing.assert_allclose(back, x, rtol=2e-5, atol=2e-5)

@@ -593,3 +593,22 @@ class TestStreamRunner:
         runner = StreamRunner(cp)
         with pytest.raises(EOFError):
             runner.run(10_000)  # far beyond the stream
+
+    def test_getslice_offset_applied(self):
+        """A compiled GetSlice shifts where the reader starts."""
+        from baseband_tasks_tpu import Channelize, NoiseGenerator, Square
+        from baseband_tasks_tpu.models.compiled import CompiledPipeline
+        from baseband_tasks_tpu.models.runner import StreamRunner
+        from baseband_tasks_tpu.shaping import GetSlice
+        from baseband_tasks_tpu.utils import Time
+
+        src = NoiseGenerator(shape=(8192,),
+                             start_time=Time("2020-01-01T00:00:00.0"),
+                             sample_rate=1 * u.MHz,
+                             samples_per_frame=1024, seed=4)
+        tail = Square(Channelize(GetSlice(src, slice(128, None)), 64))
+        cp = CompiledPipeline(tail)
+        out = np.asarray(StreamRunner(cp).run(3))
+        tail.seek(0)
+        eager = np.asarray(tail.read(len(out)))
+        np.testing.assert_allclose(out, eager, rtol=1e-5, atol=1e-5)
