@@ -118,7 +118,9 @@ def config1():
             NoiseGenerator(shape=(n,), start_time=Time.from_mjd(58000.0),
                            sample_rate=16 * u.MHz, samples_per_frame=spf,
                            seed=7), 256)))
-    block = int(np.lcm(cp.block_samples, 1 << 20))
+    # this device shows ~0.85 ms fixed cost per scan step regardless of
+    # size; 2^23-sample blocks amortize it (2^20 blocks run 4x slower)
+    block = int(np.lcm(cp.block_samples, 1 << 23))
 
     def gen(key):
         return _complex_noise(key, (block,))
@@ -175,7 +177,8 @@ def config2():
         frequency=freq, sideband=1)
     from baseband_tasks_tpu.fourier import fft_maker
     with fft_maker.set("pallas"):
-        ded = Dedisperse(src, 29.7, samples_per_frame=1 << 14)
+        # large frames amortize the device's fixed per-step cost
+        ded = Dedisperse(src, 29.7, samples_per_frame=1 << 17)
         cp = CompiledPipeline(Dechannelize(ded))
 
     def gen(key):
@@ -208,10 +211,11 @@ def config3():
     # 131072 source samples per frame for BOTH padded stages
     from baseband_tasks_tpu.fourier import fft_maker
     with fft_maker.set("pallas"):
-        pfb = PolyphaseFilterBank(src, h, samples_per_frame=512)
+        # 2048-spectra frames amortize the device's fixed per-step cost
+        pfb = PolyphaseFilterBank(src, h, samples_per_frame=2048)
         inv = InversePolyphaseFilterBank(
             pfb, h, sn=30, pad_start=8, pad_end=8,
-            samples_per_frame=512, dtype=src.dtype)
+            samples_per_frame=2048, dtype=src.dtype)
         cp = CompiledPipeline(inv)
 
     def gen(key):
@@ -379,7 +383,9 @@ def flagship(ingest_bits=None):
         prof, cnt = run(1)
         np.asarray(cnt)
         dt = min(dt, time.perf_counter() - t0)
-    rate = n_iter * block * n_chan * n_pol / dt
+    # the pipeline grows block_samples to fill the pow2 window; count the
+    # valid samples actually processed per step (as bench.py does)
+    rate = n_iter * pipe.block_samples * n_chan * n_pol / dt
     name = f"ingest_{ingest_bits}bit" if ingest_bits else "flagship_f32"
     return {"config": name, "samples_per_s": round(rate, 1),
             "vs_baseline": round(rate / 3.2e8, 2),
