@@ -18,7 +18,7 @@ import numpy as np
 
 from .base import PaddedTaskBase
 from .channelize import Channelize, Dechannelize
-from .fourier import next_fast_len
+from .fourier import fft_maker, next_fast_len
 from .utils.device import device_complex
 __all__ = ["sinc_hamming", "PolyphaseFilterBank",
            "PolyphaseFilterBankSamples", "InversePolyphaseFilterBank"]
@@ -57,8 +57,10 @@ class _PolyphaseFIR(PaddedTaskBase):
         if samples_per_frame is not None:
             samples_per_frame *= n
 
+        fast_len = fft_maker.get().next_fast_len
+
         def block_fast_len(size):
-            return n * next_fast_len(-(-size // n))
+            return n * fast_len(-(-size // n))
 
         super().__init__(ih, pad_start=0, pad_end=pad,
                          samples_per_frame=samples_per_frame,
@@ -148,8 +150,10 @@ class InversePolyphaseFilterBank(PaddedTaskBase):
         if samples_per_frame is not None:
             samples_per_frame *= n
 
+        fast_len = fft_maker.get().next_fast_len
+
         def block_fast_len(size):
-            return n * next_fast_len(-(-size // n))
+            return n * fast_len(-(-size // n))
 
         super().__init__(dech, pad_start=pad_start * n,
                          pad_end=pad_end * n + (n_tap - 1) * n,
@@ -157,6 +161,12 @@ class InversePolyphaseFilterBank(PaddedTaskBase):
                          next_fast_len=block_fast_len)
         self._response = response
         self._gain_cache = None
+        # plan the per-phase batch transforms through the active engine
+        # (under 'pallas', pow2 windows run the four-step VMEM kernels)
+        m = self._padded_samples_per_frame // n
+        shape = (m, n) + tuple(dech.sample_shape)
+        self._batch_fft = fft_maker(shape, np.complex64, axis=0)
+        self._batch_ifft = self._batch_fft.inverse()
 
     def _make_gain(self, m):
         """Wiener gain per (block-frequency, phase).
@@ -181,9 +191,12 @@ class InversePolyphaseFilterBank(PaddedTaskBase):
             self._gain_cache = self._make_gain(m)
         gain = self._gain_cache.reshape((m, n) + (1,) * len(sample_shape))
         zc = z.astype(jnp.complex64)
-        Z = jnp.fft.fft(zc, axis=0)
-        X = Z * gain
-        x = jnp.fft.ifft(X, axis=0)
+        if m == self._batch_fft.time_shape[0]:
+            Z = self._batch_fft(zc)
+            x = self._batch_ifft(Z * gain)
+        else:  # off-plan window (shouldn't happen: frames are static)
+            Z = jnp.fft.fft(zc, axis=0)
+            x = jnp.fft.ifft(Z * gain, axis=0)
         out = x.reshape((-1,) + sample_shape)
         out = out[self._pad_start:self._pad_start + self._samples_per_frame]
         if self.dtype.kind != "c":
