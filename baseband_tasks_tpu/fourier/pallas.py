@@ -6,11 +6,11 @@ under it plans transforms through the fastest TPU path for the shape:
 
 * long power-of-two complex transforms (n ≥ 512, ≥ 8 lanes): the
   VMEM-resident four-step Stockham kernels (`ops/fft_pallas.py`);
-* short transforms (n ≤ 256, any length, real or complex): a dense DFT
-  matmul on the MXU (`ops/dft_matmul.py`) — batched small FFTs on the
-  VPU lanes are the one shape XLA's FFT handles badly;
-* anything else (odd sizes in between, float64) transparently falls
-  back to the XLA engine, so 'pallas' is always safe to select globally.
+* anything else falls back to the default engine, which on TPU already
+  runs short transforms (n ≤ 256, any length, real or complex) as a
+  dense DFT matmul on the MXU (`ops/dft_matmul.py`) and uses jnp.fft
+  everywhere else — so 'pallas' is always safe to select globally, on
+  any backend.
 """
 
 from __future__ import annotations
@@ -20,8 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .base import FFTBase, FFTMakerBase
-from .xla import _xla_fft
+from .base import FFTMakerBase
+from .xla import XLAFFTBase
 
 __all__ = ["PallasFFTMaker", "PallasFFTBase"]
 
@@ -29,8 +29,10 @@ _MIN_N = 512
 _MIN_LANES = 8
 
 
-class PallasFFTBase(FFTBase):
-    """One planned transform through the four-step pallas kernels."""
+class PallasFFTBase(XLAFFTBase):
+    """One planned transform: four-step pallas kernels when the shape
+    qualifies, otherwise exactly the default engine (whose TPU-gated
+    short-n MXU matmul path is inherited, not duplicated)."""
 
     @property
     def _use_pallas(self):
@@ -39,14 +41,6 @@ class PallasFFTBase(FFTBase):
         return (self._time_dtype == np.dtype("complex64")
                 and n >= _MIN_N and (n & (n - 1)) == 0
                 and lanes >= _MIN_LANES)
-
-    @property
-    def _use_matmul(self):
-        from ..ops.dft_matmul import MAX_MATMUL_N
-        n = self._time_shape[self._axis]
-        return (self._time_dtype in (np.dtype("float32"),
-                                     np.dtype("complex64"))
-                and 4 <= n <= MAX_MATMUL_N)
 
     def _fft(self, data):
         if self._direction == "forward":
@@ -57,17 +51,7 @@ class PallasFFTBase(FFTBase):
         if data.dtype != expected:
             data = data.astype(expected)
         if not self._use_pallas:
-            if self._use_matmul:
-                from ..ops.dft_matmul import dft_matmul
-                return dft_matmul(data, axis=self._axis,
-                                  direction=self._direction,
-                                  ortho=self._ortho,
-                                  real=self.real_input,
-                                  n=self._time_shape[self._axis])
-            return _xla_fft(data, axis=self._axis, ortho=self._ortho,
-                            real=self.real_input,
-                            direction=self._direction,
-                            n=self._time_shape[self._axis])
+            return super()._fft(data)
         from ..ops.fft_pallas import fft_pow2_planes
         x = jnp.moveaxis(data, self._axis, 0)
         batch_shape = x.shape[1:]

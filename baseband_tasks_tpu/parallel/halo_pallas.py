@@ -120,6 +120,23 @@ def halo_edges_remote(x, pad_start, pad_end, axis_name="time",
             f"{x.shape[0]}; use fewer shards or larger blocks")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if interpret:
+        # The interpreter addresses devices by scalar LOGICAL id, which
+        # equals the axis index only on a single-named-axis mesh; on a
+        # multi-axis mesh the DMA would target the wrong device (the
+        # interpreter's own discharge also rejects it, but opaquely).
+        try:
+            from jax._src.core import get_axis_env
+            n_axes = sum(1 for name in get_axis_env().axis_sizes
+                         if name is not None)
+        except Exception:  # private API moved — defer to the interpreter
+            n_axes = 1
+        if n_axes > 1:
+            raise NotImplementedError(
+                "halo_edges_remote in interpret mode supports only a "
+                "single-named-axis mesh (the CPU emulator cannot "
+                "address mesh coordinates); test on a 1-D time mesh, "
+                "or run on TPU hardware for multi-axis meshes")
 
     out_shapes = []
     sem_shapes = []

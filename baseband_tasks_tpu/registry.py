@@ -119,7 +119,11 @@ def open(name, mode="r", format=None, **kwargs):
         with builtins.open(name, "rb") as fh:
             head = fh.read(512)
         for fmt, (opener, detect) in FORMATS.items():
-            if detect(head, str(name)):
+            try:
+                matched = detect(head, str(name))
+            except Exception:  # a broken (plugin) detector must not
+                continue       # disable detection of later formats
+            if matched:
                 format = fmt
                 break
         else:

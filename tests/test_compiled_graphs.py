@@ -266,3 +266,28 @@ class TestCompiledShaping:
         tail.seek(0)
         eager = np.asarray(tail.read(len(out)))
         np.testing.assert_allclose(out, eager, rtol=1e-5, atol=1e-5)
+
+
+class TestCompiledStokes:
+    def test_power_fold_matches_eager(self):
+        """Full-Stokes detection (Power) folds through the compiled path
+        exactly like the eager chain (reference functions.py:132-143 +
+        integration.py:380-395)."""
+        from baseband_tasks_tpu import Power
+
+        f0 = 53.125
+        phase = lambda t: u.Quantity((t - T0).sec * f0, u.cycle)
+        src = NoiseGenerator(shape=(16384, 2), start_time=T0,
+                             sample_rate=1 * u.MHz,
+                             samples_per_frame=2048, seed=31,
+                             dtype=np.complex64)
+        det = Power(Channelize(src, 16), polarization=["X", "Y"])
+        assert det.sample_shape == (16, 4)
+        tail = Fold(det, 8, phase, samples_per_frame=1)
+        cp = CompiledPipeline(tail)
+        n_blocks = (16384 // 16) // cp.tail_block
+        data, counts = cp.run_reduced(cp.read_source_blocks(n_blocks))
+        tail.seek(0)
+        eager = tail.read(data.shape[0])
+        np.testing.assert_allclose(np.asarray(data), eager,
+                                   rtol=1e-5, atol=1e-5)

@@ -210,8 +210,14 @@ class TestPallasEngine:
 
 
 class TestMatmulDFT:
-    """Short transforms under the 'pallas' engine route to the MXU DFT
-    matmul (ops/dft_matmul.py) and must be numpy-exact to f32 level."""
+    """Short transforms route to the MXU DFT matmul (ops/dft_matmul.py)
+    on TPU (forced here by monkeypatching the backend; dft_matmul itself
+    runs anywhere) and must be numpy-exact to f32 level."""
+
+    @pytest.fixture(autouse=True)
+    def _force_tpu_gate(self, monkeypatch):
+        import jax
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     @pytest.mark.parametrize("n", [16, 64, 100, 256])
     @pytest.mark.parametrize("ortho", [False, True])

@@ -104,3 +104,15 @@ def test_overlap_save_window_consistency():
     expect = sum(padded[i:i + 8 * 16] * float(kernel[i])
                  for i in range(pad_s + 1 + pad_e))
     np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-6)
+
+
+def test_multi_axis_mesh_rejected_in_interpret():
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("time", "chan"))
+    x = jnp.zeros((64, 8), jnp.float32)
+    with pytest.raises(NotImplementedError, match="single-named-axis"):
+        jax.shard_map(
+            lambda xl: halo_edges_remote(xl, 2, 2, interpret=True),
+            mesh=mesh, in_specs=P("time", "chan"),
+            out_specs=(P("time", "chan"), P("time", "chan")),
+            check_vma=False)(x)

@@ -176,3 +176,27 @@ class TestEntryPointPlugins:
         monkeypatch.setattr(registry, "FORMATS", dict(registry.FORMATS))
         registry._load_entry_points()
         assert registry.FORMATS["vdif"][0] is not Evil
+
+    def test_broken_detector_skipped(self, tmp_path, monkeypatch):
+        """One plugin whose detect raises must not disable detection of
+        later formats."""
+        from baseband_tasks_tpu import registry
+
+        def boom(head, name):
+            raise UnicodeDecodeError("utf-8", b"", 0, 1, "boom")
+
+        formats = dict(registry.FORMATS)
+        # broken detector FIRST in iteration order
+        formats = {"broken": (lambda *a, **k: None, boom), **formats}
+        monkeypatch.setattr(registry, "FORMATS", formats)
+        monkeypatch.setattr(registry, "_entry_points_loaded", True)
+
+        import numpy as np
+        from baseband_tasks_tpu.io import hdf5
+        p = tmp_path / "x.h5"
+        src = make_stream()
+        with hdf5.open(str(p), "w", template=src) as w:
+            w.write(np.asarray(src.read(1024)))
+        with registry.open(p) as r:   # detection must reach hdf5
+            assert r.sample_shape == src.sample_shape
+            assert np.asarray(r.read(1024)).shape[0] == 1024
