@@ -71,7 +71,10 @@ class ShiftAndResample(Convolve):
         against the sample shape.  Positive delays the signal.
     offset : Time, Quantity or float, optional
         Anchor: ensure an output sample lands exactly on this input-stream
-        offset (plus integer sample counts).  Default: keep the input grid.
+        offset (plus integer sample counts).  Default: shift the output
+        grid by the *mean* shift, so only the per-channel residuals are
+        interpolated (a uniform shift is then a pure relabelling with no
+        interpolation error — reference sampling.py:147-175 semantics).
     lo : Quantity, optional
         Local-oscillator frequency for complex baseband data: after a time
         shift dt the data are rotated by exp(-2j pi lo dt sideband) so sky
@@ -85,18 +88,20 @@ class ShiftAndResample(Convolve):
                  pad=64, samples_per_frame=None, sideband=None,
                  engine="xla"):
         shift_samples = _shift_to_samples(ih, shift)
-        # Grid anchoring: choose a sub-sample grid offset g in [0, 1) such
-        # that sample g + k of the *shifted* stream lands on the requested
-        # offset (reference sampling.py:151-165).
+        # Output-grid shift d_time (in input samples): by default the mean
+        # shift — so only per-channel residuals are interpolated; with an
+        # anchor, the nearest value congruent to ``offset`` (mod 1), so an
+        # output sample lands exactly on the requested offset (reference
+        # sampling.py:151-175).
+        mean_shift = float(np.mean(shift_samples))
         if offset is not None:
-            anchor = np.mean(seek_float(ih, offset, whence)
-                             + shift_samples)
-            g = anchor - np.floor(anchor)
+            off_f = float(np.mean(seek_float(ih, offset, whence)))
+            d_time = off_f + float(np.round(mean_shift - off_f))
         else:
-            g = 0.0
-        self._grid_offset = g
-        # Effective per-channel fractional delay relative to the new grid.
-        eff = np.atleast_1d(shift_samples - g)
+            d_time = mean_shift
+        self._grid_offset = d_time
+        # Effective per-channel delay relative to the shifted grid.
+        eff = np.atleast_1d(shift_samples - d_time)
         k_min = int(np.floor(eff.min())) - pad + 1
         k_max = int(np.floor(eff.max())) + pad
         k = np.arange(k_min, k_max + 1)
@@ -129,11 +134,11 @@ class ShiftAndResample(Convolve):
         super().__init__(ih, response, offset=-k_min,
                          samples_per_frame=samples_per_frame,
                          engine=engine)
-        # The output grid is the input grid shifted by g sub-samples:
+        # The output grid is the input grid shifted by d_time samples:
         # relabel the start time accordingly.
-        if g:
+        if d_time:
             self._start_time = self._start_time + self._samples_to_timedelta(
-                1, ih.sample_rate) * g
+                1, ih.sample_rate) * d_time
 
     def task(self, data):
         out = super().task(data)

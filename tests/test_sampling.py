@@ -27,49 +27,60 @@ def pure_tone(nu_cycles_per_sample, shape=(4096, 2), spf=1024):
                            dtype=np.complex64)
 
 
+def tone_labels(st, n):
+    """Label (in input samples since START) of the next n output samples."""
+    t0 = (st.time - START).sec * RATE.to_value(u.Hz)
+    return t0 + np.arange(n)
+
+
 class TestShiftAndResample:
+    """Physical contract (reference sampling.py:147-175): the output
+    value at time label t is the input signal at t - shift; a uniform
+    shift moves the label grid (no interpolation), per-channel residuals
+    are sinc-interpolated."""
+
     @pytest.mark.parametrize("shift", [3.0, 3.75, -2.25])
     def test_tone_phase_shift(self, shift):
         nu = 0.123  # cycles per sample
         sh = pure_tone(nu)
         st = ShiftAndResample(sh, shift, samples_per_frame=1024)
         st.seek(100)
+        lab = tone_labels(st, 200)
         data = np.asarray(st.read(200))
-        # output sample at input-grid index q has value tone(q - shift)
-        q = np.arange(100, 300) + st.pad_start
-        expected = np.exp(2j * np.pi * nu * (q - shift))
-        np.testing.assert_allclose(data[:, 0], expected, atol=2e-3)
+        expected = np.exp(2j * np.pi * nu * (lab - shift))
+        # uniform shift = pure relabelling: exact to float roundoff
+        np.testing.assert_allclose(data[:, 0], expected, atol=2e-6)
 
     def test_shift_by_quantity(self):
         nu = 0.05
         sh = pure_tone(nu)
         st = ShiftAndResample(sh, 2.5 * u.ms, samples_per_frame=1024)  # 2.5 samples
         st.seek(50)
+        lab = tone_labels(st, 50)
         data = np.asarray(st.read(50))
-        q = np.arange(50, 100) + st.pad_start
-        expected = np.exp(2j * np.pi * nu * (q - 2.5))
-        np.testing.assert_allclose(data[:, 0], expected, atol=2e-3)
+        expected = np.exp(2j * np.pi * nu * (lab - 2.5))
+        np.testing.assert_allclose(data[:, 0], expected, atol=2e-6)
 
     def test_per_channel_shift(self):
         nu = 0.2
         sh = pure_tone(nu)
         st = ShiftAndResample(sh, [1.5, -0.5], samples_per_frame=1024)
         st.seek(10)
+        lab = tone_labels(st, 100)
         data = np.asarray(st.read(100))
-        q = np.arange(10, 110) + st.pad_start
         np.testing.assert_allclose(data[:, 0],
-                                   np.exp(2j * np.pi * nu * (q - 1.5)),
+                                   np.exp(2j * np.pi * nu * (lab - 1.5)),
                                    atol=2e-3)
         np.testing.assert_allclose(data[:, 1],
-                                   np.exp(2j * np.pi * nu * (q + 0.5)),
+                                   np.exp(2j * np.pi * nu * (lab + 0.5)),
                                    atol=2e-3)
 
     def test_time_labels_consistent(self):
         sh = pure_tone(0.1)
         st = ShiftAndResample(sh, 1.25, samples_per_frame=1024)
-        # start time shifted by pad_start samples of the input
+        # start time = input start + trimmed pad + the mean-shift grid move
         assert abs((st.start_time - START).sec
-                   - st.pad_start / 1000.0) < 1e-9
+                   - (st.pad_start + 1.25) / 1000.0) < 1e-9
 
     def test_lo_phase_rotation(self):
         nu = 0.1
@@ -79,12 +90,12 @@ class TestShiftAndResample:
         lo = 400 * u.MHz
         st = ShiftAndResample(sh, shift, lo=lo, samples_per_frame=1024)
         st.seek(100)
+        lab = tone_labels(st, 50)
         data = np.asarray(st.read(50))
-        q = np.arange(100, 150) + st.pad_start
         dt = shift / 1000.0
         extra = np.exp(-2j * np.pi * 400e6 * dt)
-        expected = np.exp(2j * np.pi * nu * (q - shift)) * extra
-        np.testing.assert_allclose(data[:, 0], expected, atol=2e-3)
+        expected = np.exp(2j * np.pi * nu * (lab - shift)) * extra
+        np.testing.assert_allclose(data[:, 0], expected, atol=2e-5)
 
 
 class TestResample:
@@ -155,3 +166,133 @@ class TestShiftSamples:
         sh = pure_tone(0.1)
         with pytest.raises(ValueError):
             ShiftSamples(sh, [0.5, 1])
+
+
+class TestSeekFloat:
+    """seek_float conversion semantics (reference test_sampling.py:42-76)."""
+
+    def setup_method(self):
+        def empty(sh):
+            n = min(sh.samples_per_frame, sh.shape[0] - sh.tell())
+            return jnp.zeros((n,) + sh.sample_shape, np.complex64)
+        self.ih = StreamGenerator(empty, (2048, 3, 2), START, RATE,
+                                  samples_per_frame=256,
+                                  dtype=np.complex64)
+
+    @pytest.mark.parametrize("offset", [
+        0.0, 1.0, 10.5,
+        10.0 * u.ms, 0.015 * u.s,
+        START + 0.013 * u.s,
+        [1.75, 10.5],
+        np.linspace(1, 10, 6).reshape(3, 2) * u.ms,
+    ])
+    def test_seek_float(self, offset):
+        from baseband_tasks_tpu.sampling import seek_float
+        floats = seek_float(self.ih, offset)
+        if isinstance(offset, Time):
+            offset = (offset - self.ih.start_time).sec * u.s
+        if isinstance(offset, u.Quantity):
+            offset = offset.to_value(u.s) * RATE.to_value(u.Hz)
+        np.testing.assert_allclose(np.asarray(floats),
+                                   np.asarray(offset), rtol=1e-9)
+
+    def test_whence(self):
+        from baseband_tasks_tpu.sampling import seek_float
+        self.ih.seek(5)
+        assert seek_float(self.ih, 1.5, whence=1) == 6.5
+        assert seek_float(self.ih, -0.5, whence=2) == 2048 - 0.5
+        with pytest.raises(ValueError, match="whence"):
+            seek_float(self.ih, 0.0, whence=3)
+
+    def test_invalid(self):
+        from baseband_tasks_tpu.sampling import seek_float
+        with pytest.raises(Exception):
+            seek_float(self.ih, object())
+        with pytest.raises(u.UnitsError):
+            seek_float(self.ih, 1.0 * u.m)
+
+
+class TestShiftRoundTrip:
+    """Shifting by +d then -d recovers the stream to the documented 0.1%
+    interpolation accuracy (reference sampling.py:108-109 and the
+    resample-delayed scenarios of test_sampling.py:367-388)."""
+
+    @pytest.mark.parametrize("d", [0.25, 3.3, -7.6])
+    def test_round_trip_tone(self, d):
+        src = pure_tone(0.05123)
+        fwd = ShiftAndResample(src, d, samples_per_frame=1024)
+        back = ShiftAndResample(fwd, -d, samples_per_frame=1024)
+        t0 = START + 1.0 * u.s
+        back.seek(t0)
+        got = np.asarray(back.read(512))
+        src.seek(t0)
+        expect = np.asarray(src.read(512))
+        np.testing.assert_allclose(got, expect, atol=2e-3)
+
+    def test_round_trip_noise(self):
+        from baseband_tasks_tpu import NoiseGenerator
+        src = NoiseGenerator(shape=(4096, 2), start_time=START,
+                             sample_rate=RATE, samples_per_frame=1024,
+                             seed=17, dtype=np.complex64)
+        fwd = ShiftAndResample(src, 2.75, samples_per_frame=1024)
+        back = ShiftAndResample(fwd, -2.75, samples_per_frame=1024)
+        t0 = START + 1.0 * u.s
+        back.seek(t0)
+        got = np.asarray(back.read(512))
+        src.seek(t0)
+        expect = np.asarray(src.read(512))
+        # noise has full bandwidth; edge-of-band components interpolate
+        # worst (reference: better than 0.1% at default pad=64)
+        assert np.abs(got - expect).max() < 1e-2
+        np.testing.assert_allclose(got, expect, atol=1e-2)
+
+
+class TestTimeDelayVsShiftAndResample:
+    """Relabel-only TimeDelay followed by Resample onto an anchored grid
+    equals ShiftAndResample doing both at once (reference
+    test_sampling.py:399-427)."""
+
+    @pytest.mark.parametrize("delay_samples", [1.0, 3.75, -2.5])
+    def test_equivalence(self, delay_samples):
+        nu = 0.0789
+        lo = 400 * u.MHz
+        delay = delay_samples / RATE
+        src1 = SetAttribute(pure_tone(nu), sideband=1)
+        src2 = SetAttribute(pure_tone(nu), sideband=1)
+        anchor = START + 1.0 * u.s
+
+        delayed = TimeDelay(src1, delay, lo=lo)
+        a = Resample(delayed, anchor, samples_per_frame=1024)
+        b = ShiftAndResample(src2, delay, offset=anchor, lo=lo,
+                             samples_per_frame=1024)
+        a.seek(anchor)
+        b.seek(anchor)
+        ga = np.asarray(a.read(256))
+        gb = np.asarray(b.read(256))
+        np.testing.assert_allclose(ga, gb, atol=2e-3)
+
+
+class TestShiftSamplesVsShiftAndResample:
+    """Integer shifts: the gather implementation and the sinc interpolator
+    must agree exactly up to interpolation roundoff (reference
+    test_sampling.py:675-691)."""
+
+    def test_integer_equivalence(self):
+        from baseband_tasks_tpu import NoiseGenerator
+        src1 = NoiseGenerator(shape=(4096, 2), start_time=START,
+                              sample_rate=RATE, samples_per_frame=1024,
+                              seed=23, dtype=np.complex64)
+        src2 = NoiseGenerator(shape=(4096, 2), start_time=START,
+                              sample_rate=RATE, samples_per_frame=1024,
+                              seed=23, dtype=np.complex64)
+        shift = [2, -3]
+        gather = ShiftSamples(src1, shift, samples_per_frame=1024)
+        # anchor on the input grid so both outputs share integer labels
+        sinc = ShiftAndResample(src2, shift, offset=0,
+                                samples_per_frame=1024)
+        t0 = START + 1.0 * u.s
+        gather.seek(t0)
+        sinc.seek(t0)
+        gg = np.asarray(gather.read(512))
+        gs = np.asarray(sinc.read(512))
+        np.testing.assert_allclose(gg, gs, atol=1e-5)

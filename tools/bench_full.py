@@ -309,6 +309,13 @@ def scaling():
     """Virtual-mesh scaling of the fused pipeline: wall clock at
     N=1,2,4,8 CPU devices plus analytic communication volume (halo bytes
     exchanged / block bytes processed)."""
+    # needs 8 virtual CPU devices: set the flag before the cpu backend
+    # initializes (ineffective if another config already touched it in
+    # this process — then rerun `scaling` standalone)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
     jax.config.update("jax_platforms", "cpu")
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -316,6 +323,11 @@ def scaling():
     from baseband_tasks_tpu.utils import units as u
 
     devs = jax.devices()
+    if len(devs) < 8:
+        raise RuntimeError(
+            f"scaling needs 8 virtual CPU devices, have {len(devs)}: "
+            f"run `XLA_FLAGS=--xla_force_host_platform_device_count=8 "
+            f"python tools/bench_full.py scaling` standalone")
     out = {}
     block = 1 << 15
     n_chan, n_pol = 32, 2
