@@ -282,3 +282,110 @@ class TestPhaseInversion:
         assert (np.asarray(offs) >= 0).all()
         assert (np.asarray(offs) <= sh.shape[0]).all()
         assert (np.diff(np.asarray(offs)) >= 0).all()
+
+
+class TestFoldPhaseClassAndSteps:
+    """Reference scenarios: Fold driven by a two-double Phase model
+    (test_integration.py:403-405 UsePhaseClass) and time steps shorter /
+    longer than the pulse period (test_integration.py:274-331)."""
+
+    F0 = 10.0  # pulses/s on a 1 kHz stream -> period = 100 samples
+
+    def _phase_quantity(self):
+        return lambda t: u.Quantity((t - START).sec * self.F0, u.cycle)
+
+    def _phase_class(self):
+        from baseband_tasks_tpu.phases import Phase
+
+        def model(t):
+            sec = (t - START).sec
+            return Phase(sec * self.F0)
+        return model
+
+    def test_phase_class_matches_quantity(self):
+        fold_q = Fold(pulse_stream(), 10, self._phase_quantity(),
+                      step=1.0 * u.s, samples_per_frame=1)
+        fold_p = Fold(pulse_stream(), 10, self._phase_class(),
+                      step=1.0 * u.s, samples_per_frame=1)
+        a = np.asarray(fold_q.read(4))
+        b = np.asarray(fold_p.read(4))
+        np.testing.assert_array_equal(a, b)
+
+    def test_step_shorter_than_period(self):
+        """Step = half a period: each profile holds half the phase bins
+        (counts land only where samples arrived)."""
+        fold = Fold(pulse_stream(), 10, self._phase_quantity(),
+                    step=0.05 * u.s, samples_per_frame=1, average=False)
+        out = fold.read(4)
+        counts = out["count"]
+        # 50 samples per step over 10 bins: each covered bin gets 5
+        assert counts.sum() == 4 * 50
+        # the pulse (phase 0) arrives in the even steps only
+        assert out["data"][0].sum() == 1.0
+        assert out["data"][1].sum() == 0.0
+
+    def test_step_longer_than_period(self):
+        """Step = 2 periods: every phase bin is covered twice."""
+        fold = Fold(pulse_stream(), 10, self._phase_quantity(),
+                    step=0.2 * u.s, samples_per_frame=1, average=False)
+        out = fold.read(3)
+        # 200 samples per step over 10 bins; boundary samples may flip
+        # bins at float precision (pulses sit exactly on edges)
+        assert out["count"].sum() == 3 * 200
+        assert np.abs(out["count"].astype(int) - 20).max() <= 2
+        # two pulses per step, at phase 0 (possibly split with the last
+        # bin by edge rounding)
+        np.testing.assert_array_equal(
+            out["data"][:, 0] + out["data"][:, -1], 2.0)
+        np.testing.assert_array_equal(out["data"][:, 1:-1], 0.0)
+
+
+class TestPulseStackSlicing:
+    """PulseStack with a start offset, sliced input, and sliced output
+    (reference test_integration.py:436-506)."""
+
+    F0 = 10.0
+
+    def _phase(self):
+        return lambda t: u.Quantity((t - START).sec * self.F0, u.cycle)
+
+    def test_start_offset(self):
+        ps = PulseStack(pulse_stream(), 10, self._phase(), start=100)
+        out = np.asarray(ps.read(5))
+        # starting exactly one period in: pulses still at phase bin 0;
+        # averaged over the 10 samples in the bin -> 0.1
+        np.testing.assert_allclose(out[:, 0], 0.1)
+        np.testing.assert_allclose(out[:, 1:], 0.0)
+
+    def test_sliced_input(self):
+        src = pulse_stream()
+        ps = PulseStack(src[200:], 10, self._phase())
+        out = np.asarray(ps.read(5))
+        np.testing.assert_allclose(out[:, 0], 0.1)
+        np.testing.assert_allclose(out[:, 1:], 0.0)
+
+    def test_sliced_output(self):
+        ps = PulseStack(pulse_stream(), 10, self._phase())
+        sl = ps[10:20]
+        out = np.asarray(sl.read(10))
+        assert out.shape == (10, 10)
+        ps.seek(10)
+        np.testing.assert_array_equal(out, np.asarray(ps.read(10)))
+
+
+class TestIntegrationErrors:
+    """Invalid construction raises (reference
+    test_integration.py:256-263,394-401)."""
+
+    def test_start_time_before_stream(self):
+        src = pulse_stream()
+        with pytest.raises(Exception):
+            Integrate(src, 10, start=START - 1.0 * u.s)
+
+    def test_bad_step_unit(self):
+        with pytest.raises(Exception):
+            Integrate(pulse_stream(), step=1.0 * u.m)
+
+    def test_phase_step_requires_phase(self):
+        with pytest.raises(Exception):
+            Integrate(pulse_stream(), step=0.1 * u.cycle)
