@@ -236,3 +236,72 @@ class TestChannelizedDedispersion:
         expected = center - round(dt * 1e6)
         assert abs(peak - expected) <= 2
         assert abs(data[peak]) > 1.0  # burst re-concentrated
+
+
+class TestRealInputAndEdgeCases:
+    """Reference scenarios: dispersion of real-valued streams
+    (test_dispersion.py:206-306), negative DM, and an out-of-band
+    reference frequency."""
+
+    def _impulse(self, dtype, n=1 << 17, at=40000, rate=32 * u.kHz):
+        def f(sh):
+            o = sh.tell()
+            m = min(sh.samples_per_frame, sh.shape[0] - o)
+            idx = jnp.arange(o, o + m)
+            v = jnp.where(idx == at, 1.0, 0.0).astype(jnp.float32)
+            if np.dtype(dtype).kind == "c":
+                v = v.astype(jnp.complex64)
+            return v
+        return SetAttribute(
+            StreamGenerator(f, (n,), START, rate,
+                            samples_per_frame=1 << 14, dtype=dtype),
+            frequency=F0, sideband=1)
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.complex64])
+    def test_roundtrip_impulse_at_absolute_time(self, dtype):
+        rate = 32 * u.kHz
+        src = self._impulse(dtype)
+        rt = Dedisperse(Disperse(src, 10.0, samples_per_frame=1 << 14),
+                        10.0, samples_per_frame=1 << 14)
+        assert rt.dtype == np.dtype(dtype)
+        rt.seek(START + 40000 / rate)
+        rt.seek(-5000, 1)
+        x = np.asarray(rt.read(10000))
+        peak = int(np.argmax(np.abs(x)))
+        assert peak == 5000          # lands exactly on its absolute time
+        assert abs(x[peak]) > 0.999  # and keeps its amplitude
+
+    def test_negative_dm_is_inverse(self):
+        """Disperse(-dm) undoes Disperse(+dm) (the reference's Dedisperse
+        is literally a sign flip, dispersion.py:182-190)."""
+        rate = 32 * u.kHz
+        src = self._impulse(np.complex64)
+        chain = Disperse(Disperse(src, 7.5, samples_per_frame=1 << 14),
+                         -7.5, samples_per_frame=1 << 14)
+        chain.seek(START + 40000 / rate)
+        chain.seek(-100, 1)
+        x = np.asarray(chain.read(200))
+        assert int(np.argmax(np.abs(x))) == 100
+        assert abs(x[100]) > 0.999
+
+    def test_out_of_band_reference_frequency(self):
+        """Dedispersing to a reference far outside the band still places
+        the impulse at its delayed absolute time (reference
+        dispersion.py:78-93 integer-offset shortcut)."""
+        rate = 32 * u.kHz
+        dm = DispersionMeasure(5.0)
+        ref = 350 * u.MHz  # band is ~300 MHz +- 16 kHz
+        src = self._impulse(np.complex64)
+        d = Disperse(src, dm, reference_frequency=ref,
+                     samples_per_frame=1 << 14)
+        # the impulse moves by the delay between its own frequency and ref
+        delay = dm.time_delay(F0, ref)
+        t_exp = START + 40000 / rate + delay
+        d.seek(t_exp)
+        d.seek(-100, 1)
+        x = np.asarray(d.read(200))
+        peak = envelope_peak(x)
+        assert abs(peak - 100) < 1.0
+        # the delay to an out-of-band reference is generally fractional,
+        # so the unit impulse interpolates across neighbors: check energy
+        assert (np.abs(x[97:104]) ** 2).sum() > 0.99
