@@ -34,7 +34,7 @@ def _b1937_polyco():
     return PolycoPhase(Polyco(text))
 
 
-def _measure(use_pallas):
+def _measure(use_pallas, ingest_bits=None):
     import jax
     from jax.sharding import Mesh
     from baseband_tasks_tpu.models import WidebandPulsarPipeline
@@ -48,13 +48,14 @@ def _measure(use_pallas):
         n_chan=n_chan, n_pol=n_pol, dm=500.0, freq_center=1400 * u.MHz,
         chan_rate=250 * u.kHz, period_samples=(160000, 3), n_phase=64,
         block_samples=block, mesh=mesh, use_pallas=use_pallas,
-        phase_model=_b1937_polyco(), start_time=Time.from_mjd(58000.0))
+        phase_model=_b1937_polyco(), start_time=Time.from_mjd(58000.0),
+        ingest_bits=ingest_bits or 8)
     # 64 iterations per dispatch: the synchronizing host fetch costs one
     # ~30 ms tunnel RTT per timed repeat, which at 16 iterations is a
     # ~15% measurement artifact on a ~10 ms step; 64 amortizes it to ~4%
     # (still *under*stating true throughput)
     n_iter = 64
-    run = pipe.run_fn(n_iter)
+    run = pipe.run_fn(n_iter, ingest_bits=ingest_bits)
 
     # warmup/compile; synchronize by an actual host fetch — on the axon
     # tunnel backend block_until_ready is not a reliable barrier, and a
@@ -78,16 +79,27 @@ def _measure(use_pallas):
 
 
 def main():
+    # The north star reads "from 8-bit baseband": the headline path
+    # ingests packed offset-binary bytes and decodes them inside the
+    # stage-A kernel (measured FASTER than pre-decoded float32: the
+    # bytes cross HBM once at a quarter of the read traffic).
+    kind = "from packed 8-bit baseband"
     try:
-        rate = _measure(use_pallas=True)
+        rate = _measure(use_pallas=True, ingest_bits=8)
     except Exception:
-        # pallas/Mosaic unavailable or remote compile failed: measure the
-        # pure-XLA path instead of reporting nothing
-        rate = _measure(use_pallas=False)
+        try:
+            # packed-ingest kernel unavailable: float32 input
+            kind = "from float32 baseband"
+            rate = _measure(use_pallas=True)
+        except Exception:
+            # pallas/Mosaic unavailable or remote compile failed: measure
+            # the pure-XLA path instead of reporting nothing
+            kind = "xla path, float32"
+            rate = _measure(use_pallas=False)
     realtime_x10 = 10.0 * (64 * 250e3) * 2
     print(json.dumps({
-        "metric": "baseband samples/sec/chip "
-                  "(coherent dedisperse+detect+fold, DM=500, 16 MHz x 2 pol)",
+        "metric": "baseband samples/sec/chip (coherent dedisperse+detect"
+                  f"+fold, DM=500, 16 MHz x 2 pol, {kind})",
         "value": round(rate, 1),
         "unit": "samples/s",
         "vs_baseline": round(rate / realtime_x10, 3),

@@ -320,3 +320,69 @@ class TestRateRatio:
     def test_rejects_nonpositive(self):
         with pytest.raises(ValueError):
             self._ratio(-1 * u.Hz, 10 * u.Hz)
+
+
+class TestGeneratorScenarios:
+    """Reference scenarios (test_generators.py:216-317): an
+    EmptyStreamGenerator + Task fill behaves like a file to downstream
+    consumers; noise frames never repeat across offsets."""
+
+    def test_empty_plus_task_as_source(self):
+        from baseband_tasks_tpu import (EmptyStreamGenerator, Square,
+                                        Task)
+
+        tone = np.zeros((1000,), dtype=np.complex64)
+        tone[200] = 1.0
+
+        def set_tone(data):
+            return jnp.broadcast_to(jnp.asarray(tone), data.shape)
+
+        eh = EmptyStreamGenerator(shape=(10, 1000), start_time=START,
+                                  sample_rate=10 * u.Hz,
+                                  samples_per_frame=2,
+                                  dtype=np.complex64)
+        st = Square(Task(eh, set_tone))
+        data1 = np.asarray(st.read())
+        assert st.tell() == st.shape[0]
+        assert abs((st.time - st.start_time).sec - 1.0) < 1e-9
+        assert np.all(data1 == np.abs(tone) ** 2)
+        st.seek(-3, 2)
+        assert st.tell() == st.shape[0] - 3
+        data2 = np.asarray(st.read())
+        assert data2.shape[0] == 3
+        assert np.all(data2 == np.abs(tone) ** 2)
+
+    def test_noise_no_repetition(self):
+        from baseband_tasks_tpu import NoiseGenerator
+
+        nh = NoiseGenerator(shape=(64, 4, 2), start_time=START,
+                            sample_rate=u.Quantity(10, u.kHz),
+                            samples_per_frame=1, seed=1234567,
+                            dtype=np.complex64)
+        d0 = np.asarray(nh.read(1))
+        nh.seek(3)
+        d3 = np.asarray(nh.read(1))
+        nh.seek(2)
+        d2 = np.asarray(nh.read(1))
+        d3_2 = np.asarray(nh.read(1))
+        d4 = np.asarray(nh.read(1))
+        assert not np.any(d0 == d3)
+        assert not np.any(d3 == d2)
+        assert not np.any(d3 == d4)
+        # out-of-order reads must not reset the counter state
+        assert not np.any(d2 == d4)
+        assert np.all(d3 == d3_2)
+
+    def test_generator_slice(self):
+        from baseband_tasks_tpu import NoiseGenerator
+
+        nh = NoiseGenerator(shape=(256, 2), start_time=START,
+                            sample_rate=u.Quantity(1, u.kHz),
+                            samples_per_frame=32, seed=5,
+                            dtype=np.complex64)
+        whole = np.asarray(nh.read())
+        sl = nh[100:180]
+        assert sl.shape == (80, 2)
+        assert abs((sl.start_time - START).sec - 0.1) < 1e-9
+        np.testing.assert_array_equal(np.asarray(sl.read()),
+                                      whole[100:180])
