@@ -291,3 +291,24 @@ class TestCompiledStokes:
         eager = tail.read(data.shape[0])
         np.testing.assert_allclose(np.asarray(data), eager,
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestAbsorbedPhaseIntegrate:
+    def test_integrate_in_phase_steps(self):
+        """Integrate with a step in cycles (phase-binned integration, not
+        folding): bin edges come from the host phase->offset inversion
+        (reference integration.py:174-228)."""
+        f0 = 11.5  # cycles/s
+        phase = lambda t: u.Quantity((t - T0).sec * f0, u.cycle)
+        src = noise(29, shape=(16384,), spf=2048, rate=1 * u.kHz)
+        tail = Integrate(Square(Channelize(src, 16)),
+                         step=u.Quantity(2.0, u.cycle), phase=phase,
+                         samples_per_frame=1)
+        cp = CompiledPipeline(tail)
+        n_blocks = (16384 // 16) // cp.tail_block
+        data, counts = cp.run_reduced(cp.read_source_blocks(n_blocks))
+        tail.seek(0)
+        n = min(data.shape[0], tail.shape[0])
+        eager = tail.read(n)
+        np.testing.assert_allclose(np.asarray(data)[:n], eager,
+                                   rtol=1e-5, atol=1e-5)
