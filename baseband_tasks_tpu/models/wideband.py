@@ -72,13 +72,21 @@ class WidebandPulsarPipeline:
                  period_samples=(16000, 3), n_phase=64,
                  block_samples=16384, mesh=None, fft_pow2=False,
                  use_pallas=False, phase_model=None, start_time=None,
-                 ingest_bits=8):
+                 ingest_bits=8, detect="power"):
         if freq_center is None:
             freq_center = 1400 * u.MHz
         if chan_rate is None:
             chan_rate = 250 * u.kHz
         self.n_chan = n_chan
         self.n_pol = n_pol
+        if detect not in ("power", "stokes"):
+            raise ValueError(f"detect={detect!r}: 'power' or 'stokes'")
+        if detect == "stokes" and n_pol != 2:
+            raise ValueError("detect='stokes' needs dual polarization "
+                             "(n_pol=2): lanes pair (X, Y) per channel")
+        #: 'power' -> |x|^2 per (chan, pol); 'stokes' -> per channel
+        #: [XX, YY, Re(X Y*), Im(X Y*)] (reference functions.py:132-143)
+        self.detect = detect
         self.n_phase = n_phase
         self.block_samples = block_samples
         if mesh is None:
@@ -278,6 +286,25 @@ class WidebandPulsarPipeline:
             return self._foldv_from_halves(fold_in)
         return fold_in.astype(jnp.int32)
 
+    def _detect_xla(self, y):
+        """Detect a complex (T, C, P) block: power, or full Stokes-style
+        [XX, YY, Re(X Y*), Im(X Y*)] per channel (reference
+        functions.py:132-143)."""
+        if self.detect == "power":
+            return y.real ** 2 + y.imag ** 2
+        x0, x1 = y[..., 0], y[..., 1]
+        cross = x0 * jnp.conj(x1)
+        return jnp.stack([jnp.abs(x0) ** 2, jnp.abs(x1) ** 2,
+                          cross.real, cross.imag], axis=-1)
+
+    def _assemble_stokes(self, prof3, c_local, n_pol):
+        """(n_phase, 3*C*P) kernel profile -> (n_phase, C, 4): plane 0
+        holds XX/YY on the pol lanes, planes 1/2 the cross terms on the
+        even (X) lanes."""
+        p = prof3.reshape(self.n_phase, 3, c_local, n_pol)
+        return jnp.stack([p[:, 0, :, 0], p[:, 0, :, 1],
+                          p[:, 1, :, 0], p[:, 2, :, 0]], axis=-1)
+
     def _local_step(self, xf, chirp_f, foldv):
         """Per-shard computation.
 
@@ -295,7 +322,7 @@ class WidebandPulsarPipeline:
         X = jnp.fft.fft(w, axis=0)
         y = jnp.fft.ifft(X * chirp, axis=0)
         y = jax.lax.dynamic_slice_in_dim(y, self.pad_start, T, axis=0)
-        power = y.real ** 2 + y.imag ** 2                # detection
+        power = self._detect_xla(y)                      # detection
         shard = jax.lax.axis_index("time")
         fold3 = self._shard_fold3(foldv, shard, T, include_pad=False)
         bins = self._fold_bins(fold3, T)
@@ -317,12 +344,21 @@ class WidebandPulsarPipeline:
         n_fft, c_local, n_pol = w4.shape[:3]
         wr = w4[..., 0].reshape(n_fft, c_local * n_pol)
         wi = w4[..., 1].reshape(n_fft, c_local * n_pol)
-        p = dedisperse_pow2(
-            wr, wi,
-            csr.reshape(csr.shape[0], csr.shape[1], -1),
-            csi.reshape(csi.shape[0], csi.shape[1], -1),
-            power=True)
-        power = p.reshape(n_fft, c_local, n_pol)
+        if self.detect == "power":
+            p = dedisperse_pow2(
+                wr, wi,
+                csr.reshape(csr.shape[0], csr.shape[1], -1),
+                csi.reshape(csi.shape[0], csi.shape[1], -1),
+                power=True)
+            power = p.reshape(n_fft, c_local, n_pol)
+        else:
+            yr, yi = dedisperse_pow2(
+                wr, wi,
+                csr.reshape(csr.shape[0], csr.shape[1], -1),
+                csi.reshape(csi.shape[0], csi.shape[1], -1),
+                power=False)
+            y = jax.lax.complex(yr, yi).reshape(n_fft, c_local, n_pol)
+            power = self._detect_xla(y)
         power = jax.lax.dynamic_slice_in_dim(power, self.pad_start, T,
                                              axis=0)
         shard = jax.lax.axis_index("time")
@@ -365,9 +401,14 @@ class WidebandPulsarPipeline:
             end.reshape(2, self.pad_end, L),
             csr.reshape(csr.shape[0], csr.shape[1], -1),
             csi.reshape(csi.shape[0], csi.shape[1], -1),
-            fold3, scale,
+            fold3, scale, stokes=self.detect == "stokes",
             n_phase=self.n_phase, pad_start=self.pad_start, n_valid=T)
-        prof = prof[:self.n_phase].reshape(self.n_phase, c_local, n_pol)
+        if self.detect == "stokes":
+            prof = self._assemble_stokes(prof[:self.n_phase], c_local,
+                                         n_pol)
+        else:
+            prof = prof[:self.n_phase].reshape(self.n_phase, c_local,
+                                               n_pol)
         prof = jax.lax.psum(prof, "time")
         cnt = jax.lax.psum(cnt[:self.n_phase], "time")
         return prof, cnt
@@ -417,9 +458,14 @@ class WidebandPulsarPipeline:
             er.reshape(pe, L), ei.reshape(pe, L),
             csr.reshape(csr.shape[0], csr.shape[1], -1),
             csi.reshape(csi.shape[0], csi.shape[1], -1),
-            fold3, scale, bits=bits,
+            fold3, scale, bits=bits, stokes=self.detect == "stokes",
             n_phase=self.n_phase, pad_start=ps, n_valid=T)
-        prof = prof[:self.n_phase].reshape(self.n_phase, c_local, n_pol)
+        if self.detect == "stokes":
+            prof = self._assemble_stokes(prof[:self.n_phase], c_local,
+                                         n_pol)
+        else:
+            prof = prof[:self.n_phase].reshape(self.n_phase, c_local,
+                                               n_pol)
         prof = jax.lax.psum(prof, "time")
         cnt = jax.lax.psum(cnt[:self.n_phase], "time")
         return prof, cnt
@@ -446,9 +492,14 @@ class WidebandPulsarPipeline:
             er.reshape(self.pad_end, L), ei.reshape(self.pad_end, L),
             csr.reshape(csr.shape[0], csr.shape[1], -1),
             csi.reshape(csi.shape[0], csi.shape[1], -1),
-            fold3, scale,
+            fold3, scale, stokes=self.detect == "stokes",
             n_phase=self.n_phase, pad_start=self.pad_start, n_valid=T)
-        prof = prof[:self.n_phase].reshape(self.n_phase, c_local, n_pol)
+        if self.detect == "stokes":
+            prof = self._assemble_stokes(prof[:self.n_phase], c_local,
+                                         n_pol)
+        else:
+            prof = prof[:self.n_phase].reshape(self.n_phase, c_local,
+                                               n_pol)
         prof = jax.lax.psum(prof, "time")
         cnt = jax.lax.psum(cnt[:self.n_phase], "time")
         return prof, cnt
@@ -696,7 +747,9 @@ class WidebandPulsarPipeline:
                 off = jnp.mod(off + T, per_q)
                 return off, acc + prof, cnt_acc + cnt
             init = (jnp.float32(0),
-                    jnp.zeros((self.n_phase, self.n_chan, self.n_pol),
+                    jnp.zeros((self.n_phase, self.n_chan,
+                               4 if self.detect == "stokes"
+                               else self.n_pol),
                               jnp.float32),
                     jnp.zeros((self.n_phase,), jnp.float32))
             _, acc, cnt_acc = jax.lax.fori_loop(0, n_iter, body, init)

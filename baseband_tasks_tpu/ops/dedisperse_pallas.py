@@ -355,6 +355,19 @@ def _k3_fold_body(n1, n2, pad_start, n_valid, n_phase,
     power = rr * rr + ii * ii                       # (n1, bb, L)
     bb = power.shape[1]
     L = power.shape[2]
+    if prof_ref.shape[1] == 3 * L:
+        # full-Stokes detection: lanes are (channel, pol) with pol minor,
+        # so rolling by one lane pairs each X with its Y; the cross
+        # products Re/Im(X conj(Y)) land on the even (X) lanes (odd
+        # lanes hold X-of-next-channel garbage the caller ignores).
+        # Output layout along lanes: [power | re(XY*) | im(XY*)].
+        # pltpu.roll requires a non-negative shift: L-1 ≡ -1 (mod L)
+        rr1 = pltpu.roll(rr, L - 1, 2)
+        ii1 = pltpu.roll(ii, L - 1, 2)
+        detect = jnp.concatenate(
+            [power, rr * rr1 + ii * ii1, ii * rr1 - rr * ii1], axis=2)
+    else:
+        detect = power
     rows = n1 * bb
     p_fx = fold_ref[1]
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
@@ -371,9 +384,9 @@ def _k3_fold_body(n1, n2, pad_start, n_valid, n_phase,
         jnp.int32, (rows, n_phase + 1), 1)
     onehot = (bins == phase_iota).astype(jnp.float32)
     contrib = jax.lax.dot_general(
-        onehot, power.reshape(rows, L),
+        onehot, detect.reshape(rows, detect.shape[2]),
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)         # (n_phase+1, L)
+        preferred_element_type=jnp.float32)         # (n_phase+1, [3]L)
     ccnt = jnp.sum(onehot, axis=0, keepdims=True)   # (1, n_phase+1)
 
     @pl.when(pl.program_id(0) == 0)
@@ -574,24 +587,20 @@ def _stage_a_stream2(xr, xi, fr, fi, er, ei, scale, *, n1, n2, block_b,
       er.reshape(ke, n2, L), ei.reshape(ke, n2, L))
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "n1", "n2", "block_b", "block_c", "n_phase",
-    "pad_start", "n_valid", "interpret"))
-def _dedisperse_fold_split_impl(xr, xi, fr, fi, er, ei, chr_, chi, fold,
-                                scale, *, n1, n2, block_b, block_c,
-                                n_phase, pad_start, n_valid,
-                                interpret):
-    L = xr.shape[-1]
-    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
-    y_r, y_i = _stage_a_stream2(xr, xi, fr, fi, er, ei, scale, n1=n1,
-                                n2=n2, block_b=block_b,
-                                interpret=interpret, params=params)
-    z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
-                        block_c=block_c, interpret=interpret, params=params)
+
+def _fold_pallas_call(z_r, z_i, fold, *, n1, n2, block_b, n_phase,
+                      pad_start, n_valid, stokes, params, interpret):
+    """Shared K3 launch: inverse stage-A + detect(+Stokes) + MXU fold.
+
+    With ``stokes`` the profile is 3x wider along lanes:
+    [power | re(X conj Y) | im(X conj Y)] (cross terms valid on the even
+    lanes; the kernel pairs pols by a one-lane roll)."""
+    L = z_r.shape[-1]
+    wout = 3 * L if stokes else L
     spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     spec_fold = pl.BlockSpec(memory_space=pltpu.SMEM)
-    spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
+    spec_prof = pl.BlockSpec((n_phase + 1, wout), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -602,16 +611,39 @@ def _dedisperse_fold_split_impl(xr, xi, fr, fi, er, ei, chr_, chi, fold,
         grid=(n2 // block_b,),
         in_specs=[spec_fold, spec_bT, spec_bT],
         out_specs=(spec_prof, spec_cnt),
-        out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((n_phase + 1, wout), jnp.float32),
                    jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
         interpret=interpret,
     )(fold, z_r, z_i)
     return prof, cnt[0]
 
 
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n1", "n2", "block_b", "block_c", "n_phase",
+    "pad_start", "n_valid", "stokes", "interpret"))
+def _dedisperse_fold_split_impl(xr, xi, fr, fi, er, ei, chr_, chi, fold,
+                                scale, *, n1, n2, block_b, block_c,
+                                n_phase, pad_start, n_valid,
+                                stokes=False, interpret=None):
+    L = xr.shape[-1]
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    y_r, y_i = _stage_a_stream2(xr, xi, fr, fi, er, ei, scale, n1=n1,
+                                n2=n2, block_b=block_b,
+                                interpret=interpret, params=params)
+    z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
+                        block_c=block_c, interpret=interpret, params=params)
+    return _fold_pallas_call(z_r, z_i, fold, n1=n1, n2=n2,
+                             block_b=block_b, n_phase=n_phase,
+                             pad_start=pad_start, n_valid=n_valid,
+                             stokes=stokes, params=params,
+                             interpret=interpret)
+
+
 def dedisperse_fold_split(xr, xi, fr, fi, er, ei, chirp_storage_r,
                           chirp_storage_i, fold, scale, *,
-                          n_phase, pad_start, n_valid,
+                          n_phase, pad_start, n_valid, stokes=False,
                           block_b=None, block_c=None, interpret=None):
     """As :func:`dedisperse_fold_stream` with separate re/im planes.
 
@@ -643,7 +675,7 @@ def dedisperse_fold_split(xr, xi, fr, fi, er, ei, chirp_storage_r,
         scale, n1=n1, n2=n2, block_b=block_b, block_c=block_c,
         n_phase=_check_n_phase(n_phase),
         pad_start=int(pad_start), n_valid=int(n_valid),
-        interpret=interpret)
+        stokes=bool(stokes), interpret=interpret)
 
 
 def _decode_planes(ref, bits, offset, levels):
@@ -739,12 +771,12 @@ def _stage_a_stream2_packed(xpr, xpi, fr, fi, er, ei, scale, *, bits,
 
 @functools.partial(jax.jit, static_argnames=(
     "bits", "offset", "levels", "n1", "n2", "block_b", "block_c",
-    "n_phase", "pad_start", "n_valid", "interpret"))
+    "n_phase", "pad_start", "n_valid", "stokes", "interpret"))
 def _dedisperse_fold_split_packed_impl(xpr, xpi, fr, fi, er, ei, chr_,
                                        chi, fold, scale, *, bits, offset,
                                        levels, n1, n2, block_b, block_c,
                                        n_phase, pad_start, n_valid,
-                                       interpret):
+                                       stokes=False, interpret=None):
     L = xpr.shape[-1]
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     y_r, y_i = _stage_a_stream2_packed(
@@ -753,31 +785,18 @@ def _dedisperse_fold_split_packed_impl(xpr, xpi, fr, fi, er, ei, chr_,
         block_b=block_b, interpret=interpret, params=params)
     z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
                         block_c=block_c, interpret=interpret, params=params)
-    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
-    spec_fold = pl.BlockSpec(memory_space=pltpu.SMEM)
-    spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-    spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-    prof, cnt = pl.pallas_call(
-        functools.partial(_k3_fold_body, n1, n2, pad_start, n_valid,
-                          n_phase),
-        compiler_params=params,
-        grid=(n2 // block_b,),
-        in_specs=[spec_fold, spec_bT, spec_bT],
-        out_specs=(spec_prof, spec_cnt),
-        out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
-        interpret=interpret,
-    )(fold, z_r, z_i)
-    return prof, cnt[0]
+    return _fold_pallas_call(z_r, z_i, fold, n1=n1, n2=n2,
+                             block_b=block_b, n_phase=n_phase,
+                             pad_start=pad_start, n_valid=n_valid,
+                             stokes=stokes, params=params,
+                             interpret=interpret)
 
 
 def dedisperse_fold_split_packed(xpr, xpi, fr, fi, er, ei,
                                  chirp_storage_r, chirp_storage_i, fold,
                                  scale, *, n_phase, pad_start, n_valid,
                                  bits=8, offset=None, levels=None,
+                                 stokes=False,
                                  block_b=None, block_c=None,
                                  interpret=None):
     """As :func:`dedisperse_fold_split` but the main block arrives as
@@ -825,7 +844,7 @@ def dedisperse_fold_split_packed(xpr, xpi, fr, fi, er, ei,
         levels=levels, n1=n1, n2=n2,
         block_b=block_b, block_c=block_c,
         n_phase=_check_n_phase(n_phase), pad_start=int(pad_start),
-        n_valid=int(n_valid), interpret=interpret)
+        n_valid=int(n_valid), stokes=bool(stokes), interpret=interpret)
 
 
 def _stage_a_stream(x2, front, end, scale, *, n1, n2, block_b, interpret,
@@ -861,10 +880,11 @@ def _stage_a_stream(x2, front, end, scale, *, n1, n2, block_b, interpret,
 
 @functools.partial(jax.jit, static_argnames=(
     "n1", "n2", "block_b", "block_c", "n_phase",
-    "pad_start", "n_valid", "interpret"))
+    "pad_start", "n_valid", "stokes", "interpret"))
 def _dedisperse_fold_stream_impl(x2, front, end, chr_, chi, fold, scale, *,
                                  n1, n2, block_b, block_c,
-                                 n_phase, pad_start, n_valid, interpret):
+                                 n_phase, pad_start, n_valid,
+                                 stokes=False, interpret=None):
     L = x2.shape[-1]
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     y_r, y_i = _stage_a_stream(x2, front, end, scale, n1=n1, n2=n2,
@@ -872,34 +892,20 @@ def _dedisperse_fold_stream_impl(x2, front, end, chr_, chi, fold, scale, *,
                                params=params)
     z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
                         block_c=block_c, interpret=interpret, params=params)
-    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
-    spec_fold = pl.BlockSpec(memory_space=pltpu.SMEM)
-    spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-    spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-    prof, cnt = pl.pallas_call(
-        functools.partial(_k3_fold_body, n1, n2, pad_start, n_valid,
-                          n_phase),
-        compiler_params=params,
-        grid=(n2 // block_b,),
-        in_specs=[spec_fold, spec_bT, spec_bT],
-        out_specs=(spec_prof, spec_cnt),
-        out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
-        interpret=interpret,
-    )(fold, z_r, z_i)
-    return prof, cnt[0]
+    return _fold_pallas_call(z_r, z_i, fold, n1=n1, n2=n2,
+                             block_b=block_b, n_phase=n_phase,
+                             pad_start=pad_start, n_valid=n_valid,
+                             stokes=stokes, params=params,
+                             interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n1", "n2", "block_b", "block_c", "n_phase",
-    "pad_start", "n_valid", "interpret"))
+    "pad_start", "n_valid", "stokes", "interpret"))
 def _dedisperse_fold_stream_theta_impl(x2, front, end, th, fold, scale, *,
                                        n1, n2, block_b, block_c,
                                        n_phase, pad_start, n_valid,
-                                       interpret):
+                                       stokes=False, interpret=None):
     L = x2.shape[-1]
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     y_r, y_i = _stage_a_stream(x2, front, end, scale, n1=n1, n2=n2,
@@ -908,58 +914,30 @@ def _dedisperse_fold_stream_theta_impl(x2, front, end, th, fold, scale, *,
     z_r, z_i = _stage_b_theta(y_r, y_i, th, n1=n1, n2=n2,
                               block_c=block_c, interpret=interpret,
                               params=params)
-    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
-    spec_fold = pl.BlockSpec(memory_space=pltpu.SMEM)
-    spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-    spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-    prof, cnt = pl.pallas_call(
-        functools.partial(_k3_fold_body, n1, n2, pad_start, n_valid,
-                          n_phase),
-        compiler_params=params,
-        grid=(n2 // block_b,),
-        in_specs=[spec_fold, spec_bT, spec_bT],
-        out_specs=(spec_prof, spec_cnt),
-        out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
-        interpret=interpret,
-    )(fold, z_r, z_i)
-    return prof, cnt[0]
+    return _fold_pallas_call(z_r, z_i, fold, n1=n1, n2=n2,
+                             block_b=block_b, n_phase=n_phase,
+                             pad_start=pad_start, n_valid=n_valid,
+                             stokes=stokes, params=params,
+                             interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n1", "n2", "block_b", "block_c", "n_phase",
-    "pad_start", "n_valid", "interpret"))
+    "pad_start", "n_valid", "stokes", "interpret"))
 def _dedisperse_fold_impl(x2, chr_, chi, fold, *, n1, n2, block_b, block_c,
                           n_phase, pad_start, n_valid,
-                          interpret):
+                          stokes=False, interpret=None):
     L = x2.shape[-1]
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     y_r, y_i = _stage_a_planes(x2, n1=n1, n2=n2, block_b=block_b,
                                interpret=interpret, params=params)
     z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
                         block_c=block_c, interpret=interpret, params=params)
-    spec_bT = pl.BlockSpec((block_b, n1, L), lambda i: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
-    spec_fold = pl.BlockSpec(memory_space=pltpu.SMEM)
-    spec_prof = pl.BlockSpec((n_phase + 1, L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-    spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-    prof, cnt = pl.pallas_call(
-        functools.partial(_k3_fold_body, n1, n2, pad_start, n_valid,
-                          n_phase),
-        compiler_params=params,
-        grid=(n2 // block_b,),
-        in_specs=[spec_fold, spec_bT, spec_bT],
-        out_specs=(spec_prof, spec_cnt),
-        out_shape=(jax.ShapeDtypeStruct((n_phase + 1, L), jnp.float32),
-                   jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
-        interpret=interpret,
-    )(fold, z_r, z_i)
-    return prof, cnt[0]
+    return _fold_pallas_call(z_r, z_i, fold, n1=n1, n2=n2,
+                             block_b=block_b, n_phase=n_phase,
+                             pad_start=pad_start, n_valid=n_valid,
+                             stokes=stokes, params=params,
+                             interpret=interpret)
 
 
 def dedisperse_pow2(xr, xi, chirp_storage_r, chirp_storage_i, *,
@@ -1092,7 +1070,8 @@ def _check_n_phase(n_phase):
 
 def dedisperse_fold_pow2(x2, chirp_storage_r, chirp_storage_i, fold, *,
                          n_phase, pad_start,
-                         n_valid, block_b=None, block_c=None,
+                         n_valid, stokes=False,
+                         block_b=None, block_c=None,
                          interpret=None):
     """Fully fused dedisperse → detect → fold for one padded window.
 
@@ -1128,12 +1107,12 @@ def dedisperse_fold_pow2(x2, chirp_storage_r, chirp_storage_i, fold, *,
         n1=n1, n2=n2, block_b=block_b, block_c=block_c,
         n_phase=_check_n_phase(n_phase),
         pad_start=int(pad_start), n_valid=int(n_valid),
-        interpret=interpret)
+        stokes=bool(stokes), interpret=interpret)
 
 
 def dedisperse_fold_stream(x2, front, end, chirp_storage_r,
                            chirp_storage_i, fold, scale, *,
-                           n_phase, pad_start, n_valid,
+                           n_phase, pad_start, n_valid, stokes=False,
                            block_b=None, block_c=None, interpret=None):
     """As :func:`dedisperse_fold_pow2` but windowless: the padded
     overlap-save window is assembled *inside* the stage-A kernel from the
@@ -1169,7 +1148,7 @@ def dedisperse_fold_stream(x2, front, end, chirp_storage_r,
     kw = dict(n1=n1, n2=n2, block_b=block_b, block_c=block_c,
               n_phase=_check_n_phase(n_phase),
               pad_start=int(pad_start), n_valid=int(n_valid),
-              interpret=interpret)
+              stokes=bool(stokes), interpret=interpret)
     fold = _fold_vector(fold)
     if chirp_storage_i is None:
         return _dedisperse_fold_stream_theta_impl(

