@@ -369,7 +369,7 @@ def scaling():
     return {"config": 5, "scaling": out}
 
 
-def flagship(ingest_bits=None):
+def flagship(ingest_bits=None, detect="power"):
     """The bench.py configuration, optionally from packed 8-bit input."""
     import bench as bench_mod
     import jax
@@ -387,7 +387,7 @@ def flagship(ingest_bits=None):
         block_samples=block, mesh=mesh, use_pallas=True,
         phase_model=bench_mod._b1937_polyco(),
         start_time=Time.from_mjd(58000.0),
-        ingest_bits=ingest_bits or 8)
+        ingest_bits=ingest_bits or 8, detect=detect)
     n_iter = 64
     run = pipe.run_fn(n_iter, ingest_bits=ingest_bits)
     prof, cnt = run(1)
@@ -401,7 +401,8 @@ def flagship(ingest_bits=None):
     # the pipeline grows block_samples to fill the pow2 window; count the
     # valid samples actually processed per step (as bench.py does)
     rate = n_iter * pipe.block_samples * n_chan * n_pol / dt
-    name = f"ingest_{ingest_bits}bit" if ingest_bits else "flagship_f32"
+    name = f"ingest_{ingest_bits}bit" if ingest_bits else \
+        ("flagship_stokes" if detect == "stokes" else "flagship_f32")
     return {"config": name, "samples_per_s": round(rate, 1),
             "vs_baseline": round(rate / 3.2e8, 2),
             "backend": jax.default_backend()}
@@ -428,7 +429,8 @@ def main():
             "config4": config4, "scaling": scaling, "roofline": roofline,
             "flagship": flagship,
             "ingest": lambda: flagship(ingest_bits=8),
-            "ingest2": lambda: flagship(ingest_bits=2)}
+            "ingest2": lambda: flagship(ingest_bits=2),
+            "stokes": lambda: flagship(detect="stokes")}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     update = "--update" in sys.argv
     which = args or ["all"]
