@@ -568,11 +568,22 @@ class WidebandPulsarPipeline:
             wr = w4[..., 0].reshape(n_fft, c_local * n_pol)
             wi = w4[..., 1].reshape(n_fft, c_local * n_pol)
             csr, csi = chirp_args
-            p = dedisperse_pow2(wr, wi,
-                                csr.reshape(csr.shape[0], csr.shape[1], -1),
-                                csi.reshape(csi.shape[0], csi.shape[1], -1),
-                                power=True)
-            power = p.reshape(n_fft, c_local, n_pol)
+            if self.detect == "power":
+                p = dedisperse_pow2(
+                    wr, wi,
+                    csr.reshape(csr.shape[0], csr.shape[1], -1),
+                    csi.reshape(csi.shape[0], csi.shape[1], -1),
+                    power=True)
+                power = p.reshape(n_fft, c_local, n_pol)
+            else:
+                yr, yi = dedisperse_pow2(
+                    wr, wi,
+                    csr.reshape(csr.shape[0], csr.shape[1], -1),
+                    csi.reshape(csi.shape[0], csi.shape[1], -1),
+                    power=False)
+                y = jax.lax.complex(yr, yi).reshape(n_fft, c_local,
+                                                    n_pol)
+                power = self._detect_xla(y)
             power = jax.lax.dynamic_slice_in_dim(power, self.pad_start, T,
                                                  axis=0)
         else:
@@ -582,7 +593,7 @@ class WidebandPulsarPipeline:
             w = halo_exchange(x, self.pad_start, self.pad_end, "time")
             y = jnp.fft.ifft(jnp.fft.fft(w, axis=0) * chirp, axis=0)
             y = jax.lax.dynamic_slice_in_dim(y, self.pad_start, T, axis=0)
-            power = y.real ** 2 + y.imag ** 2
+            power = self._detect_xla(y)
         from ..ops import fold_accumulate
         bins = jnp.clip(bins_f.astype(jnp.int32), 0, self.n_phase - 1)
         prof, cnt = fold_accumulate(power, bins, self.n_phase)

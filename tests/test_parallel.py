@@ -685,3 +685,18 @@ class TestStokesDetection:
                                    chan_rate=250 * u.kHz,
                                    period_samples=(800, 1), n_phase=8,
                                    block_samples=1024)
+
+    def test_precision_bins_stokes(self):
+        """step_bins_fn honors detect='stokes' too."""
+        mesh = make_mesh(time=1, chan=1)
+        pal = WidebandPulsarPipeline(mesh=mesh, use_pallas=True,
+                                     detect="stokes", **self.KW)
+        xf = self._input(pal, seed=9)
+        bins = jnp.asarray(
+            (np.arange(pal.global_block) % 16).astype(np.float32))
+        prof, cnt = pal.step_bins_fn()(xf, bins)
+        assert np.asarray(prof).shape == (16, 8, 4)
+        st = np.asarray(prof)
+        assert np.all(np.square(st[..., 2:].astype(np.float64)).sum(-1)
+                      <= st[..., 0].astype(np.float64) * st[..., 1]
+                      * (1 + 1e-5))
