@@ -15,11 +15,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import PaddedTaskBase
+from .base import PaddedTaskBase, check_broadcast_to
 from .fourier import fft_maker
 from .utils.device import device_complex
 
-__all__ = ["Convolve", "ConvolveSamples"]
+__all__ = ["adjust_response_dims", "Convolve", "ConvolveSamples"]
+
+
+def adjust_response_dims(response, ih):
+    """Give a 1-D response trailing singleton axes so it broadcasts
+    against the sample shape of ``ih``; otherwise check it broadcasts
+    as-is (reference convolution.py:13-20)."""
+    if response.ndim == 1 and ih.ndim > 1:
+        response = response.reshape(response.shape[:1]
+                                    + (1,) * (ih.ndim - 1))
+    else:
+        check_broadcast_to(response, response.shape[:1] + ih.sample_shape)
+    return response
 
 
 class _ConvolveBase(PaddedTaskBase):
@@ -37,6 +49,7 @@ class _ConvolveBase(PaddedTaskBase):
         response = np.asarray(response)
         if response.ndim < 1:
             raise ValueError("response must have at least 1 dimension")
+        response = adjust_response_dims(response, ih)
         # engine: 'xla' (jnp.fft overlap-save) or 'pallas' (fused
         # four-step VMEM-resident kernels, power-of-two windows — same
         # kernels as Disperse: a frequency-response multiply is a chirp

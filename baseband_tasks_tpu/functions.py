@@ -11,7 +11,13 @@ import numpy as np
 
 from .base import TaskBase, getattr_if_none
 
-__all__ = ["Square", "Power"]
+__all__ = ["complex_square", "Square", "Power"]
+
+
+def complex_square(z):
+    """``|z|**2`` without the sqrt: ``z.real**2 + z.imag**2`` (reference
+    functions.py:15-16)."""
+    return z.real ** 2 + z.imag ** 2
 
 
 class Square(TaskBase):
@@ -31,7 +37,7 @@ class Square(TaskBase):
 
     def task(self, data):
         if data.dtype.kind == "c":
-            return data.real ** 2 + data.imag ** 2
+            return complex_square(data)
         return data ** 2
 
 

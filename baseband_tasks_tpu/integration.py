@@ -25,7 +25,17 @@ import numpy as np
 from .base import BaseTaskBase
 from .utils import Time, units as u
 
-__all__ = ["Integrate", "Fold", "PulseStack", "Stack"]
+__all__ = ["is_index", "Integrate", "Fold", "PulseStack", "Stack"]
+
+
+def is_index(n):
+    """Whether ``n`` is usable as an integer index (reference
+    integration.py:42-49)."""
+    try:
+        operator.index(n)
+    except TypeError:
+        return False
+    return True
 
 
 class _FakeOutput:

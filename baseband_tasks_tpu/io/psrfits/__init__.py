@@ -22,8 +22,8 @@ from .fitsio import HDU, Header, bintable_header, read_fits, write_fits
 
 from .search import SearchReader, SearchWriter
 
-__all__ = ["open", "PSRFITSReader", "PSRFITSWriter", "SearchReader",
-           "SearchWriter"]
+__all__ = ["open", "get_readers", "get_writer", "PSRFITSReader",
+           "PSRFITSWriter", "SearchReader", "SearchWriter"]
 
 def _float_card(header, key, default=0.0):
     """Float card value, tolerating undefined markers real telescope
@@ -263,6 +263,26 @@ class PSRFITSWriter:
 
     def __exit__(self, *args):
         self.close()
+
+
+def get_readers(name, **kwargs):
+    """All stream readers a PSRFITS file supports, one per data HDU
+    (reference core.py:92-131 builds one reader per SUBINT HDU; our
+    container keeps a single SUBINT, so this is a 1-element list, with
+    search-mode files dispatched to :class:`SearchReader`)."""
+    hdus = read_fits(name)
+    obs_mode = str(hdus[0].header.get("OBS_MODE", "PSR")).strip().upper()
+    if obs_mode == "SEARCH":
+        return [SearchReader(name, **kwargs)]
+    return [PSRFITSReader(name, **kwargs)]
+
+
+def get_writer(name, template, *, obs_mode="PSR", **kwargs):
+    """Writer for a PSRFITS file of the given observation mode
+    (reference core.py:134-166 dispatches on ``hdu.obs_mode``)."""
+    if str(obs_mode).upper() == "SEARCH":
+        return SearchWriter(name, template=template, **kwargs)
+    return PSRFITSWriter(name, template, **kwargs)
 
 
 def open(name, mode="r", obs_mode=None, **kwargs):

@@ -17,7 +17,24 @@ import numpy as np
 from ..utils import units as u
 from ..utils.time import two_sum
 
-__all__ = ["Phase", "FractionalPhase"]
+__all__ = ["Phase", "FractionalPhase", "check_imaginary"]
+
+
+def check_imaginary(a):
+    """Split a value into a real float array and an is-imaginary flag.
+
+    Purely real input returns ``(a, False)``; purely imaginary returns
+    ``(a.imag, True)``; mixed complex raises ValueError (reference
+    phases/phase.py:113-140).
+    """
+    a = np.asanyarray(a)
+    if a.dtype.kind == "c":
+        if np.all(a.real == 0):
+            return a.imag, True
+        if np.all(a.imag == 0):
+            return a.real, False
+        raise ValueError("cannot have mixed real/imaginary Phase")
+    return a, False
 
 
 def _split(value):

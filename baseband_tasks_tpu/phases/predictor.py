@@ -26,7 +26,27 @@ import numpy as np
 from ..utils import Time, units as u
 from .phase import Phase
 
-__all__ = ["Polyco"]
+__all__ = ["Polyco", "fortran_fmt", "int_frac"]
+
+
+def fortran_fmt(x, base_fmt="23.16e"):
+    """Render ``x`` in Fortran D-notation with a ``0.`` mantissa, e.g.
+    ``0.8966709123456789012D+05`` (reference predictor.py:408-412)."""
+    s = format(x, base_fmt)
+    mant, _, exp = s.partition("e")
+    sign = "-" if mant.lstrip().startswith("-") else ""
+    lead = len(s) - len(s.lstrip())
+    digits = mant.strip().lstrip("-").replace(".", "")
+    return (" " * lead + sign + "0." + digits
+            + "D{:+03d}".format(int(exp) + 1))
+
+
+def int_frac(s):
+    """Losslessly split a decimal string into integer and fractional
+    float64 parts (reference predictor.py:315-318)."""
+    int_part, _, frac = str(s).strip().partition(".")
+    return np.array((int("0" + int_part), float("0." + frac)),
+                    dtype=[("int", np.int64), ("frac", np.float64)])
 
 
 def _parse_d_float(s):

@@ -24,7 +24,18 @@ from .utils import Time, units as u
 from .utils.device import device_complex
 
 __all__ = ["ShiftAndResample", "Resample", "TimeDelay", "ShiftSamples",
-           "seek_float"]
+           "seek_float", "to_sample"]
+
+
+def to_sample(ih, offset):
+    """A (possibly time-unit) offset in units of samples of ``ih``
+    (reference sampling.py:17-20)."""
+    if isinstance(offset, u.Quantity):
+        if offset.unit.is_equivalent(u.s):
+            return np.asarray(offset.to_value(u.s)) \
+                * ih.sample_rate.to_value(u.Hz)
+        return np.asarray(offset.to_value(u.one), dtype=np.float64)
+    return np.asarray(offset, dtype=np.float64)
 
 
 def seek_float(ih, offset, whence=0):
@@ -47,15 +58,6 @@ def seek_float(ih, offset, whence=0):
     elif whence not in (0, "start"):
         raise ValueError("invalid 'whence'")
     return offset
-
-
-def _shift_to_samples(ih, shift):
-    if isinstance(shift, u.Quantity) and shift.unit.is_equivalent(u.s):
-        return np.asarray(shift.to_value(u.s)) \
-            * ih.sample_rate.to_value(u.Hz)
-    if isinstance(shift, u.Quantity):
-        return np.asarray(shift.to_value(u.one), dtype=np.float64)
-    return np.asarray(shift, dtype=np.float64)
 
 
 class ShiftAndResample(Convolve):
@@ -87,7 +89,7 @@ class ShiftAndResample(Convolve):
     def __init__(self, ih, shift, offset=None, whence=0, *, lo=None,
                  pad=64, samples_per_frame=None, sideband=None,
                  engine="xla"):
-        shift_samples = _shift_to_samples(ih, shift)
+        shift_samples = to_sample(ih, shift)
         # Output-grid shift d_time (in input samples): by default the mean
         # shift — so only per-channel residuals are interpolated; with an
         # anchor, the nearest value congruent to ``offset`` (mod 1), so an
