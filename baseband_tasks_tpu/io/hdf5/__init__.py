@@ -13,13 +13,21 @@ This doubles as the framework's checkpoint/resume format (SURVEY.md §5):
 streams are seekable by absolute time, so processing can resume at any
 timestamp from an intermediate product.
 
-.. note:: *Not byte-compatible with the reference's HDF5 container.*  The
-   reference serializes astropy objects into its yaml header
-   (``sample_shape``/``sample_rate``/``time``) and stores 'c4' payloads as
-   a structured complex dtype; this framework has no astropy dependency
-   and uses plain-scalar header keys (``shape``/``sample_rate_hz``/
-   ``start_time_jd1,jd2``) and trailing float16-pair 'c4' samples.  Files
-   written by one cannot be opened by the other.
+Two on-disk flavours are supported:
+
+- the **native** flavour (default for writing): plain-scalar header keys
+  (``shape``/``sample_rate_hz``/``start_time_jd1,jd2``), trailing
+  float16-pair 'c4' samples, byte-packed bps payloads, per-range
+  ``invalid`` markers;
+- the **reference** flavour (``/root/reference/baseband_tasks/io/hdf5/``):
+  astropy-yaml header tags, structured-c4 payloads and VDIF-word-coded
+  bps payloads, implemented without astropy in
+  :mod:`~baseband_tasks_tpu.io.hdf5.interop`.
+
+``open(name, 'r')`` auto-detects the flavour, so files written by the
+reference package read here unchanged; ``open(name, 'w',
+style='reference', template=...)`` writes files the reference package can
+read back.
 """
 
 from __future__ import annotations
@@ -158,7 +166,15 @@ class HDF5StreamReader(Base):
     def __init__(self, name, samples_per_frame=None):
         h5py = _require_h5py()
         self._h5 = h5py.File(name, "r")
-        hdr = yaml.safe_load(self._h5["header"][()].decode())
+        raw_header = self._h5["header"][()]
+        if isinstance(raw_header, bytes):
+            raw_header = raw_header.decode()
+        from . import interop
+        if interop.is_reference_header(raw_header):
+            self._init_reference(interop, samples_per_frame)
+            return
+        self._reference = None
+        hdr = yaml.safe_load(raw_header)
         self._hdr = hdr
         self._encoding = hdr.get("encoding", "raw")
         self._bps = hdr.get("bps")
@@ -178,6 +194,30 @@ class HDF5StreamReader(Base):
             sample_rate=u.Quantity(hdr["sample_rate_hz"], u.Hz),
             samples_per_frame=min(spf, shape[0]), dtype=dtype,
             **_attrs_from_header(hdr))
+
+    def _init_reference(self, interop, samples_per_frame):
+        """Initialize from a reference-package file (astropy-yaml header;
+        see :mod:`~baseband_tasks_tpu.io.hdf5.interop`)."""
+        ref = interop.ReferenceHDF5Reader(self._h5)
+        self._reference = ref
+        self._hdr = ref.header
+        self._encoding = "bps" if ref.bps is not None else (
+            "c4" if ref.encoded_dtype.names else "raw")
+        self._bps = ref.bps
+        self._invalid = []
+        spf = samples_per_frame or min(ref.shape[0], 1 << 20)
+        if ref.bps is not None:
+            # keep frame boundaries word-aligned in the coded payload
+            import math
+            cps = int(np.prod(ref.sample_shape)) \
+                * (2 if ref.complex_data else 1)
+            group = (32 // ref.bps) // math.gcd(cps, 32 // ref.bps)
+            spf = max(-(-spf // group) * group, group)
+        super().__init__(
+            shape=ref.shape, start_time=ref.start_time,
+            sample_rate=ref.sample_rate,
+            samples_per_frame=min(spf, ref.shape[0]), dtype=ref.dtype,
+            **ref.attributes)
 
     @property
     def bps(self):
@@ -213,6 +253,8 @@ class HDF5StreamReader(Base):
         spf = self._samples_per_frame
         start = frame_index * spf
         stop = min(start + spf, self._shape[0])
+        if self._reference is not None:
+            return self._reference.read_range(start, stop)
         if self._encoding in ("raw", "c4"):
             raw = self._h5["payload"][start:stop]
             out = _decode(raw, self._encoding, self._bps, self._dtype,
@@ -340,15 +382,26 @@ class HDF5StreamWriter:
         self.close()
 
 
-def open(name, mode="r", **kwargs):
+def open(name, mode="r", style="native", **kwargs):
     """Open an HDF5 stream file for reading ('r') or writing ('w').
 
-    Writing requires ``template=stream`` plus optional ``encoding``
-    ('raw'/'c4') or ``bps`` (2/4/8) and attribute overrides
-    (reference io/hdf5/base.py:129-222).
+    Reading auto-detects the on-disk flavour (native vs the reference
+    package's astropy-yaml layout).  Writing requires ``template=stream``
+    plus optional ``encoding`` ('raw'/'c4') or ``bps`` (2/4/8) and
+    attribute overrides (reference io/hdf5/base.py:129-222);
+    ``style='reference'`` writes the reference package's exact layout
+    (accepting ``encoded_dtype='c4'`` in place of ``encoding='c4'``).
     """
     if mode == "r":
         return HDF5StreamReader(name, **kwargs)
     if mode == "w":
+        if style == "reference":
+            from .interop import ReferenceHDF5Writer
+            if kwargs.get("encoding") == "c4":
+                kwargs.pop("encoding")
+                kwargs["encoded_dtype"] = "c4"
+            kwargs.pop("encoding", None)
+            template = kwargs.pop("template")
+            return ReferenceHDF5Writer(name, template, **kwargs)
         return HDF5StreamWriter(name, **kwargs)
     raise ValueError(f"unknown mode {mode!r}")
