@@ -24,15 +24,20 @@ __all__ = ["sinc_hamming", "PolyphaseFilterBank",
            "PolyphaseFilterBankSamples", "InversePolyphaseFilterBank"]
 
 
-def sinc_hamming(n_tap, n_sample, sc=1.0):
+def sinc_hamming(n_tap, n_sample, sc=None, *, sinc_scale=1.0):
     """Sinc-Hamming polyphase prototype filter.
 
-    ``h(x) = sinc(sc * x) * hamming`` over ``n_tap * n_sample`` points with
-    x spanning tap units symmetrically (CHIME uses 4 taps x 2048 samples,
-    GUPPI 12 x 64 with sc=0.95; reference pfb.py:37-45).
+    ``h(x) = sinc(scale * x) * hamming`` over ``n_tap * n_sample`` points
+    with x spanning tap units symmetrically (CHIME uses 4 taps x 2048
+    samples, GUPPI 12 x 64 with scale 0.95; reference pfb.py:37-45, whose
+    keyword spelling ``sinc_scale`` is accepted alongside ``sc``).
+    Matches GUPPI's shipped ``get_pfb_coeffs`` table to float32 rounding
+    (tests/test_golden_data.py).
 
     Returns an array of shape ``(n_tap, n_sample)``.
     """
+    if sc is None:
+        sc = sinc_scale
     n = n_tap * n_sample
     i = np.arange(n)
     x = sc * (i / n_sample - n_tap / 2.0)

@@ -179,3 +179,31 @@ class TestPUPPIFoldRead:
         wts = np.atleast_1d(np.asarray(
             self.reader._subint.data[0]["DAT_WTS"], np.float32))
         np.testing.assert_array_equal(dw, d * wts[0])
+
+
+GUPPI_COEFFS = os.path.join(REF_DATA,
+                            "bGDSP_U1_0032_T12_W095_get_pfb_coeffs.txt")
+needs_guppi = pytest.mark.skipif(not os.path.exists(GUPPI_COEFFS),
+                                 reason="GUPPI coefficient data not present")
+
+
+@needs_guppi
+class TestGUPPIPFBCoefficients:
+    """GUPPI's shipped 12-tap x 64-channel polyphase filter coefficients
+    (produced by its own get_pfb_coeffs, stored 8 columns per row) must
+    match ``sinc_hamming(12, 64, sinc_scale=0.95)`` — pins the prototype
+    filter to a real instrument's table (reference tests/test_pfb.py:27-35).
+    """
+
+    def test_matches_shipped_table(self):
+        from baseband_tasks_tpu.pfb import sinc_hamming
+        table = np.loadtxt(GUPPI_COEFFS).reshape(8, -1).T.reshape(12, 64)
+        model = np.asarray(sinc_hamming(12, 64, sinc_scale=0.95))
+        assert model.shape == (12, 64)
+        # our coefficients are float32; the table is float64 text
+        assert np.allclose(model, table, atol=6e-8, rtol=0)
+
+    def test_sc_positional_equivalent(self):
+        from baseband_tasks_tpu.pfb import sinc_hamming
+        assert np.array_equal(sinc_hamming(4, 32, 0.9),
+                              sinc_hamming(4, 32, sinc_scale=0.9))
