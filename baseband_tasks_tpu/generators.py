@@ -83,16 +83,18 @@ class Noise:
         n = min(sh.samples_per_frame, sh.shape[0] - offset)
         shape = (n,) + sh.sample_shape
         key = jax.random.fold_in(self._key, offset)
-        if self._dtype.itemsize > 8 and not jax.config.jax_enable_x64:
+        itemsize = self._dtype.itemsize // (2 if self._dtype.kind == "c"
+                                            else 1)
+        if itemsize > 4 and not jax.config.jax_enable_x64:
             # float64/complex128 would silently downcast to 32-bit
             raise ValueError(
                 f"dtype {self._dtype} requires jax x64 mode "
                 f"(jax.config.update('jax_enable_x64', True))")
+        real_dtype = jnp.float64 if itemsize > 4 else jnp.float32
         if self._dtype.kind == "c":
-            real_dtype = jnp.float32 if self._dtype.itemsize == 8 else jnp.float64
             pair = jax.random.normal(key, shape + (2,), real_dtype)
             return jax.lax.complex(pair[..., 0], pair[..., 1]).astype(self._dtype)
-        return jax.random.normal(key, shape, jnp.float32).astype(self._dtype)
+        return jax.random.normal(key, shape, real_dtype).astype(self._dtype)
 
 
 class NoiseGenerator(StreamGenerator):

@@ -163,7 +163,8 @@ class TimeDelta:
 
 
 _ISOT_RE = re.compile(
-    r"^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2}):(\d{2}(?:\.\d+)?)$")
+    r"^(\d{4})-(\d{2})-(\d{2})"
+    r"(?:[T ](\d{2}):(\d{2})(?::(\d{2}(?:\.\d+)?))?)?$")
 
 
 def _cal_to_jd(year, month, day):
@@ -237,8 +238,10 @@ class Time:
         match = _ISOT_RE.match(string.strip())
         if not match:
             raise ValueError(f"cannot parse time string {string!r}")
-        yy, mo, dd, hh, mm = (int(match.group(i)) for i in range(1, 6))
-        ss = float(match.group(6))
+        yy, mo, dd = (int(match.group(i)) for i in range(1, 4))
+        hh = int(match.group(4) or 0)
+        mm = int(match.group(5) or 0)
+        ss = float(match.group(6) or 0.0)
         jd_noon = _cal_to_jd(yy, mo, dd)
         frac_day = (hh * 3600.0 + mm * 60.0 + ss) / SECONDS_PER_DAY - 0.5
         return _normalize(jd_noon, frac_day)

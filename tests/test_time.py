@@ -76,3 +76,25 @@ class TestTimeDelta:
     def test_to_quantity(self):
         dt = TimeDelta.from_sec(0.25)
         assert dt.to(u.ms).value == pytest.approx(250.0)
+
+
+class TestDateOnlyStrings:
+    """astropy accepts date-only and minute-resolution ISO strings
+    (reference tests write Time('2010-01-01')); so do we."""
+
+    def test_date_only(self):
+        from baseband_tasks_tpu.utils import Time
+        assert Time("2010-01-01").mjd == 55197.0
+        assert Time("2010-01-01") == Time("2010-01-01T00:00:00")
+
+    def test_minutes_only(self):
+        from baseband_tasks_tpu.utils import Time
+        assert Time("2010-01-01T12:30") == Time("2010-01-01T12:30:00")
+
+    def test_garbage_still_rejected(self):
+        import pytest
+        from baseband_tasks_tpu.utils import Time
+        with pytest.raises(ValueError):
+            Time("2010-01-01T12")
+        with pytest.raises(ValueError):
+            Time("2010-01")
