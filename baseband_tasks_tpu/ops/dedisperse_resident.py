@@ -1,0 +1,262 @@
+"""Single-HBM-pass fused dedisperse → detect → fold for small windows.
+
+The three-kernel four-step pipeline in :mod:`~.ops.dedisperse_pallas`
+exists because its overlap-save window (the whole block + pads) is far
+too large for VMEM, so the FFT must make three passes over HBM.  But the
+window size is a *choice*: overlap-save is exact for any window that
+covers the dispersion smear (reference base.py:709-795 semantics), and
+at per-channel rates the smear is often tiny (DM=500 at 1.4 GHz in a
+250 kHz channel ≈ 95 samples).  With a 2048–4096-sample window, the
+entire FFT → chirp → IFFT → detect → fold chain for one window fits in
+VMEM, and the input block crosses HBM **once**:
+
+  per sample          three-pass pipeline      this kernel
+  HBM traffic         ~56 B (f32 planes)       ~8.5 B  (f32, /0.75 hop)
+
+One ``pallas_call`` runs a sequential grid over windows; window ``w``
+assembles its padded input in VMEM from three views of the same block
+(its ``hop`` rows, the tail of window w-1's rows, the head of window
+w+1's) — the block-edge windows take their outer pads from the halo
+buffers exchanged between shards.  The FFT is the same four-step
+(N = N1·N2) decomposition as the big pipeline — stage A along the N1
+axis, twiddle, stage B, chirp in d-major storage order, mirrored
+inverse — just chained inside a single kernel, with the fold's one-hot
+MXU matmul accumulating (n_phase+1, L) profiles across the grid.
+
+Fold semantics (fixed-point (i0, p) phase map, trash bin for pad rows,
+Stokes lane layout) are bit-identical to
+:func:`~.ops.dedisperse_pallas.dedisperse_fold_split`; tests compare the
+two directly.
+
+Status (measured, v5e via tunnel, tools/bench_resident.py, 2026-08):
+despite the ~6x lower HBM traffic the single-pass kernel is currently
+*slower* than the three-pass pipeline — 4.87e9 samples/s at N=2048
+(hop 1536) vs 5.16e9 for the pipeline on the same block — because the
+per-window VPU Stockham work no longer overlaps a long HBM stream.  It
+is kept as a correct, tested alternative; the MXU-matmul window FFT
+(the small n1/n2 stages are exactly DFT-matmul shaped) is the planned
+path to make the single-pass win.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dedisperse_pallas import (_FX_MASK, _check_n_phase, _fold_vector,
+                                _is_pow2, _stockham)
+
+__all__ = ["dedisperse_fold_resident", "resident_geometry"]
+
+
+def resident_geometry(n_window, pad_start, pad_end):
+    """(hop, n1, n2) for a resident window; validates divisibility.
+
+    ``hop = n_window - pad_start - pad_end`` must be a positive multiple
+    of both pads (the in-kernel neighbor views index the block in
+    pad-sized tiles).
+    """
+    if not _is_pow2(n_window):
+        raise ValueError(f"n_window={n_window} must be a power of two")
+    hop = n_window - pad_start - pad_end
+    if hop <= 0:
+        raise ValueError("pads leave no valid samples in the window")
+    for name, p in (("pad_start", pad_start), ("pad_end", pad_end)):
+        if p <= 0 or hop % p:
+            raise ValueError(f"{name}={p} must be a positive divisor "
+                             f"of hop={hop}")
+    k = n_window.bit_length() - 1
+    n1 = 1 << (k // 2)
+    return hop, n1, n_window // n1
+
+
+def _window_fft_convolve(win_r, win_i, cr, ci, n1, n2):
+    """Four-step y = IFFT(FFT(x)·chirp) entirely in VMEM.
+
+    win_r/i : (N, L); cr/ci : (n2, n1, L) chirp in d-major storage order
+    (k = d·n1 + c; build with
+    :func:`~.ops.dedisperse_pallas.permute_to_storage_order`).
+    Returns natural-order (n1, n2, L) planes (time t = c·n2 + b).
+    """
+    n = n1 * n2
+    L = win_r.shape[-1]
+    v_r = win_r.reshape(n1, n2, L)
+    v_i = win_i.reshape(n1, n2, L)
+    # stage A: FFT over c (length n1, the strided-by-n2 subsequences)
+    ar, ai = _stockham(v_r, v_i, -1.0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n1, n2, 1), 0
+                                 ).astype(jnp.float32)
+    b = jax.lax.broadcasted_iota(jnp.int32, (n1, n2, 1), 1
+                                 ).astype(jnp.float32)
+    theta = (-2.0 * np.pi / n) * c * b
+    wr, wi = jnp.cos(theta), jnp.sin(theta)
+    yr = (ar * wr - ai * wi).swapaxes(0, 1)         # (n2=b, n1=c', L)
+    yi = (ar * wi + ai * wr).swapaxes(0, 1)
+    # stage B: FFT over b -> d; multiply by the storage-order chirp
+    br, bi = _stockham(yr, yi, -1.0)
+    mr = br * cr - bi * ci
+    mi = br * ci + bi * cr
+    # inverse stage B (d -> b), conjugate twiddle
+    br, bi = _stockham(mr, mi, +1.0, scale=1.0 / n2)
+    bb = jax.lax.broadcasted_iota(jnp.int32, (n2, n1, 1), 0
+                                  ).astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (n2, n1, 1), 1
+                                  ).astype(jnp.float32)
+    theta2 = (+2.0 * np.pi / n) * cc * bb
+    w2r, w2i = jnp.cos(theta2), jnp.sin(theta2)
+    zr = (br * w2r - bi * w2i).swapaxes(0, 1)       # (n1=c', n2=b, L)
+    zi = (br * w2i + bi * w2r).swapaxes(0, 1)
+    # inverse stage A (c' -> c): natural time order (n1, n2, L)
+    return _stockham(zr, zi, +1.0, scale=1.0 / n1)
+
+
+def _resident_body(n1, n2, ps, pe, hop, n_w, n_phase, stokes,
+                   fold_ref, scale_ref,
+                   fr_ref, fi_ref, er_ref, ei_ref,
+                   xmr_ref, xmi_ref, xpr_ref, xpi_ref,
+                   xnr_ref, xni_ref, cr_ref, ci_ref,
+                   prof_ref, cnt_ref):
+    w = pl.program_id(0)
+    n = n1 * n2
+    s = scale_ref[0]
+    # window assembly: outer halo buffers at the block edges, neighbor
+    # rows elsewhere (the w=0 / w=n_w-1 neighbor views are clamped
+    # in-range by the index maps and simply ignored here)
+    front_r = jnp.where(w == 0, fr_ref[:], xpr_ref[:])
+    front_i = jnp.where(w == 0, fi_ref[:], xpi_ref[:])
+    end_r = jnp.where(w == n_w - 1, er_ref[:], xnr_ref[:])
+    end_i = jnp.where(w == n_w - 1, ei_ref[:], xni_ref[:])
+    win_r = jnp.concatenate([front_r, xmr_ref[:], end_r], axis=0) * s
+    win_i = jnp.concatenate([front_i, xmi_ref[:], end_i], axis=0) * s
+    rr, ii = _window_fft_convolve(win_r, win_i, cr_ref[:], ci_ref[:],
+                                  n1, n2)
+    power = rr * rr + ii * ii                        # (n1, n2, L)
+    L = power.shape[2]
+    if stokes:
+        # lane layout [power | re(X conj Y) | im(X conj Y)]; pol pairing
+        # by a one-lane roll exactly as _k3_fold_body
+        rr1 = pltpu.roll(rr, L - 1, 2)
+        ii1 = pltpu.roll(ii, L - 1, 2)
+        detect = jnp.concatenate(
+            [power, rr * rr1 + ii * ii1, ii * rr1 - rr * ii1], axis=2)
+    else:
+        detect = power
+    # fold: window row r is block-local time w*hop + r (t=0 at the
+    # block's front-halo start, the include_pad convention); rows
+    # outside [ps, ps+hop) land in the trash bin n_phase
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    t_idx = w * hop + r
+    num = (fold_ref[0] + t_idx * fold_ref[1]) & jnp.int32(0x7FFFFFFF)
+    hi = num >> 16
+    lo = num & jnp.int32(0xFFFF)
+    bins = ((hi * n_phase) + ((lo * n_phase) >> 16)) >> 15
+    valid = (r >= ps) & (r < ps + hop)
+    bins = jnp.where(valid, bins, n_phase)
+    phase_iota = jax.lax.broadcasted_iota(jnp.int32, (n, n_phase + 1), 1)
+    onehot = (bins == phase_iota).astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        onehot, detect.reshape(n, detect.shape[2]),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ccnt = jnp.sum(onehot, axis=0, keepdims=True)
+
+    @pl.when(w == 0)
+    def _init():
+        prof_ref[:] = contrib
+        cnt_ref[:] = ccnt
+
+    @pl.when(w != 0)
+    def _acc():
+        prof_ref[:] = prof_ref[:] + contrib
+        cnt_ref[:] = cnt_ref[:] + ccnt
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n1", "n2", "ps", "pe", "hop", "n_phase", "stokes", "interpret"))
+def _resident_impl(xr, xi, fr, fi, er, ei, chr_, chi, fold, scale, *,
+                   n1, n2, ps, pe, hop, n_phase, stokes, interpret):
+    T, L = xr.shape
+    n_w = T // hop
+    wout = 3 * L if stokes else L
+    spec_smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    spec_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    spec_main = pl.BlockSpec((hop, L), lambda w: (w, 0),
+                             memory_space=pltpu.VMEM)
+    kf = hop // ps
+    ke = hop // pe
+    spec_prev = pl.BlockSpec(
+        (ps, L), lambda w: (jnp.maximum(w * kf - 1, 0), 0),
+        memory_space=pltpu.VMEM)
+    spec_next = pl.BlockSpec(
+        (pe, L), lambda w: (jnp.minimum((w + 1) * ke, T // pe - 1), 0),
+        memory_space=pltpu.VMEM)
+    spec_prof = pl.BlockSpec((n_phase + 1, wout), lambda w: (0, 0),
+                             memory_space=pltpu.VMEM)
+    spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda w: (0, 0),
+                            memory_space=pltpu.VMEM)
+    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    prof, cnt = pl.pallas_call(
+        functools.partial(_resident_body, n1, n2, ps, pe, hop, n_w,
+                          n_phase, stokes),
+        compiler_params=params,
+        grid=(n_w,),
+        in_specs=[spec_smem, spec_smem,
+                  spec_vmem, spec_vmem, spec_vmem, spec_vmem,
+                  spec_main, spec_main, spec_prev, spec_prev,
+                  spec_next, spec_next, spec_vmem, spec_vmem],
+        out_specs=(spec_prof, spec_cnt),
+        out_shape=(jax.ShapeDtypeStruct((n_phase + 1, wout), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
+        interpret=interpret,
+    )(fold, scale, fr, fi, er, ei, xr, xi, xr, xi, xr, xi, chr_, chi)
+    return prof, cnt[0]
+
+
+def dedisperse_fold_resident(xr, xi, fr, fi, er, ei, chirp_storage_r,
+                             chirp_storage_i, fold, scale, *,
+                             n_window, n_phase, pad_start, pad_end,
+                             stokes=False, interpret=None):
+    """Single-pass fused dedisperse → detect → fold over small windows.
+
+    Parameters
+    ----------
+    xr, xi : (T, L) float32
+        Block planes; ``T`` must be a multiple of
+        ``hop = n_window - pad_start - pad_end``.
+    fr, fi : (pad_start, L); er, ei : (pad_end, L)
+        Halo edges for the block's outermost windows (from neighbor
+        shards or the stream's running history).
+    chirp_storage_r/i : (N2, N1, L) float32
+        Chirp for the *window* length in d-major four-step storage order.
+    fold : (3,) int32 ``[i0_fx, p_fx, 0]``
+        Fixed-point phase map with t = 0 at the front-halo start
+        (include-pad convention, as
+        :func:`~.ops.dedisperse_pallas.dedisperse_fold_split`).
+    scale : (1,) float32
+        Input scale applied during window assembly.
+
+    Returns ``(profile (n_phase+1, L or 3L), counts (n_phase+1,))``;
+    row ``n_phase`` is the pad trash bin.
+    """
+    hop, n1, n2 = resident_geometry(n_window, pad_start, pad_end)
+    T, L = xr.shape
+    if T % hop:
+        raise ValueError(f"block length {T} must be a multiple of "
+                         f"hop={hop}")
+    if fr.shape != (pad_start, L) or er.shape != (pad_end, L):
+        raise ValueError("halo buffers must be (pad_start, L)/(pad_end, L)")
+    if chirp_storage_r.shape != (n2, n1, L):
+        raise ValueError(f"chirp storage must be ({n2}, {n1}, {L})")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _resident_impl(
+        xr, xi, fr, fi, er, ei, chirp_storage_r, chirp_storage_i,
+        _fold_vector(fold), scale, n1=n1, n2=n2, ps=int(pad_start),
+        pe=int(pad_end), hop=hop, n_phase=_check_n_phase(n_phase),
+        stokes=bool(stokes), interpret=bool(interpret))
