@@ -29,13 +29,18 @@ Stokes lane layout) are bit-identical to
 two directly.
 
 Status (measured, v5e via tunnel, tools/bench_resident.py, 2026-08):
-despite the ~6x lower HBM traffic the single-pass kernel is currently
-*slower* than the three-pass pipeline — 4.87e9 samples/s at N=2048
-(hop 1536) vs 5.16e9 for the pipeline on the same block — because the
-per-window VPU Stockham work no longer overlaps a long HBM stream.  It
-is kept as a correct, tested alternative; the MXU-matmul window FFT
-(the small n1/n2 stages are exactly DFT-matmul shaped) is the planned
-path to make the single-pass win.
+despite the ~6x lower HBM traffic the single-pass kernel is *slower*
+than the three-pass pipeline — 4.74e9 samples/s at N=2048 (hop 1536)
+vs 5.0e9 for the pipeline on the same block, same run — because the
+per-window FFT work no longer overlaps a long HBM stream.  The
+``engine='mxu'`` variant (stage DFTs as dense HIGHEST-precision MXU
+matmuls) is slower still (3.13e9 at N=4096: M=K=64 tiles fill a
+quarter of the systolic array, the f32 emulation costs 6 bf16 passes,
+and the 2D<->3D reshapes between stages are relayouts), though it
+closes on the Stockham engine as the window grows (2.14/2.61/3.13e9
+at N=1024/2048/4096 vs 3.70/4.74/4.54e9).  Both engines are kept as
+correct, tested alternatives; production dedisperse+fold stays on
+:func:`~.ops.dedisperse_pallas.dedisperse_fold_split`.
 """
 
 from __future__ import annotations
@@ -74,6 +79,72 @@ def resident_geometry(n_window, pad_start, pad_end):
     k = n_window.bit_length() - 1
     n1 = 1 << (k // 2)
     return hop, n1, n_window // n1
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_mats_np(n, sign, scale=1.0):
+    """(2, n, n) float32 [cos, sin] planes of scale·exp(sign·2πi jk/n)."""
+    th = sign * 2.0 * np.pi / n * np.outer(np.arange(n), np.arange(n))
+    return np.stack([np.cos(th) * scale,
+                     np.sin(th) * scale]).astype(np.float32)
+
+
+def _mm(a, b):
+    """f32 matmul at HIGHEST precision (bf16x3 passes on the MXU)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _cmm(f, xr, xi):
+    """Apply a (2, n, n) complex DFT matrix to (n, K) complex planes."""
+    fr, fi = f[0], f[1]
+    return _mm(fr, xr) - _mm(fi, xi), _mm(fr, xi) + _mm(fi, xr)
+
+
+def _window_dft_convolve(win_r, win_i, cr, ci, fa, fb, ia, ib, n1, n2):
+    """Four-step y = IFFT(FFT(x)·chirp) with the stage FFTs as MXU matmuls.
+
+    Same decomposition as :func:`_window_fft_convolve`, but each length
+    n1/n2 stage transform is a dense DFT matmul (the stages are short —
+    64-128 points — so the O(n²) arithmetic rides the otherwise-idle
+    systolic array instead of serializing VPU butterfly passes).
+    fa/fb : (2, n1, n1)/(2, n2, n2) forward matrices; ia/ib the inverses
+    with the 1/n1, 1/n2 scales folded in.
+    """
+    n = n1 * n2
+    L = win_r.shape[-1]
+    ar, ai = _cmm(fa, win_r.reshape(n1, n2 * L),
+                  win_i.reshape(n1, n2 * L))
+    ar = ar.reshape(n1, n2, L)
+    ai = ai.reshape(n1, n2, L)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n1, n2, 1), 0
+                                 ).astype(jnp.float32)
+    b = jax.lax.broadcasted_iota(jnp.int32, (n1, n2, 1), 1
+                                 ).astype(jnp.float32)
+    theta = (-2.0 * np.pi / n) * c * b
+    wr, wi = jnp.cos(theta), jnp.sin(theta)
+    yr = (ar * wr - ai * wi).swapaxes(0, 1).reshape(n2, n1 * L)
+    yi = (ar * wi + ai * wr).swapaxes(0, 1).reshape(n2, n1 * L)
+    br_, bi_ = _cmm(fb, yr, yi)
+    br_ = br_.reshape(n2, n1, L)
+    bi_ = bi_.reshape(n2, n1, L)
+    mr = br_ * cr - bi_ * ci
+    mi = br_ * ci + bi_ * cr
+    br_, bi_ = _cmm(ib, mr.reshape(n2, n1 * L), mi.reshape(n2, n1 * L))
+    br_ = br_.reshape(n2, n1, L)
+    bi_ = bi_.reshape(n2, n1, L)
+    bb = jax.lax.broadcasted_iota(jnp.int32, (n2, n1, 1), 0
+                                  ).astype(jnp.float32)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (n2, n1, 1), 1
+                                  ).astype(jnp.float32)
+    theta2 = (+2.0 * np.pi / n) * cc * bb
+    w2r, w2i = jnp.cos(theta2), jnp.sin(theta2)
+    zr = (br_ * w2r - bi_ * w2i).swapaxes(0, 1).reshape(n1, n2 * L)
+    zi = (br_ * w2i + bi_ * w2r).swapaxes(0, 1).reshape(n1, n2 * L)
+    or_, oi_ = _cmm(ia, zr, zi)
+    return or_.reshape(n1, n2, L), oi_.reshape(n1, n2, L)
 
 
 def _window_fft_convolve(win_r, win_i, cr, ci, n1, n2):
@@ -121,7 +192,9 @@ def _resident_body(n1, n2, ps, pe, hop, n_w, n_phase, stokes,
                    fr_ref, fi_ref, er_ref, ei_ref,
                    xmr_ref, xmi_ref, xpr_ref, xpi_ref,
                    xnr_ref, xni_ref, cr_ref, ci_ref,
-                   prof_ref, cnt_ref):
+                   *rest):
+    prof_ref, cnt_ref = rest[-2], rest[-1]
+    mats = rest[:-2]
     w = pl.program_id(0)
     n = n1 * n2
     s = scale_ref[0]
@@ -134,8 +207,14 @@ def _resident_body(n1, n2, ps, pe, hop, n_w, n_phase, stokes,
     end_i = jnp.where(w == n_w - 1, ei_ref[:], xni_ref[:])
     win_r = jnp.concatenate([front_r, xmr_ref[:], end_r], axis=0) * s
     win_i = jnp.concatenate([front_i, xmi_ref[:], end_i], axis=0) * s
-    rr, ii = _window_fft_convolve(win_r, win_i, cr_ref[:], ci_ref[:],
-                                  n1, n2)
+    if mats:
+        fa_ref, fb_ref, ia_ref, ib_ref = mats
+        rr, ii = _window_dft_convolve(
+            win_r, win_i, cr_ref[:], ci_ref[:], fa_ref[:], fb_ref[:],
+            ia_ref[:], ib_ref[:], n1, n2)
+    else:
+        rr, ii = _window_fft_convolve(win_r, win_i, cr_ref[:], ci_ref[:],
+                                      n1, n2)
     power = rr * rr + ii * ii                        # (n1, n2, L)
     L = power.shape[2]
     if stokes:
@@ -178,9 +257,10 @@ def _resident_body(n1, n2, ps, pe, hop, n_w, n_phase, stokes,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n1", "n2", "ps", "pe", "hop", "n_phase", "stokes", "interpret"))
+    "n1", "n2", "ps", "pe", "hop", "n_phase", "stokes", "mxu",
+    "interpret"))
 def _resident_impl(xr, xi, fr, fi, er, ei, chr_, chi, fold, scale, *,
-                   n1, n2, ps, pe, hop, n_phase, stokes, interpret):
+                   n1, n2, ps, pe, hop, n_phase, stokes, mxu, interpret):
     T, L = xr.shape
     n_w = T // hop
     wout = 3 * L if stokes else L
@@ -200,7 +280,15 @@ def _resident_impl(xr, xi, fr, fi, er, ei, chr_, chi, fold, scale, *,
                              memory_space=pltpu.VMEM)
     spec_cnt = pl.BlockSpec((1, n_phase + 1), lambda w: (0, 0),
                             memory_space=pltpu.VMEM)
-    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    extra_in = []
+    extra_specs = []
+    if mxu:
+        extra_in = [jnp.asarray(_dft_mats_np(n1, -1.0)),
+                    jnp.asarray(_dft_mats_np(n2, -1.0)),
+                    jnp.asarray(_dft_mats_np(n1, +1.0, 1.0 / n1)),
+                    jnp.asarray(_dft_mats_np(n2, +1.0, 1.0 / n2))]
+        extra_specs = [spec_vmem] * 4
     prof, cnt = pl.pallas_call(
         functools.partial(_resident_body, n1, n2, ps, pe, hop, n_w,
                           n_phase, stokes),
@@ -209,19 +297,22 @@ def _resident_impl(xr, xi, fr, fi, er, ei, chr_, chi, fold, scale, *,
         in_specs=[spec_smem, spec_smem,
                   spec_vmem, spec_vmem, spec_vmem, spec_vmem,
                   spec_main, spec_main, spec_prev, spec_prev,
-                  spec_next, spec_next, spec_vmem, spec_vmem],
+                  spec_next, spec_next, spec_vmem, spec_vmem,
+                  *extra_specs],
         out_specs=(spec_prof, spec_cnt),
         out_shape=(jax.ShapeDtypeStruct((n_phase + 1, wout), jnp.float32),
                    jax.ShapeDtypeStruct((1, n_phase + 1), jnp.float32)),
         interpret=interpret,
-    )(fold, scale, fr, fi, er, ei, xr, xi, xr, xi, xr, xi, chr_, chi)
+    )(fold, scale, fr, fi, er, ei, xr, xi, xr, xi, xr, xi, chr_, chi,
+      *extra_in)
     return prof, cnt[0]
 
 
 def dedisperse_fold_resident(xr, xi, fr, fi, er, ei, chirp_storage_r,
                              chirp_storage_i, fold, scale, *,
                              n_window, n_phase, pad_start, pad_end,
-                             stokes=False, interpret=None):
+                             stokes=False, engine="stockham",
+                             interpret=None):
     """Single-pass fused dedisperse → detect → fold over small windows.
 
     Parameters
@@ -240,10 +331,17 @@ def dedisperse_fold_resident(xr, xi, fr, fi, er, ei, chirp_storage_r,
         :func:`~.ops.dedisperse_pallas.dedisperse_fold_split`).
     scale : (1,) float32
         Input scale applied during window assembly.
+    engine : 'stockham' or 'mxu'
+        Window-FFT implementation: VPU Stockham butterfly passes, or
+        dense DFT matmuls on the MXU (the n1/n2 stage transforms are
+        64-256 points — exactly DFT-matmul shaped; same numerics at
+        HIGHEST matmul precision).
 
     Returns ``(profile (n_phase+1, L or 3L), counts (n_phase+1,))``;
     row ``n_phase`` is the pad trash bin.
     """
+    if engine not in ("stockham", "mxu"):
+        raise ValueError(f"engine={engine!r} must be 'stockham' or 'mxu'")
     hop, n1, n2 = resident_geometry(n_window, pad_start, pad_end)
     T, L = xr.shape
     if T % hop:
@@ -259,4 +357,5 @@ def dedisperse_fold_resident(xr, xi, fr, fi, er, ei, chirp_storage_r,
         xr, xi, fr, fi, er, ei, chirp_storage_r, chirp_storage_i,
         _fold_vector(fold), scale, n1=n1, n2=n2, ps=int(pad_start),
         pe=int(pad_end), hop=hop, n_phase=_check_n_phase(n_phase),
-        stokes=bool(stokes), interpret=bool(interpret))
+        stokes=bool(stokes), mxu=(engine == "mxu"),
+        interpret=bool(interpret))

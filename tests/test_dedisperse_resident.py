@@ -74,7 +74,7 @@ def overlap_save_numpy(x, front, end, chirp, n_window, ps, pe):
 
 
 def run_resident(x, front, end, chirp, foldv, *, n_window, ps, pe,
-                 n_phase, stokes=False):
+                 n_phase, stokes=False, engine="stockham"):
     hop, n1, n2 = resident_geometry(n_window, ps, pe)
     stor = permute_to_storage_order(chirp.astype(np.complex64), n1, n2)
     return dedisperse_fold_resident(
@@ -84,19 +84,21 @@ def run_resident(x, front, end, chirp, foldv, *, n_window, ps, pe,
         jnp.asarray(stor.real.copy()), jnp.asarray(stor.imag.copy()),
         jnp.asarray(np.asarray(foldv)), jnp.ones(1, jnp.float32),
         n_window=n_window, n_phase=n_phase, pad_start=ps, pad_end=pe,
-        stokes=stokes, interpret=True)
+        stokes=stokes, engine=engine, interpret=True)
 
 
 class TestResidentKernel:
     @pytest.mark.parametrize("stokes", [False, True])
-    def test_matches_numpy_reference(self, stokes):
+    @pytest.mark.parametrize("engine", ["stockham", "mxu"])
+    def test_matches_numpy_reference(self, stokes, engine):
         n_window, ps, pe, n_phase = 2048, 256, 256, 16
         x, front, end, hc, ha = make_case()
         chirp = chirp_at(n_window, hc, ha)
         foldv = fold_phase_vector(0.123, 1.0 / 300.7)
         prof, cnt = run_resident(x, front, end, chirp, foldv,
                                  n_window=n_window, ps=ps, pe=pe,
-                                 n_phase=n_phase, stokes=stokes)
+                                 n_phase=n_phase, stokes=stokes,
+                                 engine=engine)
         y = overlap_save_numpy(x, front, end, chirp, n_window, ps, pe)
         if stokes:
             power = np.abs(y) ** 2
@@ -168,3 +170,25 @@ class TestResidentKernel:
             resident_geometry(2048, 300, 256)
         hop, n1, n2 = resident_geometry(4096, 256, 256)
         assert hop == 3584 and n1 * n2 == 4096
+        with pytest.raises(ValueError, match="engine"):
+            x, front, end, hc, ha = make_case(T=1536)
+            run_resident(x, front, end, chirp_at(2048, hc, ha),
+                         fold_phase_vector(0.1, 0.01), n_window=2048,
+                         ps=256, pe=256, n_phase=8, engine="vpu")
+
+    def test_engines_agree(self):
+        """Stockham and MXU window FFTs give the same profiles."""
+        n_window, ps, pe, n_phase = 2048, 256, 256, 8
+        x, front, end, hc, ha = make_case(seed=11)
+        chirp = chirp_at(n_window, hc, ha)
+        foldv = fold_phase_vector(0.25, 1.0 / 211.9)
+        prof_s, cnt_s = run_resident(x, front, end, chirp, foldv,
+                                     n_window=n_window, ps=ps, pe=pe,
+                                     n_phase=n_phase, engine="stockham")
+        prof_m, cnt_m = run_resident(x, front, end, chirp, foldv,
+                                     n_window=n_window, ps=ps, pe=pe,
+                                     n_phase=n_phase, engine="mxu")
+        assert np.array_equal(np.asarray(cnt_s), np.asarray(cnt_m))
+        scale = np.abs(np.asarray(prof_s)).max()
+        assert np.allclose(np.asarray(prof_m), np.asarray(prof_s),
+                           atol=2e-4 * scale)

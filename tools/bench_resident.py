@@ -100,19 +100,22 @@ def main():
         xr_r = xr[:t_r]
         xi_r = xi[:t_r]
 
-        def res_fn():
-            return dedisperse_fold_resident(
-                xr_r, xi_r, frr, frr, err, err, rcr, rci, foldv, scale,
-                n_window=nw, n_phase=N_PHASE, pad_start=psr, pad_end=per)
+        for engine in ("stockham", "mxu"):
+            def res_fn():
+                return dedisperse_fold_resident(
+                    xr_r, xi_r, frr, frr, err, err, rcr, rci, foldv,
+                    scale, n_window=nw, n_phase=N_PHASE, pad_start=psr,
+                    pad_end=per, engine=engine)
 
-        try:
-            dt = timed(res_fn)
-        except Exception as e:
-            print(f"resident N={nw}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:200]}")
-            continue
-        print(f"resident N={nw} (hop {hop}, eff {hop/nw:.0%}): "
-              f"{dt*1e3:.2f} ms  {t_r * L / dt / 1e9:.2f}e9 samples/s")
+            try:
+                dt = timed(res_fn)
+            except Exception as e:
+                print(f"resident[{engine}] N={nw}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:200]}")
+                continue
+            print(f"resident[{engine}] N={nw} (hop {hop}, "
+                  f"eff {hop/nw:.0%}): {dt*1e3:.2f} ms  "
+                  f"{t_r * L / dt / 1e9:.2f}e9 samples/s")
 
 
 if __name__ == "__main__":
