@@ -214,8 +214,10 @@ def _stage_a_twiddle(rr, ii, n1, n, yr_ref, yi_ref):
                                  ).astype(jnp.float32) + i0
     theta = (-2.0 * np.pi / n) * c * b
     wr, wi = jnp.cos(theta), jnp.sin(theta)
-    yr_ref[:] = (rr * wr - ii * wi).swapaxes(0, 1)
-    yi_ref[:] = (rr * wi + ii * wr).swapaxes(0, 1)
+    # the output ref's dtype (f32, or bf16 when the caller trades
+    # intermediate-plane precision for HBM bandwidth) sets the store
+    yr_ref[:] = (rr * wr - ii * wi).swapaxes(0, 1).astype(yr_ref.dtype)
+    yi_ref[:] = (rr * wi + ii * wr).swapaxes(0, 1).astype(yi_ref.dtype)
 
 
 def _k1_body(n1, n2, n, xr_ref, xi_ref, yr_ref, yi_ref):
@@ -259,11 +261,13 @@ def _k2_body(n1, n2, n, yr_ref, yi_ref, cr_ref, ci_ref, zr_ref, zi_ref):
 
     All tiles live in the d-major (N2, bc, L) layout the stage-A kernel
     wrote (and the chirp is pre-stored in), so the transform axis is
-    already axis 0: no transposes anywhere in this kernel.
+    already axis 0: no transposes anywhere in this kernel.  Tiles and
+    chirp may arrive bf16 (bandwidth mode); all arithmetic is f32.
     """
-    rr, ii = _stockham(yr_ref[:], yi_ref[:], -1.0)
-    cr = cr_ref[:]
-    ci = ci_ref[:]
+    rr, ii = _stockham(yr_ref[:].astype(jnp.float32),
+                       yi_ref[:].astype(jnp.float32), -1.0)
+    cr = cr_ref[:].astype(jnp.float32)
+    ci = ci_ref[:].astype(jnp.float32)
     mr = rr * cr - ii * ci
     mi = rr * ci + ii * cr
     rr, ii = _stockham(mr, mi, +1.0, scale=1.0 / n2)
@@ -275,8 +279,8 @@ def _k2_body(n1, n2, n, yr_ref, yi_ref, cr_ref, ci_ref, zr_ref, zi_ref):
                                  ).astype(jnp.float32) + i0
     theta = (+2.0 * np.pi / n) * c * b
     wr, wi = jnp.cos(theta), jnp.sin(theta)
-    zr_ref[:] = rr * wr - ii * wi
-    zi_ref[:] = rr * wi + ii * wr
+    zr_ref[:] = (rr * wr - ii * wi).astype(zr_ref.dtype)
+    zi_ref[:] = (rr * wi + ii * wr).astype(zi_ref.dtype)
 
 
 def _k2_body_theta(n1, n2, n, yr_ref, yi_ref, th_ref, zr_ref, zi_ref):
@@ -287,7 +291,8 @@ def _k2_body_theta(n1, n2, n, yr_ref, yi_ref, th_ref, zr_ref, zi_ref):
     cos/sin are computed here on the VPU, halving the chirp's HBM read
     traffic relative to separate cos+sin planes.
     """
-    rr, ii = _stockham(yr_ref[:], yi_ref[:], -1.0)
+    rr, ii = _stockham(yr_ref[:].astype(jnp.float32),
+                       yi_ref[:].astype(jnp.float32), -1.0)
     ang = (2.0 * np.pi) * th_ref[:]
     cr = jnp.cos(ang)
     ci = jnp.sin(ang)
@@ -302,8 +307,8 @@ def _k2_body_theta(n1, n2, n, yr_ref, yi_ref, th_ref, zr_ref, zi_ref):
                                  ).astype(jnp.float32) + i0
     theta = (+2.0 * np.pi / n) * c * b
     wr, wi = jnp.cos(theta), jnp.sin(theta)
-    zr_ref[:] = rr * wr - ii * wi
-    zi_ref[:] = rr * wi + ii * wr
+    zr_ref[:] = (rr * wr - ii * wi).astype(zr_ref.dtype)
+    zi_ref[:] = (rr * wi + ii * wr).astype(zi_ref.dtype)
 
 
 def _k3_body(n1, power, zr_ref, zi_ref, *out_refs):
@@ -312,7 +317,10 @@ def _k3_body(n1, power, zr_ref, zi_ref, *out_refs):
     Reads d-major (bb, n1, L) tiles of the stage-B output (one transpose
     on load) and writes natural (n1, bb, L) time-order tiles.
     """
-    rr, ii = _stockham(zr_ref[:].swapaxes(0, 1), zi_ref[:].swapaxes(0, 1),
+    # cast BEFORE the transpose: f32 sublane swaps are the fast path;
+    # a packed-bf16 transpose would shuffle half-words
+    rr, ii = _stockham(zr_ref[:].astype(jnp.float32).swapaxes(0, 1),
+                       zi_ref[:].astype(jnp.float32).swapaxes(0, 1),
                        +1.0, scale=1.0 / n1)
     if power:
         out_refs[0][:] = rr * rr + ii * ii
@@ -350,7 +358,10 @@ def _k3_fold_body(n1, n2, pad_start, n_valid, n_phase,
     are d-major (bb, n1, L); one transpose on load (the stage-B kernel
     is transpose-free in exchange).
     """
-    rr, ii = _stockham(zr_ref[:].swapaxes(0, 1), zi_ref[:].swapaxes(0, 1),
+    # cast BEFORE the transpose: f32 sublane swaps are the fast path;
+    # a packed-bf16 transpose would shuffle half-words
+    rr, ii = _stockham(zr_ref[:].astype(jnp.float32).swapaxes(0, 1),
+                       zi_ref[:].astype(jnp.float32).swapaxes(0, 1),
                        +1.0, scale=1.0 / n1)
     power = rr * rr + ii * ii                       # (n1, bb, L)
     bb = power.shape[1]
@@ -405,7 +416,9 @@ def _k3_fold_body(n1, n2, pad_start, n_valid, n_phase,
 def _stage_b(y_r, y_i, chr_, chi, *, n1, n2, block_c, interpret, params):
     """K2: stage-B FFT · chirp · inverse stage-B · conj twiddle.
 
-    Operands and results are d-major (N2, N1, L); tiles block over N1."""
+    Operands and results are d-major (N2, N1, L); tiles block over N1.
+    Output dtype follows the input planes (f32, or bf16 in bandwidth
+    mode — the in-place aliasing requires them to match anyway)."""
     n = n1 * n2
     L = y_r.shape[-1]
     spec_c = pl.BlockSpec((n2, block_c, L), lambda i: (0, i, 0),
@@ -416,8 +429,8 @@ def _stage_b(y_r, y_i, chr_, chi, *, n1, n2, block_c, interpret, params):
         grid=(n1 // block_c,),
         in_specs=[spec_c, spec_c, spec_c, spec_c],
         out_specs=(spec_c, spec_c),
-        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), jnp.float32),
-                   jax.ShapeDtypeStruct((n2, n1, L), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), y_r.dtype),
+                   jax.ShapeDtypeStruct((n2, n1, L), y_i.dtype)),
         # z tiles overwrite the (dead after this kernel) y tiles in
         # place: each grid step fully reads its y tile before writing
         input_output_aliases={0: 0, 1: 1},
@@ -506,7 +519,8 @@ def _dedisperse_impl(xr, xi, chr_, chi, *, n1, n2, block_b, block_c,
                       params=params)
 
 
-def _stage_a_planes(x2, *, n1, n2, block_b, interpret, params):
+def _stage_a_planes(x2, *, n1, n2, block_b, interpret, params,
+                    out_dtype=jnp.float32):
     """K1 from a planes-first (2, N, L) input."""
     n = n1 * n2
     L = x2.shape[-1]
@@ -521,8 +535,8 @@ def _stage_a_planes(x2, *, n1, n2, block_b, interpret, params):
         grid=(n2 // block_b,),
         in_specs=[spec_x],
         out_specs=(spec_bT, spec_bT),
-        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), jnp.float32),
-                   jax.ShapeDtypeStruct((n2, n1, L), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), out_dtype),
+                   jax.ShapeDtypeStruct((n2, n1, L), out_dtype)),
         interpret=interpret,
     )(v)
 
@@ -557,7 +571,7 @@ def _k1_body_stream2(n1, n2, n, s_ref, fr_ref, fi_ref, xr_ref, xi_ref,
 
 
 def _stage_a_stream2(xr, xi, fr, fi, er, ei, scale, *, n1, n2, block_b,
-                     interpret, params):
+                     interpret, params, out_dtype=jnp.float32):
     """K1 from separate re/im planes plus per-plane halo edge buffers."""
     n = n1 * n2
     L = xr.shape[-1]
@@ -579,8 +593,8 @@ def _stage_a_stream2(xr, xi, fr, fi, er, ei, scale, *, n1, n2, block_b,
         in_specs=[spec_s, blk(kf), blk(kf), blk(nm), blk(nm), blk(ke),
                   blk(ke)],
         out_specs=(spec_bT, spec_bT),
-        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), jnp.float32),
-                   jax.ShapeDtypeStruct((n2, n1, L), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), out_dtype),
+                   jax.ShapeDtypeStruct((n2, n1, L), out_dtype)),
         interpret=interpret,
     )(scale, fr.reshape(kf, n2, L), fi.reshape(kf, n2, L),
       xr.reshape(nm, n2, L), xi.reshape(nm, n2, L),
@@ -622,16 +636,18 @@ def _fold_pallas_call(z_r, z_i, fold, *, n1, n2, block_b, n_phase,
 
 @functools.partial(jax.jit, static_argnames=(
     "n1", "n2", "block_b", "block_c", "n_phase",
-    "pad_start", "n_valid", "stokes", "interpret"))
+    "pad_start", "n_valid", "stokes", "inter_dtype", "interpret"))
 def _dedisperse_fold_split_impl(xr, xi, fr, fi, er, ei, chr_, chi, fold,
                                 scale, *, n1, n2, block_b, block_c,
                                 n_phase, pad_start, n_valid,
-                                stokes=False, interpret=None):
+                                stokes=False, inter_dtype="float32",
+                                interpret=None):
     L = xr.shape[-1]
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     y_r, y_i = _stage_a_stream2(xr, xi, fr, fi, er, ei, scale, n1=n1,
                                 n2=n2, block_b=block_b,
-                                interpret=interpret, params=params)
+                                interpret=interpret, params=params,
+                                out_dtype=jnp.dtype(inter_dtype))
     z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
                         block_c=block_c, interpret=interpret, params=params)
     return _fold_pallas_call(z_r, z_i, fold, n1=n1, n2=n2,
@@ -644,13 +660,32 @@ def _dedisperse_fold_split_impl(xr, xi, fr, fi, er, ei, chr_, chi, fold,
 def dedisperse_fold_split(xr, xi, fr, fi, er, ei, chirp_storage_r,
                           chirp_storage_i, fold, scale, *,
                           n_phase, pad_start, n_valid, stokes=False,
-                          block_b=None, block_c=None, interpret=None):
+                          block_b=None, block_c=None,
+                          inter_dtype="float32", interpret=None):
     """As :func:`dedisperse_fold_stream` with separate re/im planes.
 
     ``xr``/``xi`` : (T, L); ``fr``/``fi`` : (pad_start, L);
     ``er``/``ei`` : (pad_end, L).  Prefer this on TPU: flat planes
     stream at full HBM bandwidth where a leading-(2, ...) packed array
     measures ~2x slower.
+
+    ``inter_dtype='bfloat16'`` stores the two inter-kernel frequency
+    planes (y after K1, z after K2) as bf16, cutting the pipeline's HBM
+    traffic from 48 to 32 B/sample (28 with a bf16 chirp — pass
+    ``chirp_storage_r/i`` as bf16 arrays; the kernels cast on load).
+    All arithmetic stays f32.  The per-*sample* dedispersed voltage
+    picks up ~2^-8 relative rounding noise (≈46 dB SNR), so this mode
+    is for the fold path, where the profile averages thousands of
+    samples per bin and the noise integrates down well below the 60 dB
+    correctness bar (see tests/test_pallas_kernels.py).
+
+    Measured (tunnel v5e, tools/profile_kernels.py, 2026-08): the f32
+    chain already runs *at* this chip's HBM floor with the Stockham VPU
+    work fully hidden, so cutting bytes exposes compute instead of
+    saving time — net chain 6.17 ms bf16 vs 5.51 ms f32 at N=2^18
+    (bf16 pack/unpack and 16-sublane tiling add more VPU time than the
+    33%% traffic cut returns).  Default therefore stays f32; bf16 mode
+    is for parts with a higher HBM:compute cost ratio.
     """
     t_main, L = xr.shape
     p0 = fr.shape[0]
@@ -666,7 +701,9 @@ def dedisperse_fold_split(xr, xi, fr, fi, er, ei, chirp_storage_r,
                              f"of N2={n2}")
     if p0 != pad_start:
         raise ValueError("front buffer length must equal pad_start")
-    block_b, block_c = _choose_blocks(n, n1, n2, L, block_b, block_c)
+    block_b, block_c = _choose_blocks(
+        n, n1, n2, L, block_b, block_c,
+        sub16=jnp.dtype(inter_dtype).itemsize == 2)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _dedisperse_fold_split_impl(
@@ -675,7 +712,8 @@ def dedisperse_fold_split(xr, xi, fr, fi, er, ei, chirp_storage_r,
         scale, n1=n1, n2=n2, block_b=block_b, block_c=block_c,
         n_phase=_check_n_phase(n_phase),
         pad_start=int(pad_start), n_valid=int(n_valid),
-        stokes=bool(stokes), interpret=interpret)
+        stokes=bool(stokes), inter_dtype=str(inter_dtype),
+        interpret=interpret)
 
 
 def _decode_planes(ref, bits, offset, levels):
@@ -733,7 +771,7 @@ def _k1_body_stream2_packed(n1, n2, n, bits, offset, levels, s_ref,
 
 def _stage_a_stream2_packed(xpr, xpi, fr, fi, er, ei, scale, *, bits,
                             offset, levels, n1, n2, block_b, interpret,
-                            params):
+                            params, out_dtype=jnp.float32):
     """K1 from packed sample carriers plus decoded f32 halo edges."""
     n = n1 * n2
     L = xpr.shape[-1]
@@ -761,8 +799,8 @@ def _stage_a_stream2_packed(xpr, xpi, fr, fi, er, ei, scale, *, bits,
         in_specs=[spec_s, blk(kf), blk(kf), blk(nmp), blk(nmp), blk(ke),
                   blk(ke)],
         out_specs=(spec_bT, spec_bT),
-        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), jnp.float32),
-                   jax.ShapeDtypeStruct((n2, n1, L), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n2, n1, L), out_dtype),
+                   jax.ShapeDtypeStruct((n2, n1, L), out_dtype)),
         interpret=interpret,
     )(scale, fr.reshape(kf, n2, L), fi.reshape(kf, n2, L),
       xpr.reshape(nmp, n2, L), xpi.reshape(nmp, n2, L),
@@ -771,18 +809,22 @@ def _stage_a_stream2_packed(xpr, xpi, fr, fi, er, ei, scale, *, bits,
 
 @functools.partial(jax.jit, static_argnames=(
     "bits", "offset", "levels", "n1", "n2", "block_b", "block_c",
-    "n_phase", "pad_start", "n_valid", "stokes", "interpret"))
+    "n_phase", "pad_start", "n_valid", "stokes", "inter_dtype",
+    "interpret"))
 def _dedisperse_fold_split_packed_impl(xpr, xpi, fr, fi, er, ei, chr_,
                                        chi, fold, scale, *, bits, offset,
                                        levels, n1, n2, block_b, block_c,
                                        n_phase, pad_start, n_valid,
-                                       stokes=False, interpret=None):
+                                       stokes=False,
+                                       inter_dtype="float32",
+                                       interpret=None):
     L = xpr.shape[-1]
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     y_r, y_i = _stage_a_stream2_packed(
         xpr, xpi, fr, fi, er, ei, scale, bits=bits, offset=offset,
         levels=levels, n1=n1, n2=n2,
-        block_b=block_b, interpret=interpret, params=params)
+        block_b=block_b, interpret=interpret, params=params,
+        out_dtype=jnp.dtype(inter_dtype))
     z_r, z_i = _stage_b(y_r, y_i, chr_, chi, n1=n1, n2=n2,
                         block_c=block_c, interpret=interpret, params=params)
     return _fold_pallas_call(z_r, z_i, fold, n1=n1, n2=n2,
@@ -798,6 +840,7 @@ def dedisperse_fold_split_packed(xpr, xpi, fr, fi, er, ei,
                                  bits=8, offset=None, levels=None,
                                  stokes=False,
                                  block_b=None, block_c=None,
+                                 inter_dtype="float32",
                                  interpret=None):
     """As :func:`dedisperse_fold_split` but the main block arrives as
     packed 1/2/4/8-bit samples riding in float32 carriers.
@@ -835,7 +878,9 @@ def dedisperse_fold_split_packed(xpr, xpi, fr, fi, er, ei,
                              f"of N2={n2}")
     if p0 != pad_start:
         raise ValueError("front buffer length must equal pad_start")
-    block_b, block_c = _choose_blocks(n, n1, n2, L, block_b, block_c)
+    block_b, block_c = _choose_blocks(
+        n, n1, n2, L, block_b, block_c,
+        sub16=jnp.dtype(inter_dtype).itemsize == 2)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _dedisperse_fold_split_packed_impl(
@@ -844,7 +889,8 @@ def dedisperse_fold_split_packed(xpr, xpi, fr, fi, er, ei,
         levels=levels, n1=n1, n2=n2,
         block_b=block_b, block_c=block_c,
         n_phase=_check_n_phase(n_phase), pad_start=int(pad_start),
-        n_valid=int(n_valid), stokes=bool(stokes), interpret=interpret)
+        n_valid=int(n_valid), stokes=bool(stokes),
+        inter_dtype=str(inter_dtype), interpret=interpret)
 
 
 def _stage_a_stream(x2, front, end, scale, *, n1, n2, block_b, interpret,
@@ -976,7 +1022,7 @@ def dedisperse_pow2(xr, xi, chirp_storage_r, chirp_storage_i, *,
                             interpret=interpret)
 
 
-def _choose_blocks(n, n1, n2, L, block_b, block_c):
+def _choose_blocks(n, n1, n2, L, block_b, block_c, sub16=False):
     import os
     if block_b is None:
         block_b = int(os.environ.get("BBT_PALLAS_BLOCK_B", 0)) \
@@ -985,6 +1031,10 @@ def _choose_blocks(n, n1, n2, L, block_b, block_c):
         budget = 24 << 20
         block_c = int(os.environ.get("BBT_PALLAS_BLOCK_C", 0)) \
             or max(1, min(8, n1, budget // (n2 * L * 4 * 12)))
+        if sub16 and n1 % 16 == 0:
+            # 2-byte intermediates tile as (16, 128): an 8-wide K2 tile
+            # would be half-padded on every load/store
+            block_c = max(block_c, 16)
     while n2 % block_b:
         block_b //= 2
     while n1 % block_c:

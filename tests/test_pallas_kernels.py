@@ -285,3 +285,50 @@ class TestStokesFold:
         np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
         np.testing.assert_allclose(np.asarray(p1)[:, :L], np.asarray(p0),
                                    rtol=1e-6, atol=1e-6)
+
+
+class TestBF16Intermediates:
+    """inter_dtype='bfloat16' trades inter-kernel plane precision for
+    HBM bandwidth; the folded profile must stay above the 60 dB bar."""
+
+    def _run(self, inter_dtype, chirp_dtype, seed=12):
+        import jax.numpy as jnp
+        from baseband_tasks_tpu.ops.dedisperse_pallas import (
+            dedisperse_fold_split)
+        rng = np.random.default_rng(seed)
+        T, L, ps, pe, n_phase = 7168, 8, 512, 512, 32
+        n = T + ps + pe
+        n1, n2 = split_n(n)
+        x = (rng.standard_normal((T, L))
+             + 1j * rng.standard_normal((T, L))).astype(np.complex64)
+        k = np.fft.fftfreq(n)
+        chirp = np.exp(-2j * np.pi * np.outer(30.0 * n * k ** 2 / 2,
+                                              1 + np.arange(L) / L) / n
+                       ).astype(np.complex64)
+        cs = permute_to_storage_order(chirp, n1, n2)
+        fr = jnp.zeros((ps, L), jnp.float32)
+        er = jnp.zeros((pe, L), jnp.float32)
+        return dedisperse_fold_split(
+            jnp.asarray(x.real), jnp.asarray(x.imag), fr, fr, er, er,
+            jnp.asarray(cs.real.copy()).astype(chirp_dtype),
+            jnp.asarray(cs.imag.copy()).astype(chirp_dtype),
+            jnp.asarray(np.asarray(fold_phase_vector(0.2, 1 / 97.3))),
+            jnp.ones(1, np.float32), n_phase=n_phase, pad_start=ps,
+            n_valid=T, inter_dtype=inter_dtype, interpret=True)
+
+    def test_bf16_profile_above_60db(self):
+        import jax.numpy as jnp
+        p32, c32 = self._run("float32", jnp.float32)
+        p16, c16 = self._run("bfloat16", jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(c32), np.asarray(c16))
+        ref = np.asarray(p32, np.float64)
+        got = np.asarray(p16, np.float64)
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        # 224 samples/bin here; bench-scale blocks average further down
+        assert rel < 1e-3, f"profile error {rel:.2e} below 60 dB"
+
+    def test_bf16_counts_and_trash_bin_exact(self):
+        import jax.numpy as jnp
+        p16, c16 = self._run("bfloat16", jnp.bfloat16, seed=13)
+        c = np.asarray(c16)
+        assert c[-1] == 1024 and c[:-1].sum() == 7168

@@ -116,6 +116,32 @@ def main():
         prof, cnt = k3_call(foldv, r, i)
         return prof[0, :1]
 
+    # bf16 intermediate-plane variant (bandwidth mode): K1 writes bf16,
+    # K2 reads/writes bf16 with a bf16 chirp, K3 casts on load
+    BC16 = BC
+    if N1 % 16 == 0:
+        BC16 = max(BC, 16)
+    cr16 = cr.astype(jnp.bfloat16)
+    ci16 = ci.astype(jnp.bfloat16)
+    k3_call16 = pl.pallas_call(
+        functools.partial(dp._k3_fold_body, N1, N2, PAD, N - 2 * PAD, 64),
+        compiler_params=PARAMS, grid=(N2 // BB,),
+        in_specs=[spec_i0, spec_bT, spec_bT],
+        out_specs=(spec_prof, spec_cnt),
+        out_shape=(jax.ShapeDtypeStruct((65, L), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 65), jnp.float32)),
+    )
+
+    def chain16_body(k, a, b, c, d):
+        s = a * (1.0 + 1e-6 * k.astype(jnp.float32))
+        r, i = dp._stage_a_planes(s, n1=N1, n2=N2, block_b=BB,
+                                  interpret=False, params=PARAMS,
+                                  out_dtype=jnp.bfloat16)
+        r, i = dp._stage_b(r, i, cr16, ci16, n1=N1, n2=N2, block_c=BC16,
+                           interpret=False, params=PARAMS)
+        prof, cnt = k3_call16(foldv, r, i)
+        return prof[0, :1]
+
     results = {}
     for name, body, args in [
             ("base", base_body, (x2, yT, cr, ci)),
@@ -123,11 +149,12 @@ def main():
             ("k2", k2_body, (yT, yT, cr, ci)),
             ("k3f", k3_body, (yT, yT, cr, ci)),
             ("chain", chain_body, (x2, yT, cr, ci)),
+            ("chain16", chain16_body, (x2, yT, cr, ci)),
     ]:
         dt = timed(loop(body), *args)
         results[name] = dt * 1e3
         print(f"{name:6s} {dt*1e3:8.3f} ms/iter", flush=True)
-    for name in ("k1", "k2", "k3f", "chain"):
+    for name in ("k1", "k2", "k3f", "chain", "chain16"):
         print(f"net {name:6s} {results[name] - results['base']:.3f} ms")
 
 
