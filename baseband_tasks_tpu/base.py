@@ -226,8 +226,8 @@ class Base:
             self._offset = self._shape[0] + offset
         else:
             raise ValueError("invalid 'whence'; should be 0, 1 or 2")
-        if self._offset < 0:
-            raise OSError("cannot seek to negative position")
+        # like the reference (base.py:343-353) and regular filehandles,
+        # out-of-range pointers are allowed; reads validate the range
         return self._offset
 
     def _offset_from_time(self, time):
@@ -254,6 +254,8 @@ class Base:
         """
         if self._closed:
             raise ValueError("I/O operation on closed stream.")
+        if self._offset < 0:
+            raise OSError("cannot read from before the start of input.")
         samples_left = self._shape[0] - self._offset
         if count is None or (isinstance(count, int) and count < 0):
             count = max(samples_left, 0)
@@ -289,7 +291,15 @@ class Base:
 
     def _get_frame_cached(self, frame_index):
         if frame_index != self._frame_index:
-            self._frame = self._read_frame(frame_index)
+            frame = self._read_frame(frame_index)
+            # the reference validates implicitly by copying frames into
+            # an out array of the declared shape (base.py:389-438); here
+            # frames are returned as-is, so check the metadata contract
+            if tuple(frame.shape[1:]) != tuple(self.sample_shape):
+                raise ValueError(
+                    f"frame sample shape {tuple(frame.shape[1:])} does "
+                    f"not match the stream's {tuple(self.sample_shape)}")
+            self._frame = frame
             self._frame_index = frame_index
         return self._frame
 

@@ -213,17 +213,15 @@ class ShiftSamples(PaddedTaskBase):
 
     Positive shifts delay the channel.  Implemented as a static per-channel
     gather from the padded window (reference sampling.py:410-425 builds an
-    advanced index once).
+    advanced index once).  Shifts may be given in samples (any fractional
+    part is rounded to the nearest integer, reference sampling.py:396,411)
+    or as a time Quantity; use :class:`ShiftAndResample` to apply the
+    fractional part instead of rounding it.
     """
 
     def __init__(self, ih, shift, *, samples_per_frame=None):
-        shift = np.atleast_1d(np.asarray(shift))
-        if shift.dtype.kind not in "iu":
-            rounded = np.round(shift)
-            if not np.allclose(shift, rounded, atol=1e-9):
-                raise ValueError("ShiftSamples requires integer shifts; use "
-                                 "ShiftAndResample for fractional shifts")
-            shift = rounded.astype(np.int64)
+        shift = np.atleast_1d(to_sample(ih, shift))
+        shift = np.round(shift).astype(np.int64)
         pad_start = max(int(shift.max()), 0)
         pad_end = max(-int(shift.min()), 0)
         super().__init__(ih, pad_start=pad_start, pad_end=pad_end,

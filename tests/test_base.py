@@ -51,8 +51,12 @@ class TestBaseProtocol:
         assert sh.seek(-10, 2) == 990
         assert sh.seek(100 * u.ms) == 100  # 1 kHz
         assert sh.seek(START + 250 * u.ms) == 250
+        # reference semantics (base.py:343-353): out-of-range pointers
+        # are allowed, like a regular filehandle; reading validates
+        assert sh.seek(-1) == -1
         with pytest.raises(OSError):
-            sh.seek(-1)
+            sh.read(1)
+        sh.seek(0)
 
     def test_tell_time(self):
         sh = make_counter()
@@ -293,6 +297,60 @@ class TestGenerators:
         a = np.asarray(NoiseGenerator(seed=1, **kwargs).read())
         b = np.asarray(NoiseGenerator(seed=2, **kwargs).read())
         assert not np.allclose(a, b)
+
+    def test_noise_frames_do_not_repeat(self):
+        """Consecutive frames must be fresh draws (reference
+        test_generators.py:280-298)."""
+        sh = NoiseGenerator(shape=(600, 2), start_time=START,
+                            sample_rate=1 * u.kHz, samples_per_frame=100,
+                            seed=11)
+        data = np.asarray(sh.read())
+        frames = data.reshape(6, 100, 2)
+        for i in range(6):
+            for j in range(i + 1, 6):
+                assert not np.allclose(frames[i], frames[j])
+
+    def test_generator_meta_attributes(self):
+        """frequency/sideband/polarization set at construction propagate
+        (reference test_generators.py:49-90)."""
+        def ones(sh):
+            return jnp.ones((sh.samples_per_frame,) + sh.sample_shape,
+                            jnp.complex64)
+        sh = StreamGenerator(ones, (100, 2, 2), START, 1 * u.kHz,
+                             samples_per_frame=10,
+                             frequency=[[311.25], [312.]] * u.MHz,
+                             sideband=np.array([[1], [-1]]),
+                             polarization=["L", "R"])
+        np.testing.assert_allclose(
+            sh.frequency.to_value(u.MHz), [[311.25], [312.]])
+        np.testing.assert_array_equal(sh.sideband, [[1], [-1]])
+        assert list(np.asarray(sh.polarization)) == ["L", "R"]
+
+    def test_generator_getitem_slice(self):
+        """fh[a:b] time slicing works directly on a generator
+        (reference test_generators.py:91-109)."""
+        def counter(sh):
+            o = sh.tell()
+            n = min(sh.samples_per_frame, sh.shape[0] - o)
+            idx = jnp.arange(o, o + n, dtype=jnp.float32)
+            return jnp.broadcast_to(idx[:, None], (n,) + sh.sample_shape)
+        sh = StreamGenerator(counter, (1000, 2), START, 1 * u.kHz,
+                             samples_per_frame=100, dtype=np.float32)
+        sliced = sh[250:750]
+        assert sliced.shape == (500, 2)
+        assert abs((sliced.start_time - START).sec - 0.25) < 1e-12
+        np.testing.assert_array_equal(np.asarray(sliced.read(5))[:, 0],
+                                      np.arange(250, 255))
+
+    def test_generator_exceptions(self):
+        """Mis-shaped generator output fails on read (reference
+        test_generators.py:110-131)."""
+        def bad(sh):
+            return jnp.zeros((sh.samples_per_frame, 7), jnp.complex64)
+        sh = StreamGenerator(bad, (100, 2), START, 1 * u.kHz,
+                             samples_per_frame=10)
+        with pytest.raises(Exception):
+            np.asarray(sh.read(10))
 
 
 class TestRateRatio:

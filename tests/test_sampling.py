@@ -162,10 +162,33 @@ class TestShiftSamples:
         np.testing.assert_array_equal(data[:, 0], q - 3)
         np.testing.assert_array_equal(data[:, 1], q + 2)
 
-    def test_rejects_fractional(self):
+    @pytest.mark.parametrize("fshift, ishift", [
+        ([1.0, 3.25], [1, 3]),
+        ([3.49, -1.9], [3, -2]),
+        ([-5.0, 5.25], [-5, 5])])
+    def test_fractional_rounds_to_nearest(self, fshift, ishift):
+        """Reference semantics (sampling.py:396,411): fractional shifts
+        round to the nearest integer; a time Quantity converts first."""
+        def counter(sh):
+            o = sh.tell()
+            n = min(sh.samples_per_frame, sh.shape[0] - o)
+            idx = jnp.arange(o, o + n, dtype=jnp.float32)
+            return jnp.broadcast_to(idx[:, None], (n,) + sh.sample_shape)
+        sh = StreamGenerator(counter, (1000, 2), START, RATE,
+                             samples_per_frame=250, dtype=np.float32)
+        st_f = ShiftSamples(sh, fshift)
+        st_i = ShiftSamples(sh, ishift)
+        assert st_f.shape == st_i.shape
+        expected = np.asarray(st_i.read(20))
+        np.testing.assert_array_equal(np.asarray(st_f.read(20)), expected)
+        # same shifts as a time Quantity
+        st_q = ShiftSamples(sh, np.asarray(fshift) / RATE)
+        np.testing.assert_array_equal(np.asarray(st_q.read(20)), expected)
+
+    def test_wrong_shape(self):
         sh = pure_tone(0.1)
         with pytest.raises(ValueError):
-            ShiftSamples(sh, [0.5, 1])
+            ShiftSamples(sh, np.array([[1], [2], [3]]))
 
 
 class TestSeekFloat:
@@ -296,3 +319,113 @@ class TestShiftSamplesVsShiftAndResample:
         gg = np.asarray(gather.read(512))
         gs = np.asarray(sinc.read(512))
         np.testing.assert_allclose(gg, gs, atol=1e-5)
+
+
+class TestDelayRecovery:
+    """Full receiver-chain delay recovery (reference
+    test_sampling.py:264-555): simulate a sky tone observed by two
+    telescopes (one with a geometric delay), mix each with a quadrature
+    LO anchored in absolute time, low-pass, downsample; then undo the
+    delay with TimeDelay / Resample / ShiftAndResample(lo=...) and check
+    the streams agree.  sideband = [-1, +1] exercises both IF senses."""
+
+    full_rate = 204.8 * u.kHz
+    spf_full = 1024
+    n_frames = 16
+    downsample = 16
+    sideband = np.array([-1, 1])
+    phi0_mixer = -12.3456789 / 360.0    # cycles
+    phi0_sig = 0.123456                 # cycles
+
+    @classmethod
+    def setup_class(cls):
+        cls.rate_hz = cls.full_rate.to_value(u.Hz)
+        cls.lo_hz = cls.rate_hz * (7 / 16 - cls.sideband / 128)
+        cls.f_sig = cls.lo_hz + cls.sideband * cls.rate_hz / 100
+
+        def signal(sh):
+            o = sh.tell()
+            n = min(sh.samples_per_frame, sh.shape[0] - o)
+            t = (o + np.arange(n, dtype=np.float64))[:, None] / cls.rate_hz
+            x = np.cos(2 * np.pi * (cls.f_sig * t + cls.phi0_sig))
+            return jnp.asarray(x.astype(np.float32))
+
+        cls.raw = StreamGenerator(signal,
+                                  (cls.spf_full * cls.n_frames, 2),
+                                  START, cls.full_rate,
+                                  samples_per_frame=cls.spf_full,
+                                  dtype=np.float32)
+
+    def mix_downsample(self, task, data):
+        """Quadrature mix with the absolute-time LO, low-pass, decimate."""
+        data = np.asarray(data, np.float64)
+        n = data.shape[0]
+        off = task.ih.tell() - n
+        t = ((task.ih.start_time - START).sec
+             + (off + np.arange(n, dtype=np.float64)) / self.rate_hz)
+        phase = 2 * np.pi * (self.lo_hz * t[:, None] + self.phi0_mixer)
+        mixer = np.exp(1j * phase)
+        mixed = data * np.where(self.sideband > 0,
+                                np.conj(mixer), mixer)
+        planes = np.stack([mixed.real, mixed.imag], axis=-1)
+        ft = np.fft.rfft(planes, axis=0)
+        ft[ft.shape[0] // self.downsample:] = 0
+        ft *= 2.0
+        filt = np.fft.irfft(ft, n=n, axis=0)[::self.downsample]
+        return jnp.asarray((filt[..., 0] + 1j * filt[..., 1]
+                            ).astype(np.complex64))
+
+    def get_tel(self, delay=None, n=None):
+        from baseband_tasks_tpu import Task, Channelize
+        fh = self.raw
+        if delay is not None:
+            fh = SetAttribute(self.raw,
+                              start_time=START - delay / self.full_rate)
+        obs = Task(fh, lambda task, data: self.mix_downsample(task, data),
+                   dtype=np.complex64,
+                   sample_rate=self.full_rate / self.downsample,
+                   frequency=self.lo_hz * u.Hz, sideband=self.sideband)
+        return obs if n is None else Channelize(obs, n)
+
+    def assert_tel_same(self, tel1, tel2, atol=1e-2):
+        from baseband_tasks_tpu import Stack
+        both = Stack((tel1, tel2), axis=1)
+        assert both.size > 500
+        data = np.asarray(both.read())
+        np.testing.assert_allclose(data[:, 0], data[:, 1],
+                                   atol=atol, rtol=0)
+
+    @pytest.mark.parametrize("delay", (-8, 16))
+    def test_time_delay(self, delay):
+        tel1 = self.get_tel()
+        tel2 = self.get_tel(delay=delay)
+        undone = TimeDelay(tel2, delay / self.full_rate,
+                           lo=self.lo_hz * u.Hz)
+        self.assert_tel_same(tel1, undone)
+
+    @pytest.mark.parametrize("delay", (-1, 15.4321))
+    def test_time_delay_align(self, delay):
+        tel1 = self.get_tel()
+        tel2 = self.get_tel(delay=delay)
+        undone = TimeDelay(tel2, delay / self.full_rate,
+                           lo=self.lo_hz * u.Hz)
+        aligned = Resample(undone, tel1.start_time)
+        self.assert_tel_same(tel1, aligned)
+
+    @pytest.mark.parametrize("delay", (-18.25, 0.1, 65.4321))
+    def test_resample_delayed(self, delay):
+        tel1 = self.get_tel()
+        tel2 = self.get_tel(delay=delay)
+        undone = ShiftAndResample(tel2, delay / self.full_rate,
+                                  tel1.start_time, lo=self.lo_hz * u.Hz)
+        self.assert_tel_same(tel1, undone)
+
+    @pytest.mark.parametrize("delay", (-16, 32.25))
+    def test_resample_delayed_channelized(self, delay):
+        n = 16
+        tel1 = self.get_tel(n=n)
+        tel2 = self.get_tel(delay=delay, n=n)
+        undone = ShiftAndResample(tel2, delay / self.full_rate,
+                                  tel1.start_time, lo=self.lo_hz * u.Hz,
+                                  samples_per_frame=16, pad=6)
+        self.assert_tel_same(tel1, undone, atol=2e-2)
