@@ -97,3 +97,50 @@ class TestPowerAxisDiscovery:
         np.testing.assert_allclose(data[:, 1], 4.0, rtol=1e-4)  # |R|^2
         np.testing.assert_allclose(data[:, 2], 2.0, rtol=1e-4)  # Re(LR*)
         np.testing.assert_allclose(data[:, 3], 0.0, atol=1e-3)  # Im(LR*)
+
+
+class TestPowerMetaValidation:
+    """Frequency/sideband consistency across the polarization pair
+    (reference test_functions.py:146-183): the two pols of one channel
+    must share labels, enforced by broadcast against the output shape."""
+
+    SIDE = np.array([[-1], [1], [-1], [1]])
+
+    def _stream(self, **kw):
+        from baseband_tasks_tpu import EmptyStreamGenerator
+        return EmptyStreamGenerator((100, 4, 2), START, 1 * u.Hz,
+                                    dtype=np.complex64, **kw)
+
+    def test_frequency_mismatch_between_pols(self):
+        bad = np.array([[320, 320], [320, 320],
+                        [336, 336], [336, 337]]) * u.MHz
+        eh = self._stream(frequency=bad, sideband=self.SIDE,
+                          polarization=["R", "L"])
+        with pytest.raises(ValueError):
+            Power(eh)
+
+    def test_sideband_mismatch_between_pols(self):
+        freq = np.array([[320.25], [320.25], [336.25], [336.25]]) * u.MHz
+        bad_side = np.array([[-1, -1], [1, -1], [-1, -1], [1, 1]])
+        eh = self._stream(frequency=freq, sideband=bad_side,
+                          polarization=["R", "L"])
+        with pytest.raises(ValueError):
+            Power(eh)
+
+    def test_consistent_labels_pass_through(self):
+        freq = np.array([[320.25], [320.25], [336.25], [336.25]]) * u.MHz
+        eh = self._stream(frequency=freq, sideband=self.SIDE,
+                          polarization=["R", "L"])
+        pw = Power(eh)
+        assert pw.shape == (100, 4, 4)
+        np.testing.assert_allclose(
+            np.broadcast_to(pw.frequency.to_value(u.MHz),
+                            (4, 4))[:, 0],
+            [320.25, 320.25, 336.25, 336.25])
+        assert list(np.asarray(pw.polarization).ravel()) == \
+            ["RR", "LL", "RL", "LR"]
+
+    def test_missing_polarization(self):
+        eh = self._stream()
+        with pytest.raises(Exception):
+            Power(eh)
