@@ -102,6 +102,11 @@ class Base:
         self._samples_per_frame = operator.index(samples_per_frame)
         self._dtype = np.dtype(dtype)
         self._meta = {"__attributes__": {}}
+        if (frequency is None) != (sideband is None):
+            # one without the other is meaningless (reference
+            # base.py:144-146)
+            raise ValueError("frequency and sideband should both be passed "
+                             "in.")
         for name, value in (("frequency", frequency), ("sideband", sideband),
                             ("polarization", polarization)):
             if value is not None:
@@ -329,6 +334,15 @@ class Base:
         if dtype is not None:
             data = data.astype(dtype, copy=False)
         return data
+
+    # explicit np.asarray(sh) is supported above, but ufuncs/functions
+    # must not silently materialize a whole (possibly huge) stream
+    # (reference base.py:482-486)
+    def __array_ufunc__(self, *args, **kwargs):
+        return NotImplemented
+
+    def __array_function__(self, *args, **kwargs):
+        return NotImplemented
 
     def close(self):
         self._frame = None
@@ -649,13 +663,24 @@ class Task(TaskBase):
 
     @staticmethod
     def _is_method(func):
-        if inspect.isfunction(func):
+        """One *required* argument = function, two = method; anything
+        else (or an un-inspectable callable) raises, so mistakes fail at
+        construction (reference base.py:866-877 argspec counting,
+        including the defaults subtraction)."""
+        try:
             sig = inspect.signature(func)
             params = [p for p in sig.parameters.values()
                       if p.kind in (p.POSITIONAL_ONLY,
                                     p.POSITIONAL_OR_KEYWORD)]
-            return len(params) >= 2
-        return False
+            n_required = sum(p.default is p.empty for p in params)
+            if inspect.ismethod(func):
+                n_required -= 1  # bound self already consumed
+            assert 1 <= n_required <= 2
+            return n_required == 2
+        except Exception as exc:
+            raise TypeError(
+                "cannot determine whether ``task`` is a function or "
+                "method; pass in ``method``.") from exc
 
 
 class SetAttribute(BaseTaskBase):

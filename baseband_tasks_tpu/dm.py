@@ -55,19 +55,22 @@ class DispersionMeasure(u.Quantity):
             delay = delay - d / (reference_frequency ** 2)
         return delay.to(u.s)
 
-    def phase_delay(self, frequency, reference_frequency):
+    def phase_delay(self, frequency, reference_frequency=None):
         """Phase rotation (cycles) of ``frequency`` relative to
         ``reference_frequency`` for coherent dedispersion.
 
         phi = d * f * (1/f_ref - 1/f)**2 cycles (reference dm.py:78-104),
-        the quadratic-in-offset phase of the cold-plasma transfer function.
+        the quadratic-in-offset phase of the cold-plasma transfer
+        function; with no reference frequency, relative to infinite
+        frequency (1/f_ref -> 0), i.e. phi = d / f.
         """
         d = dispersion_delay_constant * self * u.cycle
-        phase = d * frequency * (1.0 / reference_frequency
-                                 - 1.0 / frequency) ** 2
+        inv_ref = (0.0 / u.MHz if reference_frequency is None
+                   else 1.0 / reference_frequency)
+        phase = d * frequency * (inv_ref - 1.0 / frequency) ** 2
         return phase.to(u.cycle)
 
-    def phase_factor(self, frequency, reference_frequency):
+    def phase_factor(self, frequency, reference_frequency=None):
         """Complex chirp factor exp(i * 2 pi * phase_delay) (dm.py:107)."""
         phase = self.phase_delay(frequency, reference_frequency)
         return np.exp(1j * phase.to_value(u.rad)).astype(np.complex64)

@@ -80,11 +80,15 @@ class PSRFITSReader(Base):
                                         dtype=np.float64))[:nchan]
         pol_type = str(hdr.get("POL_TYPE", "")).strip()
         pols = _POL_LABELS.get(pol_type)
+        # sideband from the sign of OBSBW (reference hdu.py:169-170)
+        obsbw = float(p.get("OBSBW", hdr.get("OBSBW", 0.0)) or 0.0)
+        sideband = np.int8(-1) if obsbw < 0 else np.int8(1)
         super().__init__(
             shape=(nrow, nbin, nchan, npol), start_time=start,
             sample_rate=u.Quantity(1.0 / tsubint, u.Hz),
             samples_per_frame=1, dtype=np.float32,
             frequency=u.Quantity(freq.reshape(nchan, 1), u.MHz),
+            sideband=sideband,
             polarization=np.asarray(pols) if pols and len(pols) == npol
             else None)
         self._nbin, self._nchan, self._npol = nbin, nchan, npol

@@ -78,7 +78,11 @@ class SearchReader(Base):
             samples_per_frame=self._nsblk, dtype=np.float32,
             frequency=u.Quantity(
                 freq.reshape((self._nchan,) + (1,) * (len(sample_shape) - 1)),
-                u.MHz))
+                u.MHz),
+            # sideband from the sign of OBSBW (reference hdu.py:169-170)
+            sideband=np.int8(-1) if float(
+                p.get("OBSBW", hdr.get("OBSBW", 0.0)) or 0.0) < 0
+            else np.int8(1))
 
     def _read_frame(self, frame_index):
         row = self._subint.data[frame_index]

@@ -66,8 +66,9 @@ def main():
     # Disperse plays the interstellar medium; Dedisperse undoes it
     # coherently.  Both compile into the same scan (equal frame sizes).
     dm = 5.0
-    ism = Disperse(make_source(), dm, samples_per_frame=8192)
-    chain = Fold(Square(Dedisperse(ism, dm, samples_per_frame=8192)),
+    # 8295 + the 705-sample dispersion pad = 9000, an FFT-fast length
+    ism = Disperse(make_source(), dm, samples_per_frame=8295)
+    chain = Fold(Square(Dedisperse(ism, dm, samples_per_frame=8295)),
                  64, phase, samples_per_frame=1)
     cp = CompiledPipeline(chain)
     print(f"block={cp.block_samples} samples, delay={cp.delay}, "

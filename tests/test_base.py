@@ -458,3 +458,58 @@ class TestGeneratorScenarios:
         assert abs((sl.start_time - START).sec - 0.1) < 1e-9
         np.testing.assert_array_equal(np.asarray(sl.read()),
                                       whole[100:180])
+
+
+class TestReferenceBaseSemantics:
+    """Behaviors the reference pins in test_base.py that involve the
+    array protocol, attribute pairing, and Task introspection."""
+
+    def test_need_both_frequency_and_sideband(self):
+        sh = make_counter()
+        with pytest.raises(ValueError, match="both"):
+            SetAttribute(sh, frequency=np.arange(2.) * u.MHz)
+        with pytest.raises(ValueError, match="both"):
+            SetAttribute(sh, sideband=np.array([1, -1]))
+
+    def test_fail_on_unknown_attribute(self):
+        sh = make_counter()
+        with pytest.raises(TypeError):
+            SetAttribute(sh, freq=1.0 * u.MHz)
+
+    def test_no_implicit_array(self):
+        """ufuncs/array functions must not materialize the stream
+        (reference base.py:482-486); explicit np.asarray still works."""
+        sh = make_counter(shape=(30, 2), spf=10)
+        with pytest.raises(TypeError):
+            np.sin(sh)
+        with pytest.raises(TypeError):
+            np.array(1.0) | sh
+        with pytest.raises(TypeError):
+            np.rot90(sh)
+        assert np.asarray(sh).shape == (30, 2)
+
+    def test_task_argspec_rules(self):
+        """1 required arg = function, 2 = method, else raise
+        (reference base.py:866-884 + test_base.py:468-490)."""
+        import inspect
+        sh = make_counter()
+        with pytest.raises(TypeError):
+            Task(sh, object())
+
+        def trial(data, bla=1):
+            return data
+
+        with Task(sh, trial) as th:
+            assert not inspect.ismethod(th.task)
+
+        def trial2(data, bla, bla2=1):
+            return data
+
+        with Task(sh, trial2) as th2:
+            assert inspect.ismethod(th2.task)
+
+        def trial3(data, bla, bla2, bla3=1):
+            return data
+
+        with pytest.raises(TypeError):
+            Task(sh, trial3)

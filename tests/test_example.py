@@ -9,3 +9,15 @@ def test_pulsar_pipeline_example(capsys):
     assert "recorded:" in out
     assert "psrfits:" in out
     assert "peak bin:" in out
+
+
+def test_frb_search_example(capsys):
+    runpy.run_path("examples/frb_search.py", run_name="__main__")
+    out = capsys.readouterr().out
+    assert "burst recovered at the true DM and arrival time - OK" in out
+
+
+def test_compiled_fold_example(capsys):
+    runpy.run_path("examples/compiled_fold.py", run_name="__main__")
+    out = capsys.readouterr().out
+    assert "ok" in out and "folded" in out

@@ -280,8 +280,8 @@ class TestTimeDelayVsShiftAndResample:
         nu = 0.0789
         lo = 400 * u.MHz
         delay = delay_samples / RATE
-        src1 = SetAttribute(pure_tone(nu), sideband=1)
-        src2 = SetAttribute(pure_tone(nu), sideband=1)
+        src1 = SetAttribute(pure_tone(nu), frequency=lo, sideband=1)
+        src2 = SetAttribute(pure_tone(nu), frequency=lo, sideband=1)
         anchor = START + 1.0 * u.s
 
         delayed = TimeDelay(src1, delay, lo=lo)
