@@ -171,3 +171,93 @@ class TestPFBDedispersionChain:
         expected = center - round(dt * 1e6)
         assert abs(peak - expected) <= 12
         assert abs(data[peak]) > 0.8
+
+
+def digitize(ft, level):
+    """Round FT components to multiples of ``level`` (reference
+    tests/test_pfb.py:22-23), the reference's 2-bit-style quantizer."""
+    ft = np.asarray(ft)
+    f = ft.view(ft.real.dtype)
+    return jnp.asarray((np.round(f / level) * level).view(ft.dtype))
+
+
+class TestInversionTelescopeConfigs:
+    """The reference's documented S/N guidance, validated end-to-end
+    (reference pfb.py:170-181 + tests/test_pfb.py:170-243): CHIME-style
+    4x2048 real PFB inverts cleanly at sn=100 and survives digitization
+    at sn=10; GUPPI-style 12x64 at sn=30."""
+
+    def _recover(self, h, n, *, sn, pad, n_out, dig_sn=None, spf_pfb=64):
+        from baseband_tasks_tpu import Task
+        sh = noise((n * (n_out // n + 4 * pad),), dtype=np.float32, seed=7,
+                   spf=8192)
+        raw = np.asarray(sh.read())
+        sh.seek(0)
+        pfb = PolyphaseFilterBank(sh, h, samples_per_frame=spf_pfb)
+        if dig_sn is not None:
+            level = float(np.asarray(pfb.read(spf_pfb)).real.std()) / dig_sn
+            pfb.seek(0)
+            pfb = Task(pfb, lambda ft: digitize(ft, level),
+                       samples_per_frame=spf_pfb)
+        inv = InversePolyphaseFilterBank(
+            pfb, h, sn=sn, pad_start=pad, pad_end=pad, dtype=np.float32)
+        out = np.asarray(inv.read(n_out))
+        dt = int(round(float((inv.start_time - START).sec) * 1e6))
+        return out, raw[dt:dt + n_out]
+
+    @staticmethod
+    def _recoverable_phases(h, m, floor=0.05):
+        """Phases whose block-frequency response has no near-null.
+
+        The prototype's center phases are nearly symmetric, so their
+        response crosses ~zero at block-frequency pi: that content is
+        *mathematically* unrecoverable (Wiener or otherwise) and the
+        reference's sn guidance applies to the other phases."""
+        resp = np.zeros((m, h.shape[1]))
+        resp[:h.shape[0]] = h
+        return np.abs(np.fft.fft(resp, axis=0)).min(axis=0) > floor
+
+    def test_chime_clean(self):
+        h = np.asarray(sinc_hamming(4, 2048)).reshape(4, 2048)
+        out, expected = self._recover(h, 2048, sn=100,
+                                      pad=48, n_out=32 * 2048)
+        # floor 0.15: at sn=100 the Wiener residual 1/(1+(sn*|H|)^2)
+        # is <0.5% of the signal only where |H| >~ 0.15
+        ok = self._recoverable_phases(h, 256, floor=0.15)
+        ok[:50] = ok[-50:] = False
+        np.testing.assert_allclose(
+            out.reshape(-1, 2048)[:, ok],
+            expected.reshape(-1, 2048)[:, ok], atol=0.01)
+        # the null phases stay bounded (content suppressed, not blown up)
+        assert np.abs(out - expected).max() < 1.5
+
+    def test_chime_digitized(self):
+        h = sinc_hamming(4, 2048)
+        out, expected = self._recover(h.reshape(4, 2048), 2048, sn=10,
+                                      pad=32, n_out=32 * 2048, dig_sn=3.0)
+        # digitization at level sigma/3 leaves ~0.125 sigma residual
+        # (reference tests/test_pfb.py:185-203)
+        resid = (out - expected).std()
+        assert np.isclose(resid, 0.125, atol=0.015), resid
+        np.testing.assert_allclose(out, expected, atol=1.1)
+
+    def test_guppi_clean(self):
+        h = np.asarray(sinc_hamming(12, 64, sinc_scale=0.95)).reshape(12, 64)
+        out, expected = self._recover(h, 64, sn=30,
+                                      pad=128, n_out=256 * 64,
+                                      spf_pfb=256)
+        ok = self._recoverable_phases(h, 512)
+        np.testing.assert_allclose(out.reshape(-1, 64)[:, ok],
+                                   expected.reshape(-1, 64)[:, ok],
+                                   atol=0.15)
+
+    def test_guppi_high_sn_interior(self):
+        h = np.asarray(sinc_hamming(12, 64, sinc_scale=0.95)).reshape(12, 64)
+        out, expected = self._recover(h, 64, sn=1e9,
+                                      pad=128, n_out=256 * 64,
+                                      spf_pfb=256)
+        ok = self._recoverable_phases(h, 512)
+        ok[:2] = ok[-2:] = False
+        np.testing.assert_allclose(out.reshape(-1, 64)[:, ok],
+                                   expected.reshape(-1, 64)[:, ok],
+                                   atol=0.02)
