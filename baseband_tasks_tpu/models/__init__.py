@@ -3,5 +3,7 @@
 from .wideband import WidebandPulsarPipeline
 from .dmsearch import DMTrialSearch
 from .runner import StreamRunner
+from .correlator import CrossMultiply, fx_correlate
 
-__all__ = ["WidebandPulsarPipeline", "DMTrialSearch", "StreamRunner"]
+__all__ = ["WidebandPulsarPipeline", "DMTrialSearch", "StreamRunner",
+           "CrossMultiply", "fx_correlate"]
