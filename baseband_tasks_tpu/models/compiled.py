@@ -16,7 +16,10 @@ Supported graphs:
   ShiftSamples, PFBs...);
 * multi-input graphs: ``CombineStreamsBase`` nodes (CombineStreams,
   Concatenate, Stack) join several such chains; the compiled step takes
-  one source block per input stream (reference combining.py:11-128);
+  one source block per input stream (reference combining.py:11-128).
+  Branches may arrive with different streaming delays (unequal pads) and
+  start offsets: both are absorbed as per-source read offsets, provided
+  the required shifts are integral in source samples;
 * ``GetSlice`` time slices anywhere in the graph: a slice is a pure
   shift of the stream timeline, so it compiles to a per-source read
   offset (``source_offsets``) rather than device work; the slice's
@@ -137,6 +140,7 @@ class CompiledPipeline:
         pinned = None     # exact B from padded stages
         constraints = []  # (coef, granularity): coef*B % gran == 0
         delay_stack = []
+        warmup_stack = []
         coef_stack = []
         srcs_stack = []   # source indices feeding the branch
         source_offsets = [0] * len(sources)
@@ -145,31 +149,53 @@ class CompiledPipeline:
             if kind == "input":
                 coef_stack.append(Fraction(1))
                 delay_stack.append(Fraction(0))
+                warmup_stack.append(Fraction(0))
                 srcs_stack.append([rest[0]])
                 continue
             if kind == "combine":
                 node, k = rest
                 coefs = coef_stack[-k:]
                 delays = delay_stack[-k:]
-                merged = [i for lst in srcs_stack[-k:] for i in lst]
+                warmups = warmup_stack[-k:]
+                branch_srcs = srcs_stack[-k:]
                 del coef_stack[-k:], delay_stack[-k:], srcs_stack[-k:]
-                srcs_stack.append(merged)
+                del warmup_stack[-k:]
+                srcs_stack.append([i for lst in branch_srcs for i in lst])
                 if len(set(coefs)) != 1:
                     raise ValueError(
                         "combined branches arrive with different block "
                         "sizes; give their stages matching frame sizes")
-                if len(set(delays)) != 1:
-                    raise ValueError(
-                        f"combined branches have different streaming "
-                        f"delays {sorted(set(map(float, delays)))}: pad "
-                        f"the shorter branch (e.g. matching Disperse "
-                        f"stages) so compiled samples stay aligned")
-                if any(off != 0 for off in node._offsets):
-                    raise ValueError(
-                        "compiled combining requires already-aligned "
-                        "streams (zero start offsets)")
+                # Branches may arrive with different streaming delays
+                # (pads consumed so far) and the eager node may align
+                # them with per-branch start offsets.  Both reduce to a
+                # per-branch timeline shift, absorbed by reading that
+                # branch's sources later: with branch value at compiled
+                # index t = eager_b[t - d_b + o_b*coef], combining
+                # eager_b[t - D + offset_b] for a common D needs
+                # o_b = (d_b + offset_b - D) / coef; D = min keeps all
+                # o_b >= 0 (sources cannot be read before their start).
+                totals = [d + off for d, off in zip(delays, node._offsets)]
+                d_common = min(totals)
+                for lst, tot in zip(branch_srcs, totals):
+                    extra = tot - d_common
+                    if not extra:
+                        continue
+                    shift = Fraction(extra) / coefs[0]
+                    if shift.denominator != 1:
+                        raise ValueError(
+                            f"combined branches misaligned by {extra} "
+                            f"samples = {float(shift)} source samples — "
+                            f"not a whole number; adjust pads/slices so "
+                            f"branch shifts are integral in source "
+                            f"samples")
+                    for i in lst:
+                        source_offsets[i] += int(shift)
                 coef_stack.append(coefs[0])
-                delay_stack.append(delays[0])
+                delay_stack.append(d_common)
+                # validity is set by the slowest branch's carries: its
+                # first max(w_b) samples are garbage regardless of how
+                # the timelines were shifted into alignment
+                warmup_stack.append(max(warmups))
                 stages.append(_CombineStage(node, k))
                 continue
             n = rest[0]
@@ -209,6 +235,7 @@ class CompiledPipeline:
                                      n.samples_per_frame,
                                      n.samples_per_frame))
                 delay_stack[-1] += n.pad_start + n.pad_end
+                warmup_stack[-1] += n.pad_start + n.pad_end
                 continue
             if isinstance(n, TaskBase):
                 import inspect
@@ -229,11 +256,13 @@ class CompiledPipeline:
                 constraints.append((coef_stack[-1], ratio.denominator))
                 coef_stack[-1] *= ratio
                 delay_stack[-1] *= ratio
+                warmup_stack[-1] *= ratio
                 continue
             raise ValueError(f"cannot compile node {type(n).__name__}")
 
         tail_coef = coef_stack[-1]
         delay = delay_stack[-1]
+        warmup = max(warmup_stack[-1], delay)
         # Block at point p is coef_p * B with B the (common) source block.
         # coef_p*B must be an integer multiple of gran for each constraint
         # (n/d)*B ≡ 0 mod g  ⇔  B multiple of g·d / gcd(n, g·d).
@@ -263,7 +292,7 @@ class CompiledPipeline:
         self.tail_block = int(t)
         self.delay = delay  # exact, in tail samples (may be fractional if
         #                     a rate change follows a padded stage)
-        self.warmup = int(np.ceil(delay))
+        self.warmup = int(np.ceil(warmup))
 
     # -- the compiled step ----------------------------------------------
     def init_carry(self):
@@ -503,6 +532,12 @@ class CompiledPipeline:
                 "chain; choose frame sizes with integral delay")
         ids, n_seg = self._segment_ids(-int(self.delay),
                                        n_blocks * self.tail_block)
+        # samples still inside a slower combine branch's carry warmup
+        # map to valid eager indices but hold garbage — trash them too
+        w_extra = self.warmup - int(self.delay)
+        if w_extra > 0:
+            ids = ids.copy()
+            ids[:w_extra] = n_seg
         ids_f = jnp.asarray(ids.reshape(n_blocks, self.tail_block)
                             .astype(np.float32))
         acc_dtype = red._acc_dtype()

@@ -148,6 +148,23 @@ def fx_correlate(streams, n_chan, n_avg, *, delays=None, lo=None,
         d = None if delays is None else delays[k]
         if d is not None:
             s = ShiftAndResample(s, -d, offset=anchor, lo=lo)
+            # re-size the resampler so its frame holds whole channelizer
+            # groups (CompiledPipeline pins the block to this frame) and
+            # its padded window is an FFT-fast length
+            pads = s.pad_start + s.pad_end
+            spf = s.samples_per_frame
+            from ..fourier.base import next_fast_len
+            w = spf + pads
+            for _ in range(64):
+                w = next_fast_len(w)
+                if (w - pads) % n_chan == 0:
+                    spf = w - pads
+                    break
+                w += 1
+            else:
+                spf = -(-spf // n_chan) * n_chan
+            s = ShiftAndResample(streams[k], -d, offset=anchor, lo=lo,
+                                 samples_per_frame=spf)
         # align the F-stage block grid across stations: trim so each
         # stream's first spectrum starts a whole number of n_chan raw
         # samples from the anchor (delay compensation can leave the

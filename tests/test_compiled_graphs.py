@@ -154,7 +154,10 @@ class TestMultiInput:
         np.testing.assert_allclose(np.asarray(data), eager,
                                    rtol=1e-5, atol=1e-4)
 
-    def test_mismatched_delays_raise(self):
+    def test_mismatched_delays_absorbed(self):
+        """Branches with different streaming delays (one padded, one
+        not) combine by shifting the less-delayed branch's source reads
+        — compiled output matches eager exactly after the warmup."""
         src1 = SetAttribute(noise(59, shape=(65536,), spf=8192),
                             frequency=600 * u.MHz, sideband=1)
         s2 = noise(61, shape=(65536,), spf=8192)
@@ -162,10 +165,26 @@ class TestMultiInput:
                                         frequency=600 * u.MHz, sideband=1),
                            1.0)
         pad = probe.pad_start + probe.pad_end
-        ded = Dedisperse(src1, 1.0, samples_per_frame=pad)
-        with pytest.raises(ValueError, match="different streaming delays"):
-            CompiledPipeline(Square(CombineStreams(
-                [ded, SetAttribute(s2)], lambda d: d[0] + d[1])))
+        ded = Dedisperse(src1, 1.0, samples_per_frame=8192)
+        tail = Square(CombineStreams(
+            [ded, SetAttribute(s2)], lambda d: d[0] + d[1]))
+        eager = np.asarray(tail.read(4096))
+        cp = CompiledPipeline(Square(CombineStreams(
+            [Dedisperse(src1, 1.0, samples_per_frame=8192),
+             SetAttribute(s2)], lambda d: d[0] + d[1])))
+        blocks = cp.read_source_blocks(3)
+        out = np.asarray(cp.run_blocks(blocks))
+        # compiled[t] = eager[t - delay]; the first `warmup` samples
+        # (the slower branch's carry fill) are garbage and skipped
+        w, d = cp.warmup, int(cp.delay)
+        assert w == 2 * d            # branch warmup exceeds align delay
+        n = min(out.shape[0] - w, 4096 - (w - d))
+        got = out[w:w + n]
+        ref = eager[w - d:w - d + n]
+        snr_db = 10 * np.log10(float(np.sum(ref ** 2))
+                               / max(float(np.sum((got - ref) ** 2)),
+                                     1e-30))
+        assert snr_db >= 60.0, snr_db
 
 
 class TestPositionDependentTask:
