@@ -96,7 +96,7 @@ class CompiledPipeline:
         reduction (see module docstring).
     """
 
-    def __init__(self, tail):
+    def __init__(self, tail, *, block_samples=None):
         # Split off a trailing reduction (Integrate and subclasses).
         self.reduction = None
         if isinstance(tail, Integrate):
@@ -278,6 +278,17 @@ class CompiledPipeline:
                     f"whole groups for all rate-changing stages (need a "
                     f"multiple of {B})")
             B = pinned
+        if block_samples is not None:
+            # caller-chosen block (e.g. to amortize per-step dispatch
+            # cost); must keep every constraint and any pinned size
+            if block_samples % B or (pinned is not None
+                                     and block_samples != pinned):
+                raise ValueError(
+                    f"block_samples={block_samples} incompatible: needs "
+                    f"a multiple of {B}"
+                    + (f" and padded stages pin {pinned}"
+                       if pinned is not None else ""))
+            B = int(block_samples)
 
         self.program = program
         self.stages = stages

@@ -36,12 +36,12 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..base import TaskBase
+from ..base import SetAttribute, Task, TaskBase
 from ..channelize import Channelize
 from ..utils import units as u
 from ..combining import Stack
 from ..integration import Integrate
-from ..sampling import ShiftAndResample
+from ..sampling import ShiftAndResample, ShiftSamples
 
 __all__ = ["CrossMultiply", "fx_correlate"]
 
@@ -74,8 +74,11 @@ class CrossMultiply(TaskBase):
                 raise ValueError(f"baseline ({i}, {j}) outside the "
                                  f"{n_st} stations")
         self._baselines = tuple(pairs)
-        self._bi = jnp.asarray(np.array([p[0] for p in pairs]))
-        self._bj = jnp.asarray(np.array([p[1] for p in pairs]))
+        # host arrays on purpose: device-array closure constants would
+        # need an int/complex fetch at jit-lowering time, which the axon
+        # device boundary cannot do (caches thread as arguments instead)
+        self._bi = np.array([p[0] for p in pairs])
+        self._bj = np.array([p[1] for p in pairs])
         # meta attributes spanning the station axis cannot broadcast to
         # the baseline axis: all stations observe the same sky, so
         # require identical labels and keep one station's copy
@@ -110,7 +113,8 @@ class CrossMultiply(TaskBase):
 
 
 def fx_correlate(streams, n_chan, n_avg, *, delays=None, lo=None,
-                 baselines=None, average=True):
+                 baselines=None, average=True, samples_per_frame=None,
+                 method="sinc"):
     """Build a lazy FX-correlator chain over ``streams``.
 
     Parameters
@@ -133,6 +137,18 @@ def fx_correlate(streams, n_chan, n_avg, *, delays=None, lo=None,
     average : bool, optional
         If True (default) visibilities are means; else structured
         {data, count} sums (reference integration.py:154-160 semantics).
+    method : 'sinc' or 'phase', optional
+        How the fractional part of each delay is applied.  'sinc'
+        (default) resamples in the time domain
+        (:class:`~baseband_tasks_tpu.sampling.ShiftAndResample`) —
+        exact, at the cost of an overlap-save window per station.
+        'phase' is the production FX-correlator scheme: the integer
+        part shifts whole samples before the F stage
+        (:class:`~baseband_tasks_tpu.sampling.ShiftSamples`), the
+        fractional part becomes a per-channel phase slope
+        ``exp(2 pi i f_k tau_frac)`` after it — exact for the
+        cross-spectrum expectation of band-limited channels, with no
+        large FFT windows, so it block-pins cheaply in compiled runs.
 
     Returns
     -------
@@ -141,13 +157,56 @@ def fx_correlate(streams, n_chan, n_avg, *, delays=None, lo=None,
     """
     if len(streams) < 1:
         raise ValueError("need at least one stream")
+    if method not in ("sinc", "phase"):
+        raise ValueError(f"method={method!r} must be 'sinc' or 'phase'")
     anchor = streams[0].start_time
     rate_hz = float(streams[0].sample_rate.to_value(u.Hz))
     channelized = []
     for k, s in enumerate(streams):
         d = None if delays is None else delays[k]
-        if d is not None:
-            s = ShiftAndResample(s, -d, offset=anchor, lo=lo)
+        rotate = None
+        if d is not None and method == "phase":
+            # required *data* advance on the anchor grid: the stream's
+            # label offset already accounts for part of the delay
+            # (out index k must hold the station signal at anchor
+            # time k + tau = label lab + (k + ishift) + frac)
+            tau = float(d.to_value(u.s)) * rate_hz       # samples
+            lab = float((s.start_time - anchor).sec) * rate_hz
+            eff = tau - lab
+            ishift = int(round(eff))
+            frac = eff - ishift
+            if ishift:
+                # frame must hold whole channelizer groups (compiled
+                # runs pin the block to it); default to a healthy size
+                spf = samples_per_frame or 128 * n_chan
+                spf = -(-spf // n_chan) * n_chan
+                s = ShiftSamples(s, -ishift, samples_per_frame=spf)
+            # the gather's output at label t holds the station content of
+            # label t + ishift; the anchor-grid value we want at time k
+            # therefore sits at label k + lab — remove the (fractional)
+            # label offset so the samples land on the anchor grid (a
+            # delaying gather keeps its own +pad_start label shift)
+            if lab:
+                s = SetAttribute(
+                    s, start_time=s.start_time
+                    - lab / streams[0].sample_rate)
+            # per-channel slope for the fractional advance, plus the
+            # fringe-stopping rotation for the full delay (the same
+            # exp(+2 pi i lo tau sideband) ShiftAndResample applies)
+            fk = np.fft.fftfreq(n_chan)                  # cycles/sample
+            rot = np.exp(2j * np.pi * fk * frac)
+            if lo is not None:
+                sb = np.asarray(getattr(s, "sideband", 1))
+                if sb.ndim:
+                    raise ValueError("method='phase' fringe stopping "
+                                     "needs a scalar sideband")
+                rot = rot * np.exp(2j * np.pi
+                                   * float(lo.to_value(u.Hz))
+                                   * float(d.to_value(u.s)) * float(sb))
+            rotate = rot.astype(np.complex64)
+        elif d is not None:
+            s = ShiftAndResample(s, -d, offset=anchor, lo=lo,
+                                 samples_per_frame=samples_per_frame)
             # re-size the resampler so its frame holds whole channelizer
             # groups (CompiledPipeline pins the block to this frame) and
             # its padded window is an FFT-fast length
@@ -163,8 +222,9 @@ def fx_correlate(streams, n_chan, n_avg, *, delays=None, lo=None,
                 w += 1
             else:
                 spf = -(-spf // n_chan) * n_chan
-            s = ShiftAndResample(streams[k], -d, offset=anchor, lo=lo,
-                                 samples_per_frame=spf)
+            if spf != s.samples_per_frame:
+                s = ShiftAndResample(streams[k], -d, offset=anchor,
+                                     lo=lo, samples_per_frame=spf)
         # align the F-stage block grid across stations: trim so each
         # stream's first spectrum starts a whole number of n_chan raw
         # samples from the anchor (delay compensation can leave the
@@ -173,7 +233,13 @@ def fx_correlate(streams, n_chan, n_avg, *, delays=None, lo=None,
         trim = (-koff) % n_chan
         if trim:
             s = s[trim:]
-        channelized.append(Channelize(s, n_chan))
+        ch = Channelize(s, n_chan)
+        if rotate is not None:
+            # host constant (see CrossMultiply note on closure constants)
+            rv = rotate.reshape((n_chan,)
+                                + (1,) * (len(ch.sample_shape) - 1))
+            ch = Task(ch, lambda data, rv=rv: data * rv)
+        channelized.append(ch)
     stacked = channelized[0] if len(channelized) == 1 \
         else Stack(channelized, axis=1)
     if len(channelized) == 1:

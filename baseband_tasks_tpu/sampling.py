@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import operator
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -220,21 +221,32 @@ class ShiftSamples(PaddedTaskBase):
     """
 
     def __init__(self, ih, shift, *, samples_per_frame=None):
-        shift = np.atleast_1d(to_sample(ih, shift))
-        shift = np.round(shift).astype(np.int64)
+        shift = np.round(np.asarray(to_sample(ih, shift))).astype(np.int64)
         pad_start = max(int(shift.max()), 0)
         pad_end = max(-int(shift.min()), 0)
         super().__init__(ih, pad_start=pad_start, pad_end=pad_end,
                          samples_per_frame=samples_per_frame)
         # Gather index per channel: out[j, c] = window[j + pad_start - s_c, c]
+        if shift.ndim > len(ih.sample_shape):
+            raise ValueError(
+                f"shift shape {shift.shape} cannot broadcast to sample "
+                f"shape {ih.sample_shape}")
         full_shift = np.broadcast_to(
             shift.reshape(shift.shape + (1,) * (len(ih.sample_shape)
                                                 - shift.ndim)),
             ih.sample_shape)
+        # a uniform shift is a static slice (free under XLA); only
+        # per-channel shifts need the gather
+        self._uniform = int(full_shift.flat[0]) if full_shift.size \
+            and np.all(full_shift == full_shift.flat[0]) else None
         self._rel_index = jnp.asarray(pad_start - full_shift)
 
     def task(self, data):
         n_out = data.shape[0] - self._pad_start - self._pad_end
+        if self._uniform is not None:
+            start = self._pad_start - self._uniform
+            return jax.lax.slice_in_dim(data, start, start + n_out,
+                                        axis=0)
         j = jnp.arange(n_out).reshape((-1,) + (1,) * (data.ndim - 1))
         idx = j + self._rel_index
         return jnp.take_along_axis(data, idx, axis=0)

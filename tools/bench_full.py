@@ -408,6 +408,69 @@ def flagship(ingest_bits=None, detect="power"):
             "backend": jax.default_backend()}
 
 
+def correlator():
+    """FX correlator throughput: 2 stations x 16 MHz, 256 chan, one
+    fractional geometric delay compensated with sinc resampling, cross
+    products + visibility integration absorbed into the compiled scan.
+    Samples = station baseband samples (2 per timestep)."""
+    import jax
+    import jax.numpy as jnp
+    from baseband_tasks_tpu import NoiseGenerator
+    from baseband_tasks_tpu.models import fx_correlate
+    from baseband_tasks_tpu.models.compiled import CompiledPipeline
+    from baseband_tasks_tpu.utils import Time, units as u
+
+    n = 1 << 24
+    rate = 16 * u.MHz
+    tau = 37.25 / rate
+
+    def mk(seed):
+        return NoiseGenerator(shape=(n,), start_time=Time.from_mjd(58000.0),
+                              sample_rate=rate, samples_per_frame=1 << 16,
+                              seed=seed)
+
+    s1 = mk(3)
+    s2 = mk(4)       # common clock: the delay is genuinely in the data
+    # production scheme: integer gather + per-channel phase slope (no
+    # big overlap-save windows); big blocks amortize the per-step cost;
+    # the 256-point F stage runs as an MXU DFT matmul under 'pallas'
+    from baseband_tasks_tpu.fourier import fft_maker
+    with fft_maker.set("pallas"):
+        vis = fx_correlate([s1, s2], 256, 256, delays=[None, tau],
+                           method="phase", samples_per_frame=1 << 21)
+        cp = CompiledPipeline(vis, block_samples=1 << 21)
+    step_c, caches = cp.cached_step()
+    block = cp.block_samples
+
+    def gen(key):
+        return _complex_noise(key, (block,))
+
+    @jax.jit
+    def make_blocks(seedf):
+        k = jax.random.key(seedf[0].astype(jnp.int32))
+        return gen(k), gen(jax.random.fold_in(k, 1))
+
+    x0 = make_blocks(np.ones((1,), np.float32))
+    jax.block_until_ready(x0)
+
+    @jax.jit
+    def run(xs, *cs):
+        def s(carry, i):
+            f = 1.0 + 1e-6 * i.astype(jnp.float32)
+            carry, y = step_c(carry, (xs[0] * f, xs[1] * f), cs)
+            return carry, jnp.sum(jnp.abs(y) ** 2)
+        carry, ys = jax.lax.scan(s, cp.init_carry(),
+                                 jnp.arange(N_ITER, dtype=jnp.int32))
+        return jnp.sum(ys).reshape(1)
+
+    np.asarray(run(x0, *caches))
+    dt = _best_of(lambda: np.asarray(run(x0, *caches))) / N_ITER
+    rate_s = 2 * block / dt
+    return {"config": "correlator",
+            "station_samples_per_s": round(rate_s, 1),
+            "block": block, "backend": jax.default_backend()}
+
+
 def roofline():
     """Run tools/profile_kernels.py (real TPU) and pass through its
     per-kernel millisecond table."""
@@ -430,7 +493,8 @@ def main():
             "flagship": flagship,
             "ingest": lambda: flagship(ingest_bits=8),
             "ingest2": lambda: flagship(ingest_bits=2),
-            "stokes": lambda: flagship(detect="stokes")}
+            "stokes": lambda: flagship(detect="stokes"),
+            "correlator": correlator}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     update = "--update" in sys.argv
     which = args or ["all"]
