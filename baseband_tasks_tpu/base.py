@@ -656,7 +656,11 @@ class Task(TaskBase):
         if method is None:
             method = self._is_method(task)
         if method:
-            self.task = task.__get__(self, type(self))
+            import types
+            # MethodType also handles already-bound callables (the Task
+            # instance becomes the first *free* argument), matching
+            # reference base.py:879-882
+            self.task = types.MethodType(task, self)
         else:
             self.task = task
         super().__init__(ih, **kwargs)
@@ -668,13 +672,14 @@ class Task(TaskBase):
         construction (reference base.py:866-877 argspec counting,
         including the defaults subtraction)."""
         try:
+            # inspect.signature already excludes a bound method's self
+            # (unlike the reference's getfullargspec, base.py:869-874,
+            # which therefore subtracts it)
             sig = inspect.signature(func)
             params = [p for p in sig.parameters.values()
                       if p.kind in (p.POSITIONAL_ONLY,
                                     p.POSITIONAL_OR_KEYWORD)]
             n_required = sum(p.default is p.empty for p in params)
-            if inspect.ismethod(func):
-                n_required -= 1  # bound self already consumed
             assert 1 <= n_required <= 2
             return n_required == 2
         except Exception as exc:

@@ -101,9 +101,10 @@ class Integrate(BaseTaskBase):
             ih_start = ih.seek(start)
         else:
             ih_start = operator.index(start)
-        if not 0 <= ih_start < ih.shape[0]:
+        if not 0 <= ih_start <= ih.shape[0]:
             # explicit bound check like the reference (integration.py:113);
-            # seek itself allows out-of-range pointers
+            # seek itself allows out-of-range pointers (start == end is a
+            # legal zero-length window, as in the reference)
             raise ValueError("'start' is not within the underlying stream.")
         self._ih_start = ih_start
         n_avail = ih.shape[0] - ih_start

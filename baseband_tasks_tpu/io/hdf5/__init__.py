@@ -92,6 +92,13 @@ def _attrs_from_header(hdr):
         out["sideband"] = np.asarray(hdr["sideband"])
     if hdr.get("polarization") is not None:
         out["polarization"] = np.asarray(hdr["polarization"])
+    # streams require frequency and sideband as a pair; files written
+    # before that invariant (or by other tools) may carry only one —
+    # default the sideband to upper, and drop an unpaired sideband
+    if "frequency" in out and "sideband" not in out:
+        out["sideband"] = np.int8(1)
+    elif "sideband" in out and "frequency" not in out:
+        del out["sideband"]
     return out
 
 

@@ -332,6 +332,12 @@ class ReferenceHDF5Reader:
         for name in ("frequency", "sideband", "polarization"):
             if self.header.get(name) is not None:
                 out[name] = self.header[name]
+        # streams need frequency/sideband as a pair; tolerate files
+        # carrying only one (default upper sideband / drop unpaired)
+        if "frequency" in out and "sideband" not in out:
+            out["sideband"] = np.int8(1)
+        elif "sideband" in out and "frequency" not in out:
+            del out["sideband"]
         return out
 
     def read_range(self, start, stop):

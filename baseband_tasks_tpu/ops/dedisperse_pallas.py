@@ -329,6 +329,55 @@ def _k3_body(n1, power, zr_ref, zi_ref, *out_refs):
         out_refs[1][:] = ii
 
 
+def _detect_fold_accumulate(rr, ii, t_idx, valid, n_phase,
+                            fold_ref, prof_ref, cnt_ref, first):
+    """Shared detect -> fixed-point bin -> one-hot MXU fold accumulate.
+
+    ``rr``/``ii`` : (A, B, L) dedispersed voltage planes; ``t_idx`` /
+    ``valid`` : (A*B, 1) int32/bool local time index and validity of each
+    row (invalid rows land in the trash bin ``n_phase``); ``first`` marks
+    the grid step that initializes the accumulators.  Full-Stokes
+    detection is selected by the profile width (3L lanes, pol pairing by
+    a one-lane roll); see `_k3_fold_body` for the fixed-point phase-map
+    semantics.  Used by both the three-pass pipeline's K3 and the
+    single-pass resident kernel so the fold stays bit-identical.
+    """
+    power = rr * rr + ii * ii
+    L = power.shape[2]
+    if prof_ref.shape[1] == 3 * L:
+        # pltpu.roll requires a non-negative shift: L-1 = -1 (mod L)
+        rr1 = pltpu.roll(rr, L - 1, 2)
+        ii1 = pltpu.roll(ii, L - 1, 2)
+        detect = jnp.concatenate(
+            [power, rr * rr1 + ii * ii1, ii * rr1 - rr * ii1], axis=2)
+    else:
+        detect = power
+    rows = power.shape[0] * power.shape[1]
+    num = (fold_ref[0] + t_idx * fold_ref[1]) & jnp.int32(0x7FFFFFFF)
+    hi = num >> 16
+    lo = num & jnp.int32(0xFFFF)
+    bins = ((hi * n_phase) + ((lo * n_phase) >> 16)) >> 15
+    bins = jnp.where(valid, bins, n_phase)
+    phase_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (rows, n_phase + 1), 1)
+    onehot = (bins == phase_iota).astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        onehot, detect.reshape(rows, detect.shape[2]),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (n_phase+1, [3]L)
+    ccnt = jnp.sum(onehot, axis=0, keepdims=True)   # (1, n_phase+1)
+
+    @pl.when(first)
+    def _init():
+        prof_ref[:] = contrib
+        cnt_ref[:] = ccnt
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        prof_ref[:] = prof_ref[:] + contrib
+        cnt_ref[:] = cnt_ref[:] + ccnt
+
+
 def _k3_fold_body(n1, n2, pad_start, n_valid, n_phase,
                   fold_ref, zr_ref, zi_ref, prof_ref, cnt_ref):
     """Inverse stage-A fused with detection *and* phase folding.
@@ -363,52 +412,16 @@ def _k3_fold_body(n1, n2, pad_start, n_valid, n_phase,
     rr, ii = _stockham(zr_ref[:].astype(jnp.float32).swapaxes(0, 1),
                        zi_ref[:].astype(jnp.float32).swapaxes(0, 1),
                        +1.0, scale=1.0 / n1)
-    power = rr * rr + ii * ii                       # (n1, bb, L)
-    bb = power.shape[1]
-    L = power.shape[2]
-    if prof_ref.shape[1] == 3 * L:
-        # full-Stokes detection: lanes are (channel, pol) with pol minor,
-        # so rolling by one lane pairs each X with its Y; the cross
-        # products Re/Im(X conj(Y)) land on the even (X) lanes (odd
-        # lanes hold X-of-next-channel garbage the caller ignores).
-        # Output layout along lanes: [power | re(XY*) | im(XY*)].
-        # pltpu.roll requires a non-negative shift: L-1 ≡ -1 (mod L)
-        rr1 = pltpu.roll(rr, L - 1, 2)
-        ii1 = pltpu.roll(ii, L - 1, 2)
-        detect = jnp.concatenate(
-            [power, rr * rr1 + ii * ii1, ii * rr1 - rr * ii1], axis=2)
-    else:
-        detect = power
+    bb = rr.shape[1]
     rows = n1 * bb
-    p_fx = fold_ref[1]
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     c = r // bb
     b = r - c * bb + pl.program_id(0) * bb
     t_idx = c * n2 + b                              # local time index
-    num = (fold_ref[0] + t_idx * p_fx) & jnp.int32(0x7FFFFFFF)
-    hi = num >> 16
-    lo = num & jnp.int32(0xFFFF)
-    bins = ((hi * n_phase) + ((lo * n_phase) >> 16)) >> 15
     valid = (t_idx >= pad_start) & (t_idx < pad_start + n_valid)
-    bins = jnp.where(valid, bins, n_phase)
-    phase_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (rows, n_phase + 1), 1)
-    onehot = (bins == phase_iota).astype(jnp.float32)
-    contrib = jax.lax.dot_general(
-        onehot, detect.reshape(rows, detect.shape[2]),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)         # (n_phase+1, [3]L)
-    ccnt = jnp.sum(onehot, axis=0, keepdims=True)   # (1, n_phase+1)
-
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        prof_ref[:] = contrib
-        cnt_ref[:] = ccnt
-
-    @pl.when(pl.program_id(0) != 0)
-    def _acc():
-        prof_ref[:] = prof_ref[:] + contrib
-        cnt_ref[:] = cnt_ref[:] + ccnt
+    _detect_fold_accumulate(rr, ii, t_idx, valid, n_phase,
+                            fold_ref, prof_ref, cnt_ref,
+                            pl.program_id(0) == 0)
 
 
 # -- host-side op --------------------------------------------------------

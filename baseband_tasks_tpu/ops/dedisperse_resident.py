@@ -54,7 +54,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dedisperse_pallas import (_FX_MASK, _check_n_phase, _fold_vector,
+from .dedisperse_pallas import (_FX_MASK, _check_n_phase,
+                                _detect_fold_accumulate, _fold_vector,
                                 _is_pow2, _stockham)
 
 __all__ = ["dedisperse_fold_resident", "resident_geometry"]
@@ -215,45 +216,17 @@ def _resident_body(n1, n2, ps, pe, hop, n_w, n_phase, stokes,
     else:
         rr, ii = _window_fft_convolve(win_r, win_i, cr_ref[:], ci_ref[:],
                                       n1, n2)
-    power = rr * rr + ii * ii                        # (n1, n2, L)
-    L = power.shape[2]
-    if stokes:
-        # lane layout [power | re(X conj Y) | im(X conj Y)]; pol pairing
-        # by a one-lane roll exactly as _k3_fold_body
-        rr1 = pltpu.roll(rr, L - 1, 2)
-        ii1 = pltpu.roll(ii, L - 1, 2)
-        detect = jnp.concatenate(
-            [power, rr * rr1 + ii * ii1, ii * rr1 - rr * ii1], axis=2)
-    else:
-        detect = power
     # fold: window row r is block-local time w*hop + r (t=0 at the
     # block's front-halo start, the include_pad convention); rows
-    # outside [ps, ps+hop) land in the trash bin n_phase
+    # outside [ps, ps+hop) land in the trash bin n_phase.  Detection,
+    # the fixed-point bin map and the one-hot MXU accumulate are the
+    # SAME code as the three-pass pipeline's K3, so fold semantics stay
+    # bit-identical by construction.
     r = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     t_idx = w * hop + r
-    num = (fold_ref[0] + t_idx * fold_ref[1]) & jnp.int32(0x7FFFFFFF)
-    hi = num >> 16
-    lo = num & jnp.int32(0xFFFF)
-    bins = ((hi * n_phase) + ((lo * n_phase) >> 16)) >> 15
     valid = (r >= ps) & (r < ps + hop)
-    bins = jnp.where(valid, bins, n_phase)
-    phase_iota = jax.lax.broadcasted_iota(jnp.int32, (n, n_phase + 1), 1)
-    onehot = (bins == phase_iota).astype(jnp.float32)
-    contrib = jax.lax.dot_general(
-        onehot, detect.reshape(n, detect.shape[2]),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    ccnt = jnp.sum(onehot, axis=0, keepdims=True)
-
-    @pl.when(w == 0)
-    def _init():
-        prof_ref[:] = contrib
-        cnt_ref[:] = ccnt
-
-    @pl.when(w != 0)
-    def _acc():
-        prof_ref[:] = prof_ref[:] + contrib
-        cnt_ref[:] = cnt_ref[:] + ccnt
+    _detect_fold_accumulate(rr, ii, t_idx, valid, n_phase,
+                            fold_ref, prof_ref, cnt_ref, w == 0)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -513,3 +513,34 @@ class TestReferenceBaseSemantics:
 
         with pytest.raises(TypeError):
             Task(sh, trial3)
+
+
+class TestTaskBoundMethods:
+    """Bound methods: inspect.signature already excludes self, unlike
+    the reference's getfullargspec (base.py:869-874) — the counting must
+    agree with the reference's net result."""
+
+    class Proc:
+        def one(self, data):
+            return data * 2.0
+
+        def two(self, fh, data):
+            # bound + 2 free args = method: the Task instance arrives
+            # as the first free argument (reference base.py:879-882)
+            assert isinstance(fh, Task)
+            return data
+
+    def test_bound_one_arg_is_function(self):
+        import inspect
+        sh = make_counter()
+        th = Task(sh, self.Proc().one)
+        assert not inspect.ismethod(th.task) or \
+            th.task.__self__ is not th  # bound to Proc, not to the Task
+        np.testing.assert_allclose(np.asarray(th.read(3))[:, 0],
+                                   [0, 2, 4])
+
+    def test_bound_two_arg_is_method(self):
+        sh = make_counter()
+        th = Task(sh, self.Proc().two)
+        np.testing.assert_allclose(np.asarray(th.read(3))[:, 0],
+                                   [0, 1, 2])

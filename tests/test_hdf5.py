@@ -169,3 +169,18 @@ class TestValidFlag:
         rh = hdf5.open(path)
         assert rh.valid and rh.invalid_ranges == []
         rh.close()
+
+
+class TestUnpairedAttributes:
+    """Files carrying frequency without sideband (written before the
+    pairing invariant, or by other tools) must stay readable: the reader
+    defaults the sideband to upper / drops an unpaired sideband."""
+
+    def test_frequency_only_header(self, tmp_path):
+        import h5py
+        from baseband_tasks_tpu.io.hdf5 import _attrs_from_header
+        out = _attrs_from_header(
+            {"frequency": {"value": [1.4e9, 1.41e9]}})
+        assert np.all(out["sideband"] == 1)
+        out = _attrs_from_header({"sideband": [1, -1]})
+        assert "sideband" not in out

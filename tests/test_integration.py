@@ -389,3 +389,15 @@ class TestIntegrationErrors:
     def test_phase_step_requires_phase(self):
         with pytest.raises(Exception):
             Integrate(pulse_stream(), step=0.1 * u.cycle)
+
+
+class TestZeroLengthWindow:
+    def test_start_at_stream_end_is_legal(self):
+        """start == ih.shape[0] is a legal (empty) window bound in the
+        reference (integration.py:110-113); only the bin count check
+        should reject it."""
+        src = pulse_stream()
+        with pytest.raises(ValueError, match="too short"):
+            Integrate(src, 10, start=src.shape[0])
+        with pytest.raises(ValueError, match="not within"):
+            Integrate(src, 10, start=src.shape[0] + 1)

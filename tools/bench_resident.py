@@ -58,8 +58,18 @@ def main():
     scale = jnp.ones(1, jnp.float32)
     foldv = jnp.asarray(np.asarray(fold_phase_vector(0.1, 1 / 300.7)))
 
-    # base HBM loop: one read+write pass over the same block
-    base = timed(jax.jit(lambda: (xr * 1.0000001, xi * 1.0000001)))
+    # base HBM loop: one read+write pass over the same block.  The
+    # operands are jit *arguments* with a per-call scalar perturbation,
+    # so XLA cannot constant-fold the pass away (same methodology as
+    # tools/profile_kernels.py).
+    base_fn = jax.jit(lambda a, b, s: (a * s, b * s))
+    k = [0]
+
+    def base_call():
+        k[0] += 1
+        return base_fn(xr, xi, jnp.float32(1.0 + 1e-6 * k[0]))
+
+    base = timed(base_call)
     gbs = 2 * T * L * 4 * 2 / base / 1e9
     print(f"base pass: {base*1e3:.2f} ms  ({gbs:.0f} GB/s rw)")
 
