@@ -96,6 +96,11 @@ class DADAStreamReader(Base):
         iso = "-".join(parts[:3]) + "T" + parts[3] if len(parts) == 4 \
             else hdr["UTC_START"]
         start = Time(iso)
+        # PSRDADA convention: UTC_START holds whole seconds; fractional
+        # starts ride in PICOSECONDS (psrdada dbdisk et al.)
+        pico = float(hdr.get("PICOSECONDS", 0))
+        if pico:
+            start = start + u.Quantity(pico * 1e-12, u.s)
         offset_bytes = int(hdr.get("OBS_OFFSET", 0))
         off_samples = offset_bytes // self._bytes_per_sample
         start = start + u.Quantity(
@@ -172,7 +177,8 @@ class DADAStreamWriter:
         rate_hz = template.sample_rate.to_value(u.Hz)
         iso = template.start_time.isot
         date, _, clock = iso.partition("T")
-        utc_start = f"{date}-{clock.split('.')[0]}"
+        whole, _, frac = clock.partition(".")
+        utc_start = f"{date}-{whole}"
         hdr = {
             "HDR_VERSION": "1.0",
             "HDR_SIZE": str(_DEFAULT_HDR_SIZE),
@@ -185,15 +191,22 @@ class DADAStreamWriter:
             "UTC_START": utc_start,
             "OBS_OFFSET": "0",
         }
+        if frac and float("0." + frac):
+            # whole seconds live in UTC_START; keep the fraction
+            hdr["PICOSECONDS"] = str(int(round(float("0." + frac) * 1e12)))
         attrs = getattr(template, "meta", {}).get("__attributes__", {})
         freq = attrs.get("frequency")
         if freq is not None:
+            # channel axis is last in the (npol, nchan) store shape:
+            # take one pol's channel values, keeping ORDER so the
+            # bandwidth sign (sideband) survives the round trip
             fv = np.atleast_1d(np.asarray(freq.to_value(u.MHz),
-                                          dtype=np.float64)).ravel()
+                                          dtype=np.float64))
+            fv = fv.reshape(-1, fv.shape[-1])[0]
             hdr["FREQ"] = repr(float(fv.mean()))
             if fv.size > 1:
                 hdr["BW"] = repr(float(
-                    (fv.max() - fv.min()) * fv.size / (fv.size - 1)))
+                    (fv[-1] - fv[0]) * fv.size / (fv.size - 1)))
         if extra_header:
             hdr.update({k: str(v) for k, v in extra_header.items()})
         text = "".join(f"{k} {v}\n" for k, v in hdr.items())

@@ -49,9 +49,14 @@ def _parse_cards(fh):
         if key == "END":
             break
         if "=" in text:
-            val = text.split("=", 1)[1].strip()
-            if val.startswith("'"):
-                val = val.strip("'").strip()
+            val = text.split("=", 1)[1]
+            if val.lstrip().startswith("'"):
+                # string value: closing quote, then optional comment
+                body = val.lstrip()[1:]
+                val = body.split("'", 1)[0].strip()
+            else:
+                # FITS inline comment: "value / comment"
+                val = val.split("/", 1)[0].strip()
             cards[key] = val
         if n > 200 * CARD:
             raise ValueError("GUPPI header too long (no END card)")
@@ -86,6 +91,9 @@ class GUPPIStreamReader(Base):
             blocsize = int(hdr["BLOCSIZE"])
             blocks.append((hdr, fh.tell()))
             fh.seek(blocsize, 1)
+            if int(hdr.get("DIRECTIO", 0)):
+                # hashpipe et al. 512-align the data segment too
+                fh.seek((-blocsize) % 512, 1)
         if not blocks:
             raise ValueError("no GUPPI blocks found")
         self._blocks = blocks
@@ -138,20 +146,21 @@ class GUPPIStreamReader(Base):
         return dict(self._blocks[0][0])
 
     def _read_frame(self, frame_index):
-        # frame k covers samples [k*step, k*step + step) (+ overlap tail
-        # on the final frame), all within block k
-        hdr, payload = self._blocks[min(frame_index,
-                                        len(self._blocks) - 1)]
+        # frames 0..nblocks-1 cover [k*step, (k+1)*step) = block k's
+        # first `step` rows (its leading `overlap` rows repeat the
+        # previous block's tail); when overlap > 0 one extra final frame
+        # holds the last block's unique tail rows [step, step+overlap)
+        nblocks = len(self._blocks)
+        hdr, payload = self._blocks[min(frame_index, nblocks - 1)]
         nchan, npol, ntime = self._nchan, self._npol, self._ntime
         step = self._samples_per_frame
-        want = step + (self._overlap
-                       if frame_index == len(self._blocks) - 1 else 0)
-        want = min(want, self._shape[0] - frame_index * step)
+        first = 0 if frame_index < nblocks else step
+        want = min(step, self._shape[0] - frame_index * step)
         self._fh.seek(payload)
         raw = np.frombuffer(self._fh.read(int(hdr["BLOCSIZE"])), np.int8)
         data = raw.reshape(nchan, ntime, npol, 2).astype(np.float32)
         z = (data[..., 0] + 1j * data[..., 1]).transpose(1, 0, 2)
-        z = z[:want]
+        z = z[first:first + want]
         if npol == 1:
             z = z[..., 0]
         return z.astype(np.complex64)
@@ -197,12 +206,16 @@ class GUPPIStreamWriter:
         attrs = getattr(template, "meta", {}).get("__attributes__", {})
         freq = attrs.get("frequency")
         if freq is not None:
-            fv = np.asarray(freq.to_value(u.MHz), np.float64).ravel()
+            # per-channel values only (drop pol broadcast), keeping the
+            # channel ORDER so the bandwidth sign (sideband) survives
+            fv = np.atleast_1d(
+                np.asarray(freq.to_value(u.MHz), np.float64))
+            if fv.ndim > 1:
+                fv = fv.reshape(fv.shape[0], -1)[:, 0]
             self._cards["OBSFREQ"] = repr(float(fv.mean()))
             if fv.size > 1:
                 self._cards["OBSBW"] = repr(float(
-                    (fv.max() - fv.min()) * fv.size
-                    / max(fv.size - 1, 1)))
+                    (fv[-1] - fv[0]) * fv.size / (fv.size - 1)))
         if extra_header:
             self._cards.update(extra_header)
         self._fh = builtins.open(name, "wb")

@@ -269,14 +269,32 @@ class PSRFITSWriter:
         self.close()
 
 
+def _peek_obs_mode(name):
+    """OBS_MODE from the primary header only (no payload read — a
+    search-mode file can be many GB)."""
+    import builtins
+    from .fitsio import BLOCK, Header
+    raw = b""
+    with builtins.open(name, "rb") as fh:
+        while True:
+            chunk = fh.read(BLOCK)
+            if len(chunk) < BLOCK:
+                raise ValueError(f"truncated FITS header in {name}")
+            raw += chunk
+            if b"END     " in chunk or chunk.rstrip(b" ").endswith(b"END"):
+                break
+            if len(raw) > 200 * BLOCK:
+                raise ValueError("FITS primary header too long")
+    hdr = Header.from_bytes(raw)
+    return str(hdr.get("OBS_MODE", "PSR")).strip().upper()
+
+
 def get_readers(name, **kwargs):
     """All stream readers a PSRFITS file supports, one per data HDU
     (reference core.py:92-131 builds one reader per SUBINT HDU; our
     container keeps a single SUBINT, so this is a 1-element list, with
     search-mode files dispatched to :class:`SearchReader`)."""
-    hdus = read_fits(name)
-    obs_mode = str(hdus[0].header.get("OBS_MODE", "PSR")).strip().upper()
-    if obs_mode == "SEARCH":
+    if _peek_obs_mode(name) == "SEARCH":
         return [SearchReader(name, **kwargs)]
     return [PSRFITSReader(name, **kwargs)]
 

@@ -549,8 +549,16 @@ class CompiledPipeline:
         if w_extra > 0:
             ids = ids.copy()
             ids[:w_extra] = n_seg
-        ids_f = jnp.asarray(ids.reshape(n_blocks, self.tail_block)
-                            .astype(np.float32))
+        ids2 = ids.reshape(n_blocks, self.tail_block)
+        if n_seg < (1 << 24):
+            ids_f = jnp.asarray(ids2.astype(np.float32)[..., np.newaxis])
+        else:
+            # ids above 2^24 are not exactly representable in the f32
+            # planes the axon device boundary requires: ship a 12-bit
+            # split (hi, lo), each exactly representable
+            ids_f = jnp.asarray(np.stack(
+                [(ids2 >> 12).astype(np.float32),
+                 (ids2 & 0xFFF).astype(np.float32)], axis=-1))
         acc_dtype = red._acc_dtype()
         sample_shape = self._tail.sample_shape
 
@@ -558,7 +566,10 @@ class CompiledPipeline:
             data_carry, sums, counts = carry[:-2], carry[-2], carry[-1]
             blocks, idf = xs
             new_carry, y = step_c(data_carry, blocks, caches)
-            seg = idf.astype(jnp.int32)
+            if idf.shape[-1] == 2:
+                seg = (idf[..., 0].astype(jnp.int32) << 12)                     | idf[..., 1].astype(jnp.int32)
+            else:
+                seg = idf[..., 0].astype(jnp.int32)
             sums = sums + jax.ops.segment_sum(
                 y.astype(acc_dtype), seg, num_segments=n_seg + 1)
             counts = counts + jax.ops.segment_sum(

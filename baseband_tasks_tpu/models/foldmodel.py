@@ -36,21 +36,21 @@ from fractions import Fraction
 
 import numpy as np
 
+from ..ops.dedisperse_pallas import fold_phase_vector
 from ..utils import units as u
 
 __all__ = ["FoldModel", "best_rational", "fixedpoint_foldv"]
 
-_FX_ONE = 1 << 31
-_FX_MASK = _FX_ONE - 1
-
 
 def fixedpoint_foldv(phase0_cycles, rate_cycles_per_sample):
     """(4,) float32 ``[i0_hi, i0_lo, p_hi, p_lo]`` fixed-point fold
-    encoding for the fused pipeline (16-bit halves of the 31-bit
-    fixed-point phase/rate; see the module docstring)."""
-    i0 = int(round((float(phase0_cycles) % 1.0) * _FX_ONE)) & _FX_MASK
-    p = int(round((float(rate_cycles_per_sample) % 1.0) * _FX_ONE)) \
-        & _FX_MASK
+    encoding for the fused pipeline: the kernel contract's 31-bit
+    fixed-point phase/rate (:func:`~..ops.dedisperse_pallas
+    .fold_phase_vector` — the single source of that encoding) split
+    into 16-bit halves so the values survive the f32-only device
+    boundary."""
+    i0, p, _ = (int(v) for v in
+                fold_phase_vector(phase0_cycles, rate_cycles_per_sample))
     return np.array([i0 >> 16, i0 & 0xFFFF, p >> 16, p & 0xFFFF],
                     dtype=np.float32)
 

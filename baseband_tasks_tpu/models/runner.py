@@ -59,7 +59,7 @@ class StreamRunner:
 
         self._jstep = jstep
 
-    def _reader(self, n_blocks, offset, q):
+    def _reader(self, n_blocks, offset, q, stop):
         src = self.cp.source
         block = self.cp.block_samples
         try:
@@ -67,18 +67,34 @@ class StreamRunner:
             src.seek(self.cp.source_offsets[0] + offset)
             for _ in range(n_blocks):
                 data = np.asarray(src.read(block))
-                # ship immediately; on async platforms the transfer
-                # overlaps the device's current step
-                q.put(jax.device_put(data))
+                shipped = jax.device_put(data)
+                # bounded put that re-checks the stop flag, so a failed
+                # consumer can never leave this thread blocked forever
+                while not stop.is_set():
+                    try:
+                        # ship immediately; on async platforms the
+                        # transfer overlaps the device's current step
+                        q.put(shipped, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except Exception as exc:  # surface in the consumer
-            q.put(exc)
+            while not stop.is_set():
+                try:
+                    q.put(exc, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     def run(self, n_blocks, offset=0):
         """Process ``n_blocks`` source blocks; returns the concatenated
         tail-rate output (device array)."""
         q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
         t = threading.Thread(target=self._reader,
-                             args=(n_blocks, offset, q), daemon=True)
+                             args=(n_blocks, offset, q, stop), daemon=True)
         t.start()
         carry = self.cp.init_carry()
         outs = []
@@ -90,5 +106,6 @@ class StreamRunner:
                 carry, y = self._jstep(carry, item, *self._caches)
                 outs.append(y)
         finally:
+            stop.set()
             t.join(timeout=60)
         return jnp.concatenate(outs, axis=0)

@@ -36,8 +36,9 @@ from ..utils import units as u
 
 __all__ = ["WidebandPulsarPipeline"]
 
-_FX_ONE = 1 << 31      # one pulse cycle in the kernels' fixed-point units
-_FX_MASK = _FX_ONE - 1
+# one pulse cycle in the kernels' fixed-point units — the single source
+# of the encoding is ops.dedisperse_pallas (fold_phase_vector contract)
+from ..ops.dedisperse_pallas import _FX_MASK, _FX_ONE  # noqa: E402
 
 
 class WidebandPulsarPipeline:
@@ -757,7 +758,9 @@ class WidebandPulsarPipeline:
                     prof, cnt = sharded(xf, *chirp_f, foldv)
                 off = jnp.mod(off + T, per_q)
                 return off, acc + prof, cnt_acc + cnt
-            init = (jnp.float32(0),
+            # the fixed-period offset carry starts at offset0 (mod the
+            # exact period denominator), so tiled runs fold coherently
+            init = (jnp.float32(float(offset0) % per_q),
                     jnp.zeros((self.n_phase, self.n_chan,
                                4 if self.detect == "stokes"
                                else self.n_pol),

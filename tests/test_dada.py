@@ -114,3 +114,37 @@ class TestStreamProtocol:
         rh = registry.open(path)
         assert isinstance(rh, dada.DADAStreamReader)
         rh.close()
+
+
+class TestDadaEdgeCases:
+    def test_fractional_start_time_roundtrip(self, tmp_path):
+        """Sub-second start times ride in PICOSECONDS (psrdada
+        convention) instead of being silently truncated."""
+        from baseband_tasks_tpu.io import dada
+        from baseband_tasks_tpu import EmptyStreamGenerator
+        t0 = Time("2020-01-01T00:00:00.500")
+        tmpl = EmptyStreamGenerator((32, 2), t0, 1 * u.MHz,
+                                    dtype=np.complex64)
+        name = str(tmp_path / "frac.dada")
+        with dada.open(name, "w", template=tmpl) as w:
+            w.write(np.zeros((32, 2), np.complex64))
+        rd = dada.open(name)
+        assert abs((rd.start_time - t0).sec) < 1e-9
+        rd.close()
+
+    def test_descending_frequency_roundtrip(self, tmp_path):
+        from baseband_tasks_tpu.io import dada
+        from baseband_tasks_tpu import EmptyStreamGenerator
+        chans = np.array([1400.0, 1399.0, 1398.0, 1397.0])
+        tmpl = EmptyStreamGenerator(
+            (32, 2, 4), Time("2020-01-01"), 1 * u.MHz,
+            dtype=np.complex64,
+            frequency=u.Quantity(chans, u.MHz), sideband=-1)
+        name = str(tmp_path / "neg.dada")
+        with dada.open(name, "w", template=tmpl) as w:
+            w.write(np.zeros((32, 2, 4), np.complex64))
+        rd = dada.open(name)
+        f = np.asarray(rd.frequency.to_value(u.MHz))
+        np.testing.assert_allclose(f.reshape(-1, 4)[0], chans, atol=1e-9)
+        assert np.all(np.asarray(rd.sideband) == -1)
+        rd.close()

@@ -85,3 +85,88 @@ class TestRoundTrip:
         out = np.asarray(rh.read(4096))
         assert np.abs(out / 32.0 - data).max() < 0.03
         rh.close()
+
+
+class TestGuppiEdgeCases:
+    def test_overlap_tail_reads_unique_samples(self, tmp_path):
+        """The final overlap tail must come from the last block's tail
+        rows, not its head (repro: read starting inside the tail)."""
+        import builtins
+        from baseband_tasks_tpu.io import guppi
+        name = str(tmp_path / "ov.raw")
+        nchan, npol, ntime, overlap = 2, 1, 8, 3
+        step = ntime - overlap
+        rng = np.arange(13)  # 13 unique global samples, 2 blocks
+        blocks = [rng[0:8], rng[5:13]]
+
+        with builtins.open(name, "wb") as fh:
+            for z in blocks:
+                cards = {"BLOCSIZE": nchan * ntime * npol * 2,
+                         "OBSNCHAN": nchan, "NPOL": 2, "NBITS": 8,
+                         "TBIN": "1e-6", "OVERLAP": overlap,
+                         "STT_IMJD": 58000, "STT_SMJD": 0}
+                text = b"".join(
+                    f"{k:<8}= {str(v):<20}".ljust(80).encode()
+                    for k, v in cards.items()) + b"END".ljust(80)
+                fh.write(text)
+                comp = np.zeros((nchan, ntime, 2), np.int8)
+                comp[:, :, 0] = z[np.newaxis, :]
+                fh.write(comp.tobytes())
+
+        rd = guppi.open(name)
+        assert rd.shape[0] == 13
+        rd.seek(10)
+        got = np.asarray(rd.read(3)).real[:, 0]
+        np.testing.assert_array_equal(got, [10, 11, 12])
+        rd.seek(0)
+        np.testing.assert_array_equal(np.asarray(rd.read()).real[:, 0],
+                                      np.arange(13))
+        rd.close()
+
+    def test_inline_comments_and_directio_padding(self, tmp_path):
+        """FITS inline comments parse; DIRECTIO=1 pads the data segment
+        to 512 bytes too (hashpipe convention)."""
+        import builtins
+        from baseband_tasks_tpu.io import guppi
+        name = str(tmp_path / "dio.raw")
+        nchan, ntime = 2, 5           # BLOCSIZE 20, not a 512 multiple
+        with builtins.open(name, "wb") as fh:
+            for k in range(2):
+                cards = {"BLOCSIZE": nchan * ntime * 2,
+                         "OBSNCHAN": nchan, "NPOL": 2, "NBITS": 8,
+                         "TBIN": "1.0E-06 / seconds per sample",
+                         "DIRECTIO": 1, "STT_IMJD": 58000}
+                text = b"".join(
+                    f"{kk:<8}= {str(v):<20}".ljust(80).encode()
+                    for kk, v in cards.items()) + b"END".ljust(80)
+                fh.write(text)
+                fh.write(b"\x00" * ((-len(text)) % 512))
+                comp = np.full((nchan, ntime, 2), k + 1, np.int8)
+                fh.write(comp.tobytes())
+                fh.write(b"\x00" * ((-(nchan * ntime * 2)) % 512))
+        rd = guppi.open(name)
+        assert rd.sample_rate.to_value(u.Hz) == pytest.approx(1e6)
+        data = np.asarray(rd.read()).real[:, 0]
+        np.testing.assert_array_equal(data, [1] * 5 + [2] * 5)
+        rd.close()
+
+    def test_descending_frequency_roundtrip(self, tmp_path):
+        """Negative bandwidth (lower sideband) survives write->read with
+        the channel order and spacing intact."""
+        from baseband_tasks_tpu.io import guppi
+        from baseband_tasks_tpu import EmptyStreamGenerator
+        chans = np.array([1400.0, 1399.0, 1398.0, 1397.0])
+        tmpl = EmptyStreamGenerator(
+            (64, 4, 2), Time("2020-01-01"), 1 * u.MHz,
+            dtype=np.complex64,
+            frequency=u.Quantity(chans[:, None], u.MHz),
+            sideband=-1)
+        name = str(tmp_path / "neg.raw")
+        with guppi.open(name, "w", template=tmpl,
+                        samples_per_block=64) as w:
+            w.write(np.zeros((64, 4, 2), np.complex64))
+        rd = guppi.open(name)
+        f = np.asarray(rd.frequency.to_value(u.MHz)).reshape(4, -1)[:, 0]
+        np.testing.assert_allclose(f, chans, atol=1e-9)
+        assert np.all(np.asarray(rd.sideband) == -1)
+        rd.close()
