@@ -88,6 +88,7 @@ class FFTBase:
 
     @staticmethod
     def _get_frequency_data_info(shape, dtype, axis):
+        axis = axis % len(shape)   # tuple slicing below needs axis >= 0
         dtype = np.dtype(dtype)
         if dtype.kind == "f":
             freq_dtype = np.dtype(f"c{dtype.itemsize * 2}")

@@ -161,7 +161,8 @@ class VDIFStreamReader(Base):
         for k in range(scan):
             self._fh.seek(k * frame_bytes)
             h = _parse_header(self._fh.read(HEADER_BYTES))
-            headers.append((h["seconds"], h["frame_nr"], h["thread"]))
+            headers.append((h["seconds"], h["frame_nr"], h["thread"],
+                            h["invalid"]))
             threads.add(h["thread"])
             seconds_seen.add(h["seconds"])
             max_frame_nr = max(max_frame_nr, h["frame_nr"])
@@ -180,12 +181,15 @@ class VDIFStreamReader(Base):
         fps = int(round(sample_rate.to_value(u.Hz) / spf))
 
         # first frame in time (not necessarily first in the file)
-        sec0, fnr0 = min((s, f) for s, f, _ in headers)
+        sec0, fnr0 = min((s, f) for s, f, _, _ in headers)
         n_times = 0
         self._frame_locs = {}
-        for k, (s, f, t) in enumerate(headers):
+        for k, (s, f, t, invalid) in enumerate(headers):
             time_idx = (s - sec0) * fps + (f - fnr0)
-            self._frame_locs[(time_idx, self._thread_index[t])] = k
+            # frames flagged invalid carry fill/junk payloads (standard
+            # for drop-outs): zero-fill them exactly like missing frames
+            if not invalid:
+                self._frame_locs[(time_idx, self._thread_index[t])] = k
             n_times = max(n_times, time_idx + 1)
         frames_per_thread = n_times
 
@@ -235,23 +239,40 @@ class VDIFStreamWriter:
     """Write a stream to VDIF frames (one thread per trailing axis entry)."""
 
     def __init__(self, name, template, *, bps=8, samples_per_frame=None,
-                 station=0):
-        self._fh = open_file(name, "wb")
+                 station=0, nthread=None):
+        self._fh = None   # open last, after all validation
         self._bps = bps
         self._station = station
         shape = template.shape
         self._complex = template.dtype.kind == "c"
-        # interpret sample shape as (nchan, nthread) / (n,) / ()
+        # interpret sample shape as (nchan, nthread) / (n,) / ().  A 2-d
+        # shape is ambiguous (the reader squeezes both multi-channel
+        # single-thread and single-channel multi-thread files to 2-d):
+        # default to channels — the frequency axis, which must survive a
+        # read->write round trip — and let ``nthread`` select threads.
         if len(shape) == 1:
             self._nchan, self._nthread = 1, 1
         elif len(shape) == 2:
-            self._nchan, self._nthread = 1, shape[1]
+            if nthread is not None and nthread != 1:
+                if shape[1] != nthread:
+                    raise ValueError(f"template axis {shape[1]} != "
+                                     f"nthread {nthread}")
+                self._nchan, self._nthread = 1, shape[1]
+            else:
+                self._nchan, self._nthread = shape[1], 1
         else:
             self._nchan, self._nthread = shape[1], shape[2]
+        if self._nchan & (self._nchan - 1):
+            raise ValueError(
+                f"VDIF requires a power-of-two channel count, got "
+                f"{self._nchan}; pad channels or split threads")
         rate = template.sample_rate.to_value(u.Hz)
         epoch, sec0 = _time_to_epoch_seconds(template.start_time)
         e0 = _ref_epoch_time(epoch)
-        frac = (template.start_time - e0).sec - sec0
+        # exact two-double seconds from the reference epoch (a single
+        # float loses ~1e-8 s at decade-scale offsets)
+        hi, lo = (template.start_time - e0).sec_pair
+        frac = (hi - sec0) + lo
         offset_samples = int(round(frac * rate))
         if samples_per_frame is None:
             # the frame size must divide the sample rate (integer frames
@@ -283,6 +304,7 @@ class VDIFStreamWriter:
         self._buffer = np.zeros((0, self._nchan, self._nthread),
                                 np.complex64 if self._complex
                                 else np.float32)
+        self._fh = open_file(name, "wb")
 
     def write(self, data):
         data = np.asarray(data)

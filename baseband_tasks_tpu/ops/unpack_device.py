@@ -136,7 +136,9 @@ def quarter_edges_device(xp, pad_start, pad_end, offset=127.5):
     u = words_from_f32(xp)
     front = ((u[:pad_start] & jnp.uint32(0xFF)).astype(jnp.float32)
              - jnp.float32(offset))
-    end = (((u[-pad_end:] >> jnp.uint32(24)) & jnp.uint32(0xFF))
+    # u[-0:] would be the WHOLE array: slice explicitly for pad_end == 0
+    tail = u[len(u) - pad_end:]
+    end = (((tail >> jnp.uint32(24)) & jnp.uint32(0xFF))
            .astype(jnp.float32) - jnp.float32(offset))
     return front, end
 
@@ -196,7 +198,8 @@ def plane_edges_device(xp, pad_start, pad_end, bits, offset=None,
         take = min(need, plen)
         lo_parts.append(field(k, slice(0, take)))
         need -= take
-    lo = jnp.concatenate(lo_parts, axis=0)
+    lo = (jnp.concatenate(lo_parts, axis=0) if lo_parts
+          else jnp.zeros((0,) + u.shape[1:], jnp.int32))
     hi_parts = []
     need = pad_end
     for k in range(per - 1, -1, -1):
@@ -205,7 +208,8 @@ def plane_edges_device(xp, pad_start, pad_end, bits, offset=None,
         take = min(need, plen)
         hi_parts.insert(0, field(k, slice(plen - take, plen)))
         need -= take
-    hi = jnp.concatenate(hi_parts, axis=0)
+    hi = (jnp.concatenate(hi_parts, axis=0) if hi_parts
+          else jnp.zeros((0,) + u.shape[1:], jnp.int32))
 
     def dec(f):
         if bits == 2:

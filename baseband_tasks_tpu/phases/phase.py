@@ -396,11 +396,13 @@ class Phase:
 
     def reshape(self, shape):
         return Phase.from_angles(np.reshape(self.count, shape),
-                                 np.reshape(self.fraction, shape))
+                                 np.reshape(self.fraction, shape),
+                                 imaginary=self.imaginary)
 
     def ravel(self):
         return Phase.from_angles(np.ravel(self.count),
-                                 np.ravel(self.fraction))
+                                 np.ravel(self.fraction),
+                                 imaginary=self.imaginary)
 
     def to(self, unit):
         return self.cycle.to(unit)
@@ -511,12 +513,17 @@ class Phase:
 
     def __floordiv__(self, other):
         other = other if isinstance(other, Phase) else Phase(other)
-        q = np.floor((self.count + self.fraction)
-                     / (other.count + other.fraction))
+        div = other.count + other.fraction
+        q = np.floor((self.count + self.fraction) / div)
         r = self - other * q
-        # one-step correction for boundary rounding
-        step = np.where(np.asarray(r._diff(_ZERO)) < 0, -1.0, 0.0)
-        over = np.asarray((r - other)._diff(_ZERO)) >= 0
+        # one-step correction for boundary rounding: floor semantics
+        # require 0 <= r/other < 1, i.e. the remainder has the divisor's
+        # sign (or is zero) and |r| < |divisor| — sign-aware, unlike a
+        # plain r < 0 test, which is wrong for negative divisors
+        rd = np.asarray(r._diff(_ZERO))
+        sign = np.sign(div)
+        step = np.where(rd * sign < 0, -1.0, 0.0)
+        over = np.asarray((r - other)._diff(_ZERO)) * sign >= 0
         step = step + np.where(over, 1.0, 0.0)
         return q + step
 
@@ -583,7 +590,8 @@ class Phase:
             np.take_along_axis(np.asarray(self.count),
                                np.expand_dims(idx, axis), axis).squeeze(axis),
             np.take_along_axis(np.asarray(self.fraction),
-                               np.expand_dims(idx, axis), axis).squeeze(axis))
+                               np.expand_dims(idx, axis), axis).squeeze(axis),
+            imaginary=self.imaginary)
 
     def max(self, axis=None):
         idx = self.argmax(axis)
@@ -593,7 +601,8 @@ class Phase:
             np.take_along_axis(np.asarray(self.count),
                                np.expand_dims(idx, axis), axis).squeeze(axis),
             np.take_along_axis(np.asarray(self.fraction),
-                               np.expand_dims(idx, axis), axis).squeeze(axis))
+                               np.expand_dims(idx, axis), axis).squeeze(axis),
+            imaginary=self.imaginary)
 
     def ptp(self, axis=None):
         """Peak-to-peak (max - min), full precision (reference
@@ -625,7 +634,8 @@ class Phase:
         idx = self.argsort(axis)
         return Phase.from_angles(
             np.take_along_axis(np.asarray(self.count), idx, axis),
-            np.take_along_axis(np.asarray(self.fraction), idx, axis))
+            np.take_along_axis(np.asarray(self.fraction), idx, axis),
+            imaginary=self.imaginary)
 
     def __repr__(self):
         return f"Phase({self.count!r}, {self.fraction!r})"

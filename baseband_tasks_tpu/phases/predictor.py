@@ -220,7 +220,8 @@ class Polyco:
                 ph_poly = poly(dt_min)
                 ph_spin = 60.0 * e.f0 * dt_min
                 base = Phase(e.rphase_int, e.rphase_frac) if rphase is None \
-                    else (Phase(0.0) if rphase == "ignored"
+                    else (Phase(0.0)
+                          if rphase in ("ignore", "ignored")
                           else (Phase(0.0, e.rphase_frac)
                                 if rphase == "fraction" else Phase(rphase)))
                 ph = base + Phase(ph_spin) + Phase(ph_poly)

@@ -32,7 +32,9 @@ def device_complex(arr):
     """
     arr = np.asarray(arr)
     if arr.dtype.kind != "c":
-        return jnp.asarray(arr)
+        # the axon boundary transfers float32 only: int/f64 inputs must
+        # be cast before crossing it
+        return jnp.asarray(arr.astype(np.float32, copy=False))
     re = jnp.asarray(np.ascontiguousarray(arr.real).astype(np.float32))
     im = jnp.asarray(np.ascontiguousarray(arr.imag).astype(np.float32))
     return _assemble(re, im)

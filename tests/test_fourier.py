@@ -321,3 +321,15 @@ class TestXLAEngineMatmulGate:
                                    rtol=2e-5, atol=2e-4)
         back = np.asarray(fwd.inverse()(np.fft.fft(x, axis=1)))
         np.testing.assert_allclose(back, x, rtol=2e-5, atol=2e-5)
+
+
+class TestNegativeAxis:
+    def test_axis_minus_one(self):
+        from baseband_tasks_tpu.fourier import fft_maker
+        fft = fft_maker((64, 4), "float32", axis=-1)
+        assert fft.frequency_shape == (64, 3)
+        x = np.random.default_rng(0).standard_normal((64, 4)
+                                                     ).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(fft(x)),
+                                   np.fft.rfft(x, axis=-1), rtol=1e-5,
+                                   atol=1e-5)

@@ -549,3 +549,31 @@ class TestFractionalPhase:
         assert d.to_value(u.cycle) == 0.375
         n = -FractionalPhase(-0.5)
         assert n.to_value(u.cycle) == -0.5
+
+
+class TestFloorDivSigns:
+    """floor semantics for all sign combinations, incl. exact-zero
+    remainders with negative divisors (reference phase.py:696-725)."""
+
+    @pytest.mark.parametrize("a, b", [
+        (4, -2), (-4, -2), (4, 2), (-4, 2),
+        (7, 2), (-7, 2), (7, -2), (-7, -2), (4.5, -1.5)])
+    def test_matches_python_floor(self, a, b):
+        q = Phase(a) // Phase(b)
+        r = Phase(a) % Phase(b)
+        assert float(np.asarray(q)) == a // b
+        np.testing.assert_allclose(
+            float(r.cycle.to_value(u.cycle)), a - b * (a // b), atol=1e-12)
+
+
+class TestImaginaryPropagation:
+    def test_views_keep_imaginary(self):
+        p = Phase(np.array([0.25, 0.5]), imaginary=True)
+        assert p.ravel().imaginary
+        assert p.reshape((2, 1)).imaginary
+        assert p[0:1].imaginary
+        assert p.sort().imaginary
+        assert p.min().imaginary and p.max().imaginary
+        # exp of an imaginary phase stays on the real-exponent path
+        np.testing.assert_allclose(np.exp(p.ravel())[0],
+                                   np.exp(2j * np.pi * 0.25), rtol=1e-6)

@@ -2,6 +2,7 @@
 the external `baseband` package for this layer)."""
 
 import numpy as np
+import os
 import pytest
 
 from baseband_tasks_tpu import NoiseGenerator
@@ -157,3 +158,60 @@ class TestInterleaving:
             full = np.asarray(fr.read())
         diff = np.abs(out - full) > 1e-6
         assert diff.any() and diff.mean() < 0.3
+
+
+class TestVDIFEdgeCases:
+    def test_invalid_frames_zero_filled(self, tmp_path):
+        """Frames flagged invalid carry junk payloads: they must read as
+        zeros, exactly like missing frames."""
+        import builtins
+        name = str(tmp_path / "inv.vdif")
+        src = NoiseGenerator(shape=(64,), start_time=START,
+                             sample_rate=16 * u.Hz, seed=3,
+                             samples_per_frame=16, dtype=np.float32)
+        with vdif.open(name, "w", template=src, bps=8,
+                       samples_per_frame=16) as w:
+            w.write(np.asarray(src.read()))
+        # set the invalid bit on frame 1
+        frame_bytes = os.path.getsize(name) // 4
+        with builtins.open(name, "r+b") as fh:
+            fh.seek(frame_bytes)
+            w0 = int.from_bytes(fh.read(4), "little") | (1 << 31)
+            fh.seek(frame_bytes)
+            fh.write(w0.to_bytes(4, "little"))
+        rd = vdif.open(name)
+        data = np.asarray(rd.read())
+        assert np.all(data[16:32] == 0)
+        assert not np.all(data[:16] == 0)
+        rd.close()
+
+    def test_multichannel_roundtrip_keeps_channels(self, tmp_path):
+        """A read->write->read cycle of a multi-channel single-thread
+        file must preserve the channel axis meaning."""
+        name1 = str(tmp_path / "a.vdif")
+        src = NoiseGenerator(shape=(64, 4), start_time=START,
+                             sample_rate=16 * u.Hz, seed=5,
+                             samples_per_frame=16, dtype=np.complex64)
+        with vdif.open(name1, "w", template=src, bps=8,
+                       samples_per_frame=16) as w:
+            w.write(np.asarray(src.read()))
+        r1 = vdif.open(name1)
+        assert r1.sample_shape == (4,)
+        data1 = np.asarray(r1.read())
+        name2 = str(tmp_path / "b.vdif")
+        r1.seek(0)
+        with vdif.open(name2, "w", template=r1, bps=8,
+                       samples_per_frame=16) as w:
+            w.write(np.asarray(r1.read()))
+        r2 = vdif.open(name2)
+        assert r2.sample_shape == (4,)
+        np.testing.assert_allclose(np.asarray(r2.read()), data1,
+                                   atol=0.05)
+        r1.close(); r2.close()
+
+    def test_non_pow2_channels_rejected(self):
+        src = NoiseGenerator(shape=(64, 3, 2), start_time=START,
+                             sample_rate=16 * u.Hz, seed=5,
+                             samples_per_frame=16, dtype=np.complex64)
+        with pytest.raises(ValueError, match="power-of-two"):
+            vdif.open("/tmp/never.vdif", "w", template=src)
