@@ -61,7 +61,7 @@ class Disperse(PaddedTaskBase):
             dm = DispersionMeasure(dm)
         elif not isinstance(dm, DispersionMeasure):
             dm = DispersionMeasure(dm.to_value(u.DM), u.DM)
-        self.dm = dm
+        self._dm = dm
         # engine: 'xla' (jnp.fft overlap-save), 'pallas' (fused four-step
         # VMEM-resident kernels, power-of-two windows), or 'auto' (pallas
         # on TPU for complex data filling >= 8 of the 128 lanes).
@@ -83,20 +83,23 @@ class Disperse(PaddedTaskBase):
         rate = ih.sample_rate
 
         # Band edges per channel (complex data spans ±B/2 around the
-        # carrier; real data spans [f, f + B·sb]; reference
-        # dispersion.py:55-61).
+        # carrier; real data spans half the rate on the sideband's side;
+        # reference dispersion.py:55-61).
+        half = 0.5 * rate
         if ih.dtype.kind == "c":
-            half = 0.5 * rate
             f_low = freq - half
             f_high = freq + half
         else:
-            f_low = freq
-            f_high = freq + rate * sb
+            f_low = freq + np.minimum(sb, 0) * half
+            f_high = freq + np.maximum(sb, 0) * half
         edges = np.concatenate([np.ravel(f_low.to_value(u.MHz)),
                                 np.ravel(f_high.to_value(u.MHz))])
         if reference_frequency is None:
-            reference_frequency = u.Quantity(
-                (edges.min() + edges.max()) / 2.0, u.MHz)
+            # mean of the per-channel band centers (reference :63-64)
+            centers = (f_low.to_value(u.MHz)
+                       + f_high.to_value(u.MHz)) / 2.0
+            reference_frequency = u.Quantity(float(np.mean(centers)),
+                                             u.MHz)
         self.reference_frequency = reference_frequency
 
         # Delay extremes across the whole band set the padding.
@@ -138,7 +141,7 @@ class Disperse(PaddedTaskBase):
         # baseband offsets -> sky frequency per (bin, channel...)
         offset = fft.frequency  # Quantity (nfreq, 1, ..)
         f_sky = self._freq + offset * self._sb
-        phase = self.dm.phase_delay(f_sky, self.reference_frequency)
+        phase = self._dm.phase_delay(f_sky, self.reference_frequency)
         cycles = np.asarray(phase.to_value(u.cycle), dtype=np.float64)
         cycles = cycles - np.round(cycles)
         factor = np.exp(2j * np.pi * cycles * np.asarray(self._sb))
@@ -201,6 +204,15 @@ class Disperse(PaddedTaskBase):
             out = out[:, 0]
         return out
 
+    @property
+    def dm(self):
+        return self._dm
+
+    @property
+    def dedispersion_measure(self):
+        return DispersionMeasure(-self._dm.to_value(u.DM), u.DM)
+
+
 class Dedisperse(Disperse):
     """Coherently dedisperse: remove the dispersion of ``dm``
     (sign-flip wrapper, reference dispersion.py:182-190)."""
@@ -218,8 +230,14 @@ class Dedisperse(Disperse):
                          pad_margin=pad_margin, engine=engine)
 
     @property
+    def dm(self):
+        # the reference's Dedisperse.dm returns the *positive* value
+        # passed in (dispersion.py:188-190): undo the internal negation
+        return DispersionMeasure(-self._dm.to_value(u.DM), u.DM)
+
+    @property
     def dedispersion_measure(self):
-        return DispersionMeasure(-self.dm.to_value(u.DM), u.DM)
+        return self._dm
 
 
 class DisperseSamples(ShiftSamples):
@@ -233,19 +251,28 @@ class DisperseSamples(ShiftSamples):
         if not isinstance(dm, DispersionMeasure):
             dm = DispersionMeasure(dm if not isinstance(dm, u.Quantity)
                                    else dm.to_value(u.DM))
-        self.dm = dm
+        self._dm = dm
         sample_shape = ih.sample_shape if ih.sample_shape else (1,)
         freq = u.Quantity(np.broadcast_to(
             np.asarray(frequency.value, dtype=np.float64), sample_shape),
             frequency.unit)
+        if ih.dtype.kind != "c":
+            # real data: labels are band edges; delays act at the
+            # mid-channel frequency (reference dispersion.py:236-238)
+            sb = np.broadcast_to(np.asarray(sideband), sample_shape)
+            freq = freq + sb * ih.sample_rate / 2.0
         if reference_frequency is None:
             reference_frequency = u.Quantity(
-                (freq.value.min() + freq.value.max()) / 2.0, freq.unit)
+                float(np.mean(freq.value)), freq.unit)
         self.reference_frequency = reference_frequency
         # Mid-channel delay -> whole-sample shift per channel.
         delay = dm.time_delay(freq, reference_frequency).to_value(u.s)
         shift = np.round(delay * ih.sample_rate.to_value(u.Hz)).astype(int)
         super().__init__(ih, shift, samples_per_frame=samples_per_frame)
+
+    @property
+    def dm(self):
+        return self._dm
 
 
 class DedisperseSamples(DisperseSamples):
@@ -263,5 +290,10 @@ class DedisperseSamples(DisperseSamples):
                          frequency=frequency, sideband=sideband)
 
     @property
+    def dm(self):
+        # positive value passed in (reference dispersion.py:298-300)
+        return DispersionMeasure(-self._dm.to_value(u.DM), u.DM)
+
+    @property
     def dedispersion_measure(self):
-        return DispersionMeasure(-self.dm.to_value(u.DM), u.DM)
+        return self._dm

@@ -170,7 +170,9 @@ def _table_dtype(header):
             shape = tuple(int(x) for x in
                           tdim.strip().strip("()").split(","))[::-1]
         else:
-            shape = (count,) if count > 1 else ()
+            # count == 0 (legal FITS: an absent column) must consume
+            # zero bytes, not a scalar slot
+            shape = (count,) if count != 1 else ()
         fields.append((name, base, shape) if shape else (name, base))
     return np.dtype(fields)
 

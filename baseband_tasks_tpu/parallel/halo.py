@@ -38,8 +38,12 @@ def halo_exchange(x, pad_start, pad_end, axis_name="time", periodic=False,
 
     if pad_start + pad_end == 0 or n_shards == 1:
         if pad_start or pad_end:
-            return jnp.concatenate(
-                [zeros(pad_start), x, zeros(pad_end)], axis=axis)
+            # a single periodic shard is its own neighbor: wrap edges
+            front = (edge(local_n - pad_start, local_n) if periodic
+                     else zeros(pad_start)) if pad_start else zeros(0)
+            back = (edge(0, pad_end) if periodic
+                    else zeros(pad_end)) if pad_end else zeros(0)
+            return jnp.concatenate([front, x, back], axis=axis)
         return x
     if pad_start > local_n or pad_end > local_n:
         raise ValueError(

@@ -67,9 +67,20 @@ class _PolyphaseFIR(PaddedTaskBase):
         def block_fast_len(size):
             return n * fast_len(-(-size // n))
 
-        super().__init__(ih, pad_start=0, pad_end=pad,
+        if pad % 2:
+            raise ValueError("(n_tap - 1) * n must be even (reference "
+                             "pfb.py:78)")
+        # centered pads: output spectra are stamped mid-FIR, matching
+        # the reference's (and instruments') time convention
+        # (reference pfb.py:80-84)
+        super().__init__(ih, pad_start=pad // 2, pad_end=pad // 2,
                          samples_per_frame=samples_per_frame,
                          next_fast_len=block_fast_len)
+        if self._samples_per_frame % n:
+            raise ValueError(
+                f"frame of {self._samples_per_frame} samples does not "
+                f"hold whole blocks of n={n} (stream too short?); pass "
+                f"samples_per_frame explicitly")
         # device-resident taps, broadcastable against trailing sample dims
         extra = len(ih.sample_shape)
         self._taps = jnp.asarray(
@@ -166,6 +177,15 @@ class InversePolyphaseFilterBank(PaddedTaskBase):
                          next_fast_len=block_fast_len)
         self._response = response
         self._gain_cache = None
+        # the forward PFB stamps spectra mid-FIR (centered pads); the
+        # reconstruction's content is aligned to the FIR window START,
+        # so shift the labels back by half the FIR span to make output
+        # sample t equal raw(t) (the reference reads its comparison
+        # data at pad*n + (n_tap-1)*n/2 for the same reason,
+        # tests/test_pfb.py:172-177)
+        self._start_time = self._start_time \
+            - self._samples_to_timedelta(1, self.sample_rate) \
+            * ((n_tap - 1) * n // 2)
         # plan the per-phase batch transforms through the active engine
         # (under 'pallas', pow2 windows run the four-step VMEM kernels)
         m = self._padded_samples_per_frame // n
@@ -184,7 +204,11 @@ class InversePolyphaseFilterBank(PaddedTaskBase):
         resp = np.zeros((m, self._n), dtype=np.float64)
         resp[:self._n_tap] = self._response
         hbar = np.conj(np.fft.fft(resp, axis=0))
-        gain = np.conj(hbar) / (np.abs(hbar) ** 2 + 1.0 / self._sn ** 2)
+        inv_sn2 = 1.0 / self._sn ** 2
+        # the (1 + 1/sn^2) factor keeps unit gain where |H| = 1
+        # (reference pfb.py:252-255)
+        gain = (np.conj(hbar) / (np.abs(hbar) ** 2 + inv_sn2)
+                * (1.0 + inv_sn2))
         return device_complex(gain.astype(np.complex64))
 
     def task(self, data):

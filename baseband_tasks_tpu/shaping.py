@@ -152,9 +152,10 @@ class GetSlice(BaseTaskBase):
         if isinstance(stop, Time):
             stop = ih._offset_from_time(stop)
         if start < 0:
-            start += n
+            start = max(start + n, 0)   # python slice semantics: clamp
         if stop < 0:
-            stop += n
+            stop = max(stop + n, 0)
+        start = min(start, n)
         stop = min(stop, n)
         if stop <= start:
             raise IndexError("empty time slice.")

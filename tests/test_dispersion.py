@@ -123,8 +123,10 @@ class TestCoherentDisperse:
         assert disp.reference_frequency.to_value(u.MHz) == pytest.approx(300.0)
         assert disp.dm.to_value(u.DM) == 1.0
         d2 = Dedisperse(sh, DM)
-        assert d2.dm.to_value(u.DM) == -1.0
-        assert d2.dedispersion_measure.to_value(u.DM) == 1.0
+        # the reference's Dedisperse.dm returns the +dm passed in
+        # (dispersion.py:188-190); the internal chirp uses its negation
+        assert d2.dm.to_value(u.DM) == 1.0
+        assert d2.dedispersion_measure.to_value(u.DM) == -1.0
 
     def test_start_time_shift(self):
         sh = SetAttribute(tone_burst(0.0, 8192), frequency=F0, sideband=1)
@@ -305,3 +307,46 @@ class TestRealInputAndEdgeCases:
         # the delay to an out-of-band reference is generally fractional,
         # so the unit impulse interpolates across neighbors: check energy
         assert (np.abs(x[97:104]) ** 2).sum() > 0.99
+
+
+class TestRealDataConventions:
+    """Real-dtype band-edge and mid-channel conventions (reference
+    dispersion.py:55-64, 236-247)."""
+
+    def test_real_band_edges_use_half_rate(self):
+        def real_noise(sh):
+            import jax.numpy as jnp
+            return jnp.zeros((sh.samples_per_frame,) + sh.sample_shape,
+                             jnp.float32)
+        sh = StreamGenerator(real_noise, (16384,), START, 1 * u.MHz,
+                             samples_per_frame=16384, dtype=np.float32)
+        sh = SetAttribute(sh, frequency=300 * u.MHz, sideband=1)
+        d = Disperse(sh, DM, pad_margin=0)
+        # band = [300, 300.5] MHz -> default reference at its center
+        assert d.reference_frequency.to_value(u.MHz) \
+            == pytest.approx(300.25)
+        # pads follow delays at the band edges relative to the center
+        dm = DispersionMeasure(1.0)
+        dmax = dm.time_delay(300.0 * u.MHz,
+                             300.25 * u.MHz).to_value(u.s) * 1e6
+        assert d.pad_start == int(np.ceil(dmax))
+
+    def test_incoherent_mid_channel_for_real(self):
+        def real_noise(sh):
+            import jax.numpy as jnp
+            return jnp.zeros((sh.samples_per_frame,) + sh.sample_shape,
+                             jnp.float32)
+        sh = StreamGenerator(real_noise, (4096, 4), START, 1 * u.MHz,
+                             samples_per_frame=1024, dtype=np.float32)
+        freqs = np.array([300., 301., 302., 303.])
+        sh = SetAttribute(sh, frequency=u.Quantity(freqs, u.MHz),
+                          sideband=1)
+        d = DisperseSamples(sh, DM)
+        # delays evaluated at mid-channel (f + rate/2), reference at
+        # their mean
+        mid = freqs + 0.5
+        assert d.reference_frequency.to_value(u.MHz) \
+            == pytest.approx(mid.mean())
+        assert d.dm.to_value(u.DM) == 1.0
+        d2 = DedisperseSamples(sh, DM)
+        assert d2.dm.to_value(u.DM) == 1.0

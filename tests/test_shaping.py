@@ -124,3 +124,21 @@ class TestGetSlice:
         gs = sh[100:300]
         gs.seek(50)
         assert abs((gs.time - START).sec - 0.15) < 1e-12
+
+
+class TestGetSliceClamping:
+    def test_negative_start_clamps_like_python(self):
+        def counter(sh):
+            import jax.numpy as jnp
+            o = sh.tell()
+            n = min(sh.samples_per_frame, sh.shape[0] - o)
+            return jnp.arange(o, o + n, dtype=jnp.float32)[:, None] \
+                * jnp.ones((1, 2))
+        sh = StreamGenerator(counter, (5, 2), START, 1 * u.kHz,
+                             samples_per_frame=5, dtype=np.float32)
+        sliced = sh[-12:]
+        assert sliced.shape[0] == 5      # list[-12:] of a 5-list
+        np.testing.assert_array_equal(
+            np.asarray(sliced.read())[:, 0], np.arange(5))
+        with pytest.raises(IndexError):
+            sh[:-12]                      # empty slice
