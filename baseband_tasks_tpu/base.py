@@ -199,12 +199,9 @@ class Base:
         return self._tell_time(self._offset)
 
     def _tell_time(self, offset):
-        rate = self._sample_rate.to_value(u.Hz)
         from .utils.time import TimeDelta
-        hi = offset / rate
-        # two-product correction: offset = hi*rate + err
-        err = (offset - hi * rate) / rate
-        return self._start_time + TimeDelta.from_sec(hi, err)
+        return self._start_time + TimeDelta.from_samples(
+            offset, self._sample_rate.to_value(u.Hz))
 
     # -- seek / tell -----------------------------------------------------
     def seek(self, offset, whence=0):
@@ -223,6 +220,7 @@ class Base:
             else:
                 offset = offset.to_value(u.one)
             offset = int(round(offset))
+        offset = operator.index(offset)  # reject floats loudly, now
         if whence == 0 or whence == "start":
             self._offset = offset
         elif whence == 1 or whence == "current":
@@ -262,7 +260,9 @@ class Base:
         if self._offset < 0:
             raise OSError("cannot read from before the start of input.")
         samples_left = self._shape[0] - self._offset
-        if count is None or (isinstance(count, int) and count < 0):
+        if count is not None:
+            count = operator.index(count)
+        if count is None or count < 0:
             count = max(samples_left, 0)
         if count > samples_left:
             raise EOFError("cannot read from beyond end of input.")
@@ -321,6 +321,8 @@ class Base:
             time_part, rest = item[0], item[1:]
             base = self if time_part == slice(None) \
                 else GetSlice(self, time_part)
+            if not rest:       # sh[:10,] — trailing comma, numpy-style
+                return base
             return GetItem(base, rest if len(rest) > 1 else rest[0])
         return GetItem(self, item)
 
@@ -465,7 +467,7 @@ class TaskBase(BaseTaskBase):
         p, q = ratio.numerator, ratio.denominator
         if ih_samples_per_frame is None:
             if samples_per_frame is not None:
-                ih_samples_per_frame = int(samples_per_frame * q / p)
+                ih_samples_per_frame = samples_per_frame * q // p
             else:
                 ih_samples_per_frame = getattr(ih, "samples_per_frame", 1)
                 ih_samples_per_frame = max(ih_samples_per_frame // q, 1) * q
@@ -605,10 +607,7 @@ class PaddedTaskBase(TaskBase):
     @staticmethod
     def _samples_to_timedelta(n, sample_rate):
         from .utils.time import TimeDelta
-        rate = sample_rate.to_value(u.Hz)
-        hi = n / rate
-        err = (n - hi * rate) / rate
-        return TimeDelta.from_sec(hi, err)
+        return TimeDelta.from_samples(n, sample_rate.to_value(u.Hz))
 
     @property
     def pad_start(self):

@@ -202,7 +202,12 @@ class Integrate(BaseTaskBase):
         """Input sample offsets (relative to _ih_start) of given bin edges."""
         bins = np.asarray(bins, dtype=np.float64)
         if self._mode != "phase":
-            return np.round(bins * self._samples_per_bin).astype(np.int64)
+            n_avail = self.ih.shape[0] - self._ih_start
+            # the bin-count floor uses a small fudge, so the last edge
+            # can land one sample past the stream: clamp
+            return np.minimum(
+                np.round(bins * self._samples_per_bin).astype(np.int64),
+                n_avail)
         # Iterative inversion of the phase model (reference
         # integration.py:174-228): find t with phase(t) = phase0 + b*step.
         ih_rate = self.ih.sample_rate.to_value(u.Hz)
@@ -255,21 +260,23 @@ class Integrate(BaseTaskBase):
         edges = edges - start
 
         sums = jnp.zeros((n_bins,) + self.ih.sample_shape, self._acc_dtype())
-        counts = jnp.zeros((n_bins,), jnp.int32)
+        # device pieces count in int32; the running total accumulates on
+        # the host in int64, so bins beyond 2^31 samples cannot wrap
+        counts = np.zeros((n_bins,), np.int64)
         state = [sums, counts]
 
         def accumulate(first, data):
             idx0 = first - start
-            piece_bins = np.searchsorted(edges, idx0 + np.arange(len(data)),
-                                         side="right") - 1
-            piece_bins = jnp.asarray(
-                np.clip(piece_bins, 0, n_bins - 1).astype(np.int32))
+            piece_np = np.clip(
+                np.searchsorted(edges, idx0 + np.arange(len(data)),
+                                side="right") - 1, 0, n_bins - 1)
+            piece_bins = jnp.asarray(piece_np.astype(np.int32))
             state[0] = state[0] + jax.ops.segment_sum(
                 jnp.asarray(data).astype(self._acc_dtype()), piece_bins,
                 num_segments=n_bins)
-            state[1] = state[1] + jax.ops.segment_sum(
-                jnp.ones(len(data), jnp.int32), piece_bins,
-                num_segments=n_bins)
+            # counts are known on the host: tally there in int64
+            state[1] = state[1] + np.bincount(piece_np,
+                                              minlength=n_bins)
 
         fake = _FakeOutput(accumulate, first_sample=start)
         self.ih.seek(self._ih_start + start)

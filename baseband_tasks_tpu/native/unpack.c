@@ -64,9 +64,15 @@ void pack_2bit(const float *in, size_t n, const float *thresholds,
         uint8_t b = 0;
         for (int k = 0; k < 4; k++) {
             size_t j = 4 * i + k;
-            float v = (j < n) ? in[j] : 0.0f;
-            uint8_t code = (v >= thresholds[0]) + (v >= thresholds[1])
-                + (v >= thresholds[2]);
+            /* tail padding is code 0, matching the numpy fallback --
+             * 0.0f would quantize through the thresholds instead */
+            uint8_t code = 0;
+            if (j < n) {
+                float v = in[j];
+                code = (uint8_t)((v >= thresholds[0])
+                                 + (v >= thresholds[1])
+                                 + (v >= thresholds[2]));
+            }
             b |= (uint8_t)(code << (2 * k));
         }
         out[i] = b;

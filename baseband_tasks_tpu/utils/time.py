@@ -62,6 +62,19 @@ class TimeDelta:
         return cls(np.asarray(sec1, dtype=np.float64) / SECONDS_PER_DAY,
                    np.asarray(sec2, dtype=np.float64) / SECONDS_PER_DAY)
 
+    @classmethod
+    def from_samples(cls, n, rate_hz):
+        """Exact two-double duration of ``n`` samples at ``rate_hz``.
+
+        Two-product correction: hi = n/rate rounds once; err recovers
+        the residue so hi + err == n/rate to full double-double
+        precision (the shared sample<->time conversion used by stream
+        bookkeeping; CLAUDE.md: never bare float64 seconds)."""
+        rate_hz = float(rate_hz)
+        hi = n / rate_hz
+        err = (n - hi * rate_hz) / rate_hz
+        return cls.from_sec(hi, err)
+
     @property
     def jd(self):
         return self.d1 + self.d2
@@ -315,19 +328,25 @@ class Time:
         return NotImplemented
 
     def _cmp(self, other):
+        if not isinstance(other, Time):
+            return NotImplemented
         return (self.jd1 - other.jd1) + (self.jd2 - other.jd2)
 
     def __lt__(self, other):
-        return self._cmp(other) < 0
+        d = self._cmp(other)
+        return NotImplemented if d is NotImplemented else d < 0
 
     def __le__(self, other):
-        return self._cmp(other) <= 0
+        d = self._cmp(other)
+        return NotImplemented if d is NotImplemented else d <= 0
 
     def __gt__(self, other):
-        return self._cmp(other) > 0
+        d = self._cmp(other)
+        return NotImplemented if d is NotImplemented else d > 0
 
     def __ge__(self, other):
-        return self._cmp(other) >= 0
+        d = self._cmp(other)
+        return NotImplemented if d is NotImplemented else d >= 0
 
     def __eq__(self, other):
         if not isinstance(other, Time):

@@ -283,7 +283,17 @@ class Quantity:
         return np.asarray(self.value * self.unit.scale, dtype=dtype)
 
     # -- arithmetic ------------------------------------------------------
+    @staticmethod
+    def _defer(other):
+        """Operands with their own time semantics (Time/TimeDelta
+        define __radd__/__rmul__ etc. for Quantity) must get Python's
+        reflected-operator fallback, not be wrapped as dimensionless."""
+        from .time import Time, TimeDelta
+        return isinstance(other, (Time, TimeDelta))
+
     def __add__(self, other):
+        if self._defer(other):
+            return NotImplemented
         other = _as_quantity(other)
         return Quantity(self.value + other.to_value(self.unit), self.unit)
 
@@ -291,14 +301,20 @@ class Quantity:
         return self.__add__(other)
 
     def __sub__(self, other):
+        if self._defer(other):
+            return NotImplemented
         other = _as_quantity(other)
         return Quantity(self.value - other.to_value(self.unit), self.unit)
 
     def __rsub__(self, other):
+        if self._defer(other):
+            return NotImplemented
         other = _as_quantity(other)
         return Quantity(other.to_value(self.unit) - self.value, self.unit)
 
     def __mul__(self, other):
+        if self._defer(other):
+            return NotImplemented
         if isinstance(other, Unit):
             return Quantity(self.value, self.unit * other)
         other = _as_quantity(other)

@@ -52,3 +52,21 @@ class TestNative:
         vals[3::4] = raw >> 6
         slow = levels[vals]
         np.testing.assert_array_equal(fast, slow)
+
+
+def test_pack_2bit_tail_padding_matches_fallback():
+    """Tail samples (n % 4 != 0) pad with code 0 in both the C library
+    and the numpy fallback, so packed bytes are identical regardless of
+    which implementation ran."""
+    from baseband_tasks_tpu import native
+    thr = np.array([-2.0, 0.0, 2.0], np.float32)
+    x = np.array([-3.0, 3.0, -3.0], np.float32)   # n % 4 == 3
+    via_lib = native.pack_2bit(x, thr)
+    # numpy fallback: digitize + pad code 0 (mirror of the <no-compiler>
+    # branch in native.pack_2bit)
+    idx = np.digitize(x, thr).astype(np.uint8)
+    idx = np.concatenate([idx, np.zeros(1, np.uint8)])
+    via_np = (idx[0::4] | (idx[1::4] << 2) | (idx[2::4] << 4)
+              | (idx[3::4] << 6))
+    np.testing.assert_array_equal(via_lib, via_np)
+    assert via_lib[0] & 0b11000000 == 0           # padded slot = code 0
