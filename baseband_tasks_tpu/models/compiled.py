@@ -97,6 +97,7 @@ class CompiledPipeline:
     """
 
     def __init__(self, tail, *, block_samples=None):
+        self._run_cache = {}  # n_blocks -> compiled run closure
         # Split off a trailing reduction (Integrate and subclasses).
         self.reduction = None
         if isinstance(tail, Integrate):
@@ -507,6 +508,38 @@ class CompiledPipeline:
         ids = np.where(valid, ids, n_seg)
         return ids, n_seg
 
+    def segment_ids_f(self, n_blocks, tail_offset=0):
+        """Device-ready per-block segment-id planes for the absorbed
+        reduction: ``(ids_f, n_seg)`` with ``ids_f`` of shape
+        ``(n_blocks, tail_block, 1 or 2)`` float32 (the axon device
+        boundary transfers float32 only; ids >= 2^24 ship as an exact
+        12-bit hi/lo split).  ``tail_offset`` shifts the eager timeline
+        by whole tail samples (for resumed runs)."""
+        if self.delay != int(self.delay):
+            raise ValueError(
+                "cannot absorb a reduction after a fractional-delay "
+                "chain; choose frame sizes with integral delay")
+        ids, n_seg = self._segment_ids(tail_offset - int(self.delay),
+                                       n_blocks * self.tail_block)
+        # samples still inside the carry warmup map to valid eager
+        # indices but hold garbage — trash them.  From tail_offset 0 the
+        # first ``delay`` samples already land at negative eager indices
+        # (invalid); a resumed run starts with fresh carries, so its full
+        # ``warmup`` window is garbage.
+        w_extra = (self.warmup - int(self.delay) if tail_offset == 0
+                   else self.warmup)
+        if w_extra > 0:
+            ids = ids.copy()
+            ids[:w_extra] = n_seg
+        ids2 = ids.reshape(n_blocks, self.tail_block)
+        if n_seg < (1 << 24):
+            ids_f = jnp.asarray(ids2.astype(np.float32)[..., np.newaxis])
+        else:
+            ids_f = jnp.asarray(np.stack(
+                [(ids2 >> 12).astype(np.float32),
+                 (ids2 & 0xFFF).astype(np.float32)], axis=-1))
+        return ids_f, n_seg
+
     def run_fn(self, n_blocks):
         """Jitted scan over ``n_blocks`` source blocks.
 
@@ -519,10 +552,16 @@ class CompiledPipeline:
         ``run(blocks) -> (sums, counts)`` with the same bin layout as the
         eager node's non-averaged read ((bins, [n_phase,] ...) data and
         counts); averaging divides afterwards (`run_reduced` does both).
+
+        The returned closure (and its jit executable) is cached per
+        ``n_blocks``, so repeated calls with the same block count reuse
+        one compile and one segment-id table.
         """
+        cached = self._run_cache.get(int(n_blocks))
+        if cached is not None:
+            return cached
         step_c, cache_leaves = self.cached_step()
         red = self.reduction
-        multi = len(self.sources) > 1
 
         if red is None:
             @jax.jit
@@ -532,33 +571,14 @@ class CompiledPipeline:
                     lambda c, x: step_c(c, x, caches), carry, blocks)
                 return ys.reshape((-1,) + ys.shape[2:])
 
-            return lambda blocks: jrun(blocks, *cache_leaves)
+            fn = lambda blocks: jrun(blocks, *cache_leaves)  # noqa: E731
+            self._run_cache[int(n_blocks)] = fn
+            return fn
 
         # host-precomputed per-block segment ids (f32 planes: the axon
         # device boundary transfers float32 only).  Compiled sample k is
         # eager sample k - delay; warmup samples land in the trash bin.
-        if self.delay != int(self.delay):
-            raise ValueError(
-                "cannot absorb a reduction after a fractional-delay "
-                "chain; choose frame sizes with integral delay")
-        ids, n_seg = self._segment_ids(-int(self.delay),
-                                       n_blocks * self.tail_block)
-        # samples still inside a slower combine branch's carry warmup
-        # map to valid eager indices but hold garbage — trash them too
-        w_extra = self.warmup - int(self.delay)
-        if w_extra > 0:
-            ids = ids.copy()
-            ids[:w_extra] = n_seg
-        ids2 = ids.reshape(n_blocks, self.tail_block)
-        if n_seg < (1 << 24):
-            ids_f = jnp.asarray(ids2.astype(np.float32)[..., np.newaxis])
-        else:
-            # ids above 2^24 are not exactly representable in the f32
-            # planes the axon device boundary requires: ship a 12-bit
-            # split (hi, lo), each exactly representable
-            ids_f = jnp.asarray(np.stack(
-                [(ids2 >> 12).astype(np.float32),
-                 (ids2 & 0xFFF).astype(np.float32)], axis=-1))
+        ids_f, n_seg = self.segment_ids_f(n_blocks)
         acc_dtype = red._acc_dtype()
         sample_shape = self._tail.sample_shape
 
@@ -589,7 +609,9 @@ class CompiledPipeline:
             return (self._shape_reduced(sums[:-1]),
                     self._shape_reduced_counts(counts[:-1]))
 
-        return lambda blocks: jrun(blocks, ids_f, *cache_leaves)
+        fn = lambda blocks: jrun(blocks, ids_f, *cache_leaves)  # noqa: E731
+        self._run_cache[int(n_blocks)] = fn
+        return fn
 
     def _shape_reduced(self, sums):
         red = self.reduction

@@ -161,6 +161,11 @@ def fx_correlate(streams, n_chan, n_avg, *, delays=None, lo=None,
         raise ValueError(f"method={method!r} must be 'sinc' or 'phase'")
     anchor = streams[0].start_time
     rate_hz = float(streams[0].sample_rate.to_value(u.Hz))
+    for k, s in enumerate(streams[1:], start=1):
+        if float(s.sample_rate.to_value(u.Hz)) != rate_hz:
+            raise ValueError(
+                f"stations must share one sample rate; stream {k} has "
+                f"{s.sample_rate} vs stream 0's {streams[0].sample_rate}")
     channelized = []
     for k, s in enumerate(streams):
         d = None if delays is None else delays[k]

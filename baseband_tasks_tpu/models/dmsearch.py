@@ -91,15 +91,15 @@ class DMTrialSearch:
         self._phase_r = jnp.asarray(phase.real)
         self._phase_i = jnp.asarray(phase.imag)
         self._jsearch = jax.jit(self._search_impl)
+        self._detect_cache = {}  # widths tuple -> jitted boxcar kernel
 
     def _search_impl(self, power, pr, pi):
         ft = jnp.fft.rfft(power.astype(jnp.float32), axis=0)
         fr = jnp.real(ft)
         fi = jnp.imag(ft)
+
         # D(f, j) = sum_c F(f, c)·(pr + i·pi)(f, c, j): two real batched
         # matmuls on the MXU (batch = frequency bin)
-        dn = (((0,), (0,)), ((0,), (0,)))  # contract chan, batch freq
-
         def bmm(a, b):
             return jax.lax.dot_general(
                 a[:, None, :], b, dimension_numbers=(((2,), (1,)),
@@ -141,6 +141,10 @@ class DMTrialSearch:
         valid = self.n_time - self.max_delay_samples
         d = d[:valid]
         widths = tuple(int(w) for w in widths)
+        cached = self._detect_cache.get(widths)
+        if cached is not None:
+            snr, bw = cached(d)
+            return np.asarray(snr), np.asarray(bw)
 
         @jax.jit
         def _detect(d):
@@ -164,6 +168,7 @@ class DMTrialSearch:
                 best_w = jnp.where(take, jnp.float32(w), best_w)
             return best_snr, best_w
 
+        self._detect_cache[widths] = _detect
         snr, bw = _detect(d)
         return np.asarray(snr), np.asarray(bw)
 
@@ -179,6 +184,11 @@ class DMTrialSearch:
         if count is None:
             count = n_avail
         count = min(count, n_avail)
+        if count <= 0:
+            raise ValueError(
+                f"no valid output available: the stream must have more "
+                f"than max_delay_samples ({self.max_delay_samples}) "
+                f"samples beyond the current position")
         outs = []
         got = 0
         while got < count:

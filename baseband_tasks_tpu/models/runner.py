@@ -59,6 +59,27 @@ class StreamRunner:
 
         self._jstep = jstep
 
+        if cp.reduction is not None:
+            # absorbed Integrate/Fold: per block, segment-sum the tail
+            # output into the bin accumulators (same device math as
+            # CompiledPipeline.run_fn's reduced scan)
+            @jax.jit
+            def jreduce(sums, counts, y, idf):
+                if idf.shape[-1] == 2:
+                    seg = (idf[..., 0].astype(jnp.int32) << 12) \
+                        | idf[..., 1].astype(jnp.int32)
+                else:
+                    seg = idf[..., 0].astype(jnp.int32)
+                sums = sums + jax.ops.segment_sum(
+                    y.astype(sums.dtype), seg,
+                    num_segments=sums.shape[0])
+                counts = counts + jax.ops.segment_sum(
+                    jnp.ones(y.shape[0], jnp.int32), seg,
+                    num_segments=counts.shape[0])
+                return sums, counts
+
+            self._jreduce = jreduce
+
     def _reader(self, n_blocks, offset, q, stop):
         src = self.cp.source
         block = self.cp.block_samples
@@ -89,8 +110,27 @@ class StreamRunner:
                     continue
 
     def run(self, n_blocks, offset=0):
-        """Process ``n_blocks`` source blocks; returns the concatenated
-        tail-rate output (device array)."""
+        """Process ``n_blocks`` source blocks.
+
+        Without an absorbed reduction, returns the concatenated tail-rate
+        output (device array).  With one (the graph was built from an
+        ``Integrate``/``Fold``/``PulseStack`` tail), returns the same
+        ``(sums, counts)`` accumulators as
+        ``CompiledPipeline.run_fn(n_blocks)`` — the reduction is applied
+        per block as it streams; ``offset`` must then be a whole number
+        of source blocks so the eager timeline stays block-aligned.
+        """
+        red = self.cp.reduction
+        if red is not None:
+            if offset % self.cp.block_samples:
+                raise ValueError(
+                    "with an absorbed reduction, offset must be a "
+                    f"multiple of block_samples ({self.cp.block_samples})")
+            tail_off = offset // self.cp.block_samples * self.cp.tail_block
+            ids_f, n_seg = self.cp.segment_ids_f(n_blocks, tail_off)
+            sums = jnp.zeros((n_seg + 1,) + self.cp._tail.sample_shape,
+                             red._acc_dtype())
+            counts = jnp.zeros((n_seg + 1,), jnp.int32)
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         t = threading.Thread(target=self._reader,
@@ -99,13 +139,19 @@ class StreamRunner:
         carry = self.cp.init_carry()
         outs = []
         try:
-            for _ in range(n_blocks):
+            for i in range(n_blocks):
                 item = q.get()
                 if isinstance(item, Exception):
                     raise item
                 carry, y = self._jstep(carry, item, *self._caches)
-                outs.append(y)
+                if red is not None:
+                    sums, counts = self._jreduce(sums, counts, y, ids_f[i])
+                else:
+                    outs.append(y)
         finally:
             stop.set()
             t.join(timeout=60)
+        if red is not None:
+            return (self.cp._shape_reduced(sums[:-1]),
+                    self.cp._shape_reduced_counts(counts[:-1]))
         return jnp.concatenate(outs, axis=0)

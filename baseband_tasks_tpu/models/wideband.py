@@ -306,6 +306,46 @@ class WidebandPulsarPipeline:
         return jnp.stack([p[:, 0, :, 0], p[:, 0, :, 1],
                           p[:, 1, :, 0], p[:, 2, :, 0]], axis=-1)
 
+    def _dedisperse_detect_xla_step(self, xf, chirp_f, T):
+        """Halo-extend, FFT·chirp·IFFT, trim pads, detect (XLA path)."""
+        x = jax.lax.complex(xf[..., 0], xf[..., 1])
+        chirp = jax.lax.complex(chirp_f[..., 0], chirp_f[..., 1])
+        w = halo_exchange(x, self.pad_start, self.pad_end, "time")
+        y = jnp.fft.ifft(jnp.fft.fft(w, axis=0) * chirp, axis=0)
+        y = jax.lax.dynamic_slice_in_dim(y, self.pad_start, T, axis=0)
+        return self._detect_xla(y)
+
+    def _dedisperse_detect_pow2(self, w4, csr, csi, T):
+        """Padded window (n_fft, C, P, 2) pairs -> detected power for the
+        ``T`` valid samples, via the fused pallas pow2 kernels."""
+        from ..ops.dedisperse_pallas import dedisperse_pow2
+        n_fft, c_local, n_pol = w4.shape[:3]
+        wr = w4[..., 0].reshape(n_fft, c_local * n_pol)
+        wi = w4[..., 1].reshape(n_fft, c_local * n_pol)
+        cs = (csr.reshape(csr.shape[0], csr.shape[1], -1),
+              csi.reshape(csi.shape[0], csi.shape[1], -1))
+        if self.detect == "power":
+            p = dedisperse_pow2(wr, wi, *cs, power=True)
+            power = p.reshape(n_fft, c_local, n_pol)
+        else:
+            yr, yi = dedisperse_pow2(wr, wi, *cs, power=False)
+            y = jax.lax.complex(yr, yi).reshape(n_fft, c_local, n_pol)
+            power = self._detect_xla(y)
+        return jax.lax.dynamic_slice_in_dim(power, self.pad_start, T,
+                                            axis=0)
+
+    def _profile_epilogue(self, prof, cnt, c_local, n_pol):
+        """Fused-kernel epilogue: trim the trash bin, assemble the stokes
+        lane layout, and psum across time shards."""
+        if self.detect == "stokes":
+            prof = self._assemble_stokes(prof[:self.n_phase], c_local,
+                                         n_pol)
+        else:
+            prof = prof[:self.n_phase].reshape(self.n_phase, c_local,
+                                               n_pol)
+        return (jax.lax.psum(prof, "time"),
+                jax.lax.psum(cnt[:self.n_phase], "time"))
+
     def _local_step(self, xf, chirp_f, foldv):
         """Per-shard computation.
 
@@ -317,13 +357,7 @@ class WidebandPulsarPipeline:
             transfer boundary).
         """
         T = xf.shape[0]
-        x = jax.lax.complex(xf[..., 0], xf[..., 1])
-        chirp = jax.lax.complex(chirp_f[..., 0], chirp_f[..., 1])
-        w = halo_exchange(x, self.pad_start, self.pad_end, "time")
-        X = jnp.fft.fft(w, axis=0)
-        y = jnp.fft.ifft(X * chirp, axis=0)
-        y = jax.lax.dynamic_slice_in_dim(y, self.pad_start, T, axis=0)
-        power = self._detect_xla(y)                      # detection
+        power = self._dedisperse_detect_xla_step(xf, chirp_f, T)
         shard = jax.lax.axis_index("time")
         fold3 = self._shard_fold3(foldv, shard, T, include_pad=False)
         bins = self._fold_bins(fold3, T)
@@ -338,30 +372,10 @@ class WidebandPulsarPipeline:
 
         csr, csi : (N2, N1, C_local, P) float32 chirp storage planes.
         """
-        from ..ops.dedisperse_pallas import dedisperse_pow2
         T = xf.shape[0]
         # halo-extend the f32 pairs directly; complex never materializes
         w4 = halo_exchange(xf, self.pad_start, self.pad_end, "time")
-        n_fft, c_local, n_pol = w4.shape[:3]
-        wr = w4[..., 0].reshape(n_fft, c_local * n_pol)
-        wi = w4[..., 1].reshape(n_fft, c_local * n_pol)
-        if self.detect == "power":
-            p = dedisperse_pow2(
-                wr, wi,
-                csr.reshape(csr.shape[0], csr.shape[1], -1),
-                csi.reshape(csi.shape[0], csi.shape[1], -1),
-                power=True)
-            power = p.reshape(n_fft, c_local, n_pol)
-        else:
-            yr, yi = dedisperse_pow2(
-                wr, wi,
-                csr.reshape(csr.shape[0], csr.shape[1], -1),
-                csi.reshape(csi.shape[0], csi.shape[1], -1),
-                power=False)
-            y = jax.lax.complex(yr, yi).reshape(n_fft, c_local, n_pol)
-            power = self._detect_xla(y)
-        power = jax.lax.dynamic_slice_in_dim(power, self.pad_start, T,
-                                             axis=0)
+        power = self._dedisperse_detect_pow2(w4, csr, csi, T)
         shard = jax.lax.axis_index("time")
         fold3 = self._shard_fold3(foldv, shard, T, include_pad=False)
         bins = self._fold_bins(fold3, T)
@@ -404,17 +418,9 @@ class WidebandPulsarPipeline:
             csi.reshape(csi.shape[0], csi.shape[1], -1),
             fold3, scale, stokes=self.detect == "stokes",
             n_phase=self.n_phase, pad_start=self.pad_start, n_valid=T)
-        if self.detect == "stokes":
-            prof = self._assemble_stokes(prof[:self.n_phase], c_local,
-                                         n_pol)
-        else:
-            prof = prof[:self.n_phase].reshape(self.n_phase, c_local,
-                                               n_pol)
-        prof = jax.lax.psum(prof, "time")
-        cnt = jax.lax.psum(cnt[:self.n_phase], "time")
-        return prof, cnt
+        return self._profile_epilogue(prof, cnt, c_local, n_pol)
 
-    def _local_step_pallas_split_packed(self, cr, ci, csr, csi, off,
+    def _local_step_pallas_split_packed(self, bits, cr, ci, csr, csi, off,
                                         foldv):
         """Packed 1/2/4/8-bit ingest step with the decode FUSED into K1.
 
@@ -430,7 +436,6 @@ class WidebandPulsarPipeline:
         """
         from ..ops.dedisperse_pallas import dedisperse_fold_split_packed
         from ..ops.unpack_device import plane_edges_device
-        bits = self._ingest_bits
         per = 32 // bits
         tq, c_local, n_pol = cr.shape
         T = tq * per
@@ -461,15 +466,7 @@ class WidebandPulsarPipeline:
             csi.reshape(csi.shape[0], csi.shape[1], -1),
             fold3, scale, bits=bits, stokes=self.detect == "stokes",
             n_phase=self.n_phase, pad_start=ps, n_valid=T)
-        if self.detect == "stokes":
-            prof = self._assemble_stokes(prof[:self.n_phase], c_local,
-                                         n_pol)
-        else:
-            prof = prof[:self.n_phase].reshape(self.n_phase, c_local,
-                                               n_pol)
-        prof = jax.lax.psum(prof, "time")
-        cnt = jax.lax.psum(cnt[:self.n_phase], "time")
-        return prof, cnt
+        return self._profile_epilogue(prof, cnt, c_local, n_pol)
 
     def _local_step_pallas_split(self, xr, xi, csr, csi, off, foldv):
         """Split-plane fused step: like :meth:`_local_step_pallas_planes`
@@ -495,15 +492,7 @@ class WidebandPulsarPipeline:
             csi.reshape(csi.shape[0], csi.shape[1], -1),
             fold3, scale, stokes=self.detect == "stokes",
             n_phase=self.n_phase, pad_start=self.pad_start, n_valid=T)
-        if self.detect == "stokes":
-            prof = self._assemble_stokes(prof[:self.n_phase], c_local,
-                                         n_pol)
-        else:
-            prof = prof[:self.n_phase].reshape(self.n_phase, c_local,
-                                               n_pol)
-        prof = jax.lax.psum(prof, "time")
-        cnt = jax.lax.psum(cnt[:self.n_phase], "time")
-        return prof, cnt
+        return self._profile_epilogue(prof, cnt, c_local, n_pol)
 
     def _sharded_and_chirp(self):
         """(sharded_fn, chirp_args) for the current mode."""
@@ -563,38 +552,10 @@ class WidebandPulsarPipeline:
         chirp_args, bins_f = args[:-1], args[-1]
         T = xf.shape[0]
         if self.use_pallas:
-            from ..ops.dedisperse_pallas import dedisperse_pow2
             w4 = halo_exchange(xf, self.pad_start, self.pad_end, "time")
-            n_fft, c_local, n_pol = w4.shape[:3]
-            wr = w4[..., 0].reshape(n_fft, c_local * n_pol)
-            wi = w4[..., 1].reshape(n_fft, c_local * n_pol)
-            csr, csi = chirp_args
-            if self.detect == "power":
-                p = dedisperse_pow2(
-                    wr, wi,
-                    csr.reshape(csr.shape[0], csr.shape[1], -1),
-                    csi.reshape(csi.shape[0], csi.shape[1], -1),
-                    power=True)
-                power = p.reshape(n_fft, c_local, n_pol)
-            else:
-                yr, yi = dedisperse_pow2(
-                    wr, wi,
-                    csr.reshape(csr.shape[0], csr.shape[1], -1),
-                    csi.reshape(csi.shape[0], csi.shape[1], -1),
-                    power=False)
-                y = jax.lax.complex(yr, yi).reshape(n_fft, c_local,
-                                                    n_pol)
-                power = self._detect_xla(y)
-            power = jax.lax.dynamic_slice_in_dim(power, self.pad_start, T,
-                                                 axis=0)
+            power = self._dedisperse_detect_pow2(w4, *chirp_args, T)
         else:
-            (chirp_f,) = chirp_args
-            x = jax.lax.complex(xf[..., 0], xf[..., 1])
-            chirp = jax.lax.complex(chirp_f[..., 0], chirp_f[..., 1])
-            w = halo_exchange(x, self.pad_start, self.pad_end, "time")
-            y = jnp.fft.ifft(jnp.fft.fft(w, axis=0) * chirp, axis=0)
-            y = jax.lax.dynamic_slice_in_dim(y, self.pad_start, T, axis=0)
-            power = self._detect_xla(y)
+            power = self._dedisperse_detect_xla_step(xf, chirp_args[0], T)
         from ..ops import fold_accumulate
         bins = jnp.clip(bins_f.astype(jnp.int32), 0, self.n_phase - 1)
         prof, cnt = fold_accumulate(power, bins, self.n_phase)
@@ -682,7 +643,6 @@ class WidebandPulsarPipeline:
                 raise ValueError(
                     f"{ingest_bits}-bit ingest needs the window main rows "
                     f"({nm}) divisible by {per}; adjust block_samples")
-            self._ingest_bits = ingest_bits
         if self.fold_model is not None:
             fold_table = jnp.asarray(self.fold_model.table(
                 offset0 + np.arange(n_iter) * T, T))
@@ -693,7 +653,11 @@ class WidebandPulsarPipeline:
             # stage-A kernel from block + halo edges, the per-iteration
             # scale is applied there from SMEM, and re/im travel as two
             # flat arrays (full-bandwidth layout)
-            local = (self._local_step_pallas_split_packed if ingest_bits
+            # bind the bit depth into the step (not via self: a later
+            # run_fn call must not retroactively change a closure that
+            # has not been traced yet)
+            local = (functools.partial(self._local_step_pallas_split_packed,
+                                       ingest_bits) if ingest_bits
                      else self._local_step_pallas_split)
             sharded = jax.shard_map(
                 local, mesh=self.mesh,

@@ -1041,13 +1041,18 @@ def _choose_blocks(n, n1, n2, L, block_b, block_c, sub16=False):
         block_b = int(os.environ.get("BBT_PALLAS_BLOCK_B", 0)) \
             or max(1, min(8, n2))
     if block_c is None:
-        budget = 24 << 20
-        block_c = int(os.environ.get("BBT_PALLAS_BLOCK_C", 0)) \
-            or max(1, min(8, n1, budget // (n2 * L * 4 * 12)))
-        if sub16 and n1 % 16 == 0:
-            # 2-byte intermediates tile as (16, 128): an 8-wide K2 tile
-            # would be half-padded on every load/store
-            block_c = max(block_c, 16)
+        block_c = int(os.environ.get("BBT_PALLAS_BLOCK_C", 0))
+        if not block_c:
+            budget = 24 << 20
+            # 2-byte intermediates tile as (16, 128): prefer a 16-wide
+            # K2 tile (an 8-wide one is half-padded on every load/store)
+            # but only when the byte budget allows it — the scoped
+            # double-buffered tiles are in the intermediate dtype, so
+            # size the budget with the actual itemsize.
+            itemsize = 2 if sub16 else 4
+            cap = 16 if (sub16 and n1 % 16 == 0) else 8
+            block_c = max(1, min(cap, n1,
+                                 budget // (n2 * L * itemsize * 12)))
     while n2 % block_b:
         block_b //= 2
     while n1 % block_c:

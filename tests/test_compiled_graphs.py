@@ -41,6 +41,16 @@ class TestAbsorbedIntegrate:
         np.testing.assert_allclose(np.asarray(data), eager,
                                    rtol=1e-5, atol=1e-5)
 
+    def test_run_fn_cached_per_block_count(self):
+        """Repeated run_fn calls with the same n_blocks reuse one closure
+        (and its jit executable) instead of recompiling the scan."""
+        tail = Integrate(Square(Channelize(noise(5), 32)), 8)
+        cp = CompiledPipeline(tail)
+        assert cp.run_fn(2) is cp.run_fn(2)
+        assert cp.run_fn(2) is not cp.run_fn(3)
+        plain = CompiledPipeline(Square(Channelize(noise(5), 32)))
+        assert plain.run_fn(4) is plain.run_fn(4)
+
     def test_unaveraged_sums(self):
         tail = Integrate(Square(Channelize(noise(3), 32)), 8,
                          average=False)

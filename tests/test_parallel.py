@@ -594,6 +594,34 @@ class TestStreamRunner:
         with pytest.raises(EOFError):
             runner.run(10_000)  # far beyond the stream
 
+    def test_absorbed_reduction_applied(self):
+        """A graph built from a Fold tail must stream the reduction too
+        (sums/counts identical to the batch run_fn), not silently return
+        the pre-fold stream."""
+        from baseband_tasks_tpu import (Channelize, Fold, NoiseGenerator,
+                                        Square)
+        from baseband_tasks_tpu.models.compiled import CompiledPipeline
+        from baseband_tasks_tpu.models.runner import StreamRunner
+        from baseband_tasks_tpu.utils import Time
+
+        t0 = Time("2020-01-01T00:00:00.0")
+        src = NoiseGenerator(shape=(16384,), start_time=t0,
+                             sample_rate=1 * u.MHz,
+                             samples_per_frame=2048, seed=13)
+        f0 = 123.456
+        tail = Fold(Square(Channelize(src, 16)), 8,
+                    lambda t: u.Quantity((t - t0).sec * f0, u.cycle),
+                    samples_per_frame=1)
+        cp = CompiledPipeline(tail)
+        n_blocks = (16384 // 16) // cp.tail_block
+        sums_b, counts_b = cp.run_fn(n_blocks)(
+            cp.read_source_blocks(n_blocks))
+        sums_s, counts_s = StreamRunner(cp).run(n_blocks)
+        np.testing.assert_array_equal(np.asarray(counts_s),
+                                      np.asarray(counts_b))
+        np.testing.assert_allclose(np.asarray(sums_s), np.asarray(sums_b),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_getslice_offset_applied(self):
         """A compiled GetSlice shifts where the reader starts."""
         from baseband_tasks_tpu import Channelize, NoiseGenerator, Square

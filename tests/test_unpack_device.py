@@ -198,9 +198,11 @@ class TestQuarterPacking:
             ).reshape(half // 4, 8, 2) for s in range(2)]
             return np.concatenate(parts, axis=0)
 
-        prof_p, cnt_p = run(pipe._local_step_pallas_split_packed,
-                            jnp.asarray(pack_sharded(br)),
-                            jnp.asarray(pack_sharded(bi)))
+        import functools
+        prof_p, cnt_p = run(
+            functools.partial(pipe._local_step_pallas_split_packed, 8),
+            jnp.asarray(pack_sharded(br)),
+            jnp.asarray(pack_sharded(bi)))
         np.testing.assert_array_equal(np.asarray(cnt_ref),
                                       np.asarray(cnt_p))
         np.testing.assert_allclose(np.asarray(prof_ref),
@@ -276,3 +278,30 @@ class TestTwoBitFusedIngest:
         prof, cnt = run(3)
         assert float(np.asarray(cnt).sum()) == 2 * pipe.global_block
         assert np.isfinite(np.asarray(prof)).all()
+
+    def test_run_fn_bits_bound_at_creation(self):
+        """A later run_fn with a different bit depth must not change the
+        decode of a run closure created earlier (bits is bound into the
+        step, not read off self at trace time)."""
+        from jax.sharding import Mesh
+        from baseband_tasks_tpu.models import WidebandPulsarPipeline
+        from baseband_tasks_tpu.utils import units as u
+
+        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                    ("time", "chan"))
+
+        def make():
+            return WidebandPulsarPipeline(
+                n_chan=8, n_pol=2, dm=0.1, freq_center=600 * u.MHz,
+                chan_rate=250 * u.kHz, period_samples=(512, 1), n_phase=8,
+                block_samples=3584, mesh=mesh, use_pallas=True,
+                ingest_bits=2)
+
+        pipe = make()
+        run2 = pipe.run_fn(1, ingest_bits=2)   # not yet traced
+        pipe.run_fn(1, ingest_bits=8)          # must not poison run2
+        prof, cnt = run2(5)
+        ref_prof, ref_cnt = make().run_fn(1, ingest_bits=2)(5)
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(ref_cnt))
+        np.testing.assert_allclose(np.asarray(prof), np.asarray(ref_prof),
+                                   rtol=1e-6, atol=1e-6)
