@@ -48,6 +48,16 @@ def _guppi_detect(head, name):
         any(k in head for k in (b"BLOCSIZE", b"OBSNCHAN", b"PKTIDX"))
 
 
+def _mark5b_open(name, mode="r", **kwargs):
+    from .io import mark5b
+    return mark5b.open(name, mode, **kwargs)
+
+
+def _mark5b_detect(head, name):
+    return head[:4] == b"\xed\xde\xad\xab" or \
+        name.lower().endswith(".m5b")
+
+
 def _dada_open(name, mode="r", **kwargs):
     from .io import dada
     return dada.open(name, mode, **kwargs)
@@ -66,6 +76,7 @@ FORMATS = {
                 head[:6] == b"SIMPLE"),
     "vdif": (_vdif_open, lambda head, name:
              name.lower().endswith((".vdif", ".vdf"))),
+    "mark5b": (_mark5b_open, _mark5b_detect),
     "dada": (_dada_open, _dada_detect),
     "guppi": (_guppi_open, _guppi_detect),
 }
@@ -108,7 +119,8 @@ def _load_entry_points():
 def open(name, mode="r", format=None, **kwargs):
     """Open a stream file in any registered format.
 
-    ``format`` may be 'hdf5', 'vdif', 'psrfits', 'dada', 'guppi', or any
+    ``format`` may be 'hdf5', 'vdif', 'mark5b', 'psrfits', 'dada',
+    'guppi', or any
     plugin-registered name; when omitted it is detected from the file
     signature (reads) or required (writes).
     """
