@@ -43,15 +43,22 @@ class CombineStreamsBase(Base):
         starts = [ih.start_time for ih in self.ihs]
         start = max(starts)
         self._offsets = []
+        from fractions import Fraction
+        frate = Fraction(float(rate_hz))
         for ih, t in zip(self.ihs, starts):
-            diff = (start - t).sec
-            off = diff * rate_hz
-            off_int = int(round(off))
-            if abs((off - off_int) / rate_hz) > atol:
+            # exact rational offset from the two-double seconds: a
+            # collapsed float64 ``.sec * rate`` loses ~offset·2^-52
+            # samples, which exceeds the 0.01-sample atol for day-scale
+            # offsets at GHz rates (this runs once, at construction)
+            hi, lo = (start - t).sec_pair
+            off_exact = (Fraction(float(hi)) + Fraction(float(lo))) * frate
+            off_int = round(off_exact)
+            resid_samples = float(off_exact - off_int)
+            if abs(resid_samples) / rate_hz > atol:
                 raise ValueError(
                     f"streams not aligned to within {atol} s; "
-                    f"offset {off} samples")
-            self._offsets.append(off_int)
+                    f"offset {float(off_exact)} samples")
+            self._offsets.append(int(off_int))
         n = min(ih.shape[0] - off
                 for ih, off in zip(self.ihs, self._offsets))
         if n <= 0:

@@ -50,6 +50,11 @@ class StreamGenerator(Base):
             self._offset = old_offset
         n = min(self._samples_per_frame,
                 self._shape[0] - frame_index * self._samples_per_frame)
+        if len(data) < n:
+            # a short frame would silently misalign every later sample
+            raise ValueError(
+                f"generator function returned {len(data)} samples for "
+                f"frame {frame_index}; expected at least {n}")
         if len(data) > n:
             data = data[:n]
         return data

@@ -174,9 +174,7 @@ class Integrate(BaseTaskBase):
             samples_per_frame=samples_per_frame,
             start_time=ih._tell_time(ih_start),
             dtype=dtype)
-        if self._dtype.kind == "c":
-            pass  # integrated voltages stay complex
-        self._sum_dtype = np.dtype(self._dtype)
+        self._sum_dtype = np.dtype(self._dtype)  # complex stays complex
         self._count_dtype = np.int32
         self._out_dtype = np.dtype(
             {"names": ["data", "count"],
@@ -284,8 +282,11 @@ class Integrate(BaseTaskBase):
         sums, counts = state
 
         if self._average:
-            shape_count = counts.reshape((n_bins,) + (1,) * len(self.ih.sample_shape))
-            out = sums / jnp.maximum(shape_count, 1)
+            shape_count = counts.reshape((n_bins,)
+                                         + (1,) * len(self.ih.sample_shape))
+            # divide on the host: feeding the int64 tally to jnp under
+            # x32 would truncate it to int32 (wrapping beyond 2^31)
+            out = np.asarray(sums) / np.maximum(shape_count, 1)
             return out.astype(self._sum_dtype)
         result = np.zeros((n_bins,) + self.ih.sample_shape, self._out_dtype)
         result["data"] = np.asarray(sums).astype(self._sum_dtype)
@@ -294,6 +295,13 @@ class Integrate(BaseTaskBase):
         return result
 
     def _acc_dtype(self):
+        # On the host backend with x64 enabled, honor 64-bit stream
+        # dtypes (the f32-only limit is a TPU-boundary concern); on TPU
+        # x64 is off and these canonicalize to 32-bit anyway.
+        if self._sum_dtype.itemsize >= 8 and \
+                jax.dtypes.canonicalize_dtype(np.float64) == np.float64:
+            return jnp.complex128 if self._sum_dtype.kind == "c" \
+                else jnp.float64
         return jnp.complex64 if self._sum_dtype.kind == "c" else jnp.float32
 
 
@@ -339,7 +347,9 @@ class Fold(Integrate):
 
         total = n_bins * n_phase
         sums = jnp.zeros((total,) + self.ih.sample_shape, self._acc_dtype())
-        counts = jnp.zeros((total,), jnp.int32)
+        # like Integrate: tally counts on the host in int64, so a
+        # (time, phase) cell beyond 2^31 samples cannot wrap
+        counts = np.zeros((total,), np.int64)
         state = [sums, counts]
 
         def accumulate(first, data):
@@ -356,13 +366,12 @@ class Fold(Integrate):
             frac = frac - np.floor(frac)
             phase_bins = np.minimum((frac * n_phase).astype(np.int64),
                                     n_phase - 1)
-            flat = (time_bins * n_phase + phase_bins).astype(np.int32)
-            flat = jnp.asarray(flat)
+            flat_np = (time_bins * n_phase + phase_bins).astype(np.int64)
+            flat = jnp.asarray(flat_np.astype(np.int32))
             state[0] = state[0] + jax.ops.segment_sum(
                 jnp.asarray(data).astype(self._acc_dtype()), flat,
                 num_segments=total)
-            state[1] = state[1] + jax.ops.segment_sum(
-                jnp.ones(n, jnp.int32), flat, num_segments=total)
+            state[1] = state[1] + np.bincount(flat_np, minlength=total)
 
         fake = _FakeOutput(accumulate, first_sample=start)
         self.ih.seek(self._ih_start + start)
@@ -372,7 +381,8 @@ class Fold(Integrate):
 
         if self._average:
             shaped = counts[(...,) + (None,) * len(self.ih.sample_shape)]
-            out = sums / jnp.maximum(shaped, 1)
+            # host division (int64 counts must not pass through x32 jnp)
+            out = np.asarray(sums) / np.maximum(shaped, 1)
             return out.astype(self._sum_dtype)
         result = np.zeros((n_bins, n_phase) + self.ih.sample_shape,
                           self._out_dtype)

@@ -36,6 +36,12 @@ def halo_exchange(x, pad_start, pad_end, axis_name="time", periodic=False,
         shape[axis] = n
         return jnp.zeros(tuple(shape), x.dtype)
 
+    if (pad_start > local_n or pad_end > local_n) and \
+            (n_shards > 1 or periodic):
+        # a neighbor (or the wrap-around self) only holds local_n samples
+        raise ValueError(
+            f"halo ({pad_start},{pad_end}) exceeds local block {local_n}; "
+            f"use fewer shards or larger blocks")
     if pad_start + pad_end == 0 or n_shards == 1:
         if pad_start or pad_end:
             # a single periodic shard is its own neighbor: wrap edges
@@ -45,10 +51,6 @@ def halo_exchange(x, pad_start, pad_end, axis_name="time", periodic=False,
                     else zeros(pad_end)) if pad_end else zeros(0)
             return jnp.concatenate([front, x, back], axis=axis)
         return x
-    if pad_start > local_n or pad_end > local_n:
-        raise ValueError(
-            f"halo ({pad_start},{pad_end}) exceeds local block {local_n}; "
-            f"use fewer shards or larger blocks")
     pieces = [x]
     if pad_start:
         # my left neighbor's trailing pad_start samples
@@ -79,6 +81,13 @@ def halo_edges(x, pad_start, pad_end, axis_name="time", periodic=False,
     """
     n_shards = jax.lax.axis_size(axis_name)
     local_n = x.shape[axis]
+    if (pad_start > local_n or pad_end > local_n) and \
+            (n_shards > 1 or periodic):
+        # lax.slice_in_dim would wrap a negative start, silently
+        # exchanging wrong-content buffers (cf. halo_exchange's guard)
+        raise ValueError(
+            f"halo ({pad_start},{pad_end}) exceeds local block {local_n}; "
+            f"use fewer shards or larger blocks")
 
     def edge(start, stop):
         return jax.lax.slice_in_dim(x, start, stop, axis=axis)

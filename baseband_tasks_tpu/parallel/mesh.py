@@ -19,10 +19,15 @@ def make_mesh(time=1, chan=1, devices=None):
     """
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
+    if time == -1 and chan == -1:
+        raise ValueError("only one of time/chan may be -1")
     if time == -1:
         time = n // chan
     if chan == -1:
         chan = n // time
+    if time < 1 or chan < 1:
+        raise ValueError(f"mesh axes must be positive, got "
+                         f"time={time}, chan={chan}")
     if time * chan > n:
         raise ValueError(f"mesh {time}x{chan} needs {time * chan} devices, "
                          f"have {n}")

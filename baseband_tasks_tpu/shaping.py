@@ -32,8 +32,10 @@ class ChangeSampleShapeBase(TaskBase):
     def __init__(self, ih, **kwargs):
         # Dry-run the shape operation to derive the output sample shape
         # and validate it keeps the time axis intact.
-        dummy = np.empty((7, 1) if not ih.sample_shape
-                         else (7,) + ih.sample_shape, dtype=np.int8)
+        # the dummy matches the true frame shape exactly (incl. scalar
+        # samples -> 1-d frames), so construction-time validation sees
+        # the same arrays read() will (reference shaping.py:30-39)
+        dummy = np.empty((7,) + ih.sample_shape, dtype=np.int8)
         try:
             out = self.task(dummy)
         except Exception as exc:
@@ -94,10 +96,11 @@ class Transpose(ChangeSampleShapeBase):
     full shape, like the reference, which includes the time axis 0)."""
 
     def __init__(self, ih, sample_axes, **kwargs):
-        axes = tuple(sample_axes)
+        ndim = len(ih.sample_shape) + 1
+        axes = tuple(a if a >= 0 else a + ndim for a in sample_axes)
         if 0 in axes:
             raise ValueError("cannot transpose the time axis (axis 0).")
-        self._axes = (0,) + tuple(a if a >= 0 else a for a in axes)
+        self._axes = (0,) + axes
         super().__init__(ih, **kwargs)
 
     def task(self, data):
@@ -108,7 +111,8 @@ class ReshapeAndTranspose(Reshape):
     """Reshape then transpose in one task."""
 
     def __init__(self, ih, sample_shape, sample_axes, **kwargs):
-        axes = tuple(sample_axes)
+        ndim = len(tuple(sample_shape)) + 1  # rank after the reshape
+        axes = tuple(a if a >= 0 else a + ndim for a in sample_axes)
         if 0 in axes:
             raise ValueError("cannot transpose the time axis (axis 0).")
         self._axes_rt = (0,) + axes

@@ -37,6 +37,29 @@ def two_sum(a, b):
     return hi, lo
 
 
+def _split(a):
+    """Dekker split of a float64 into two 26-bit halves."""
+    c = 134217729.0 * a  # 2^27 + 1
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """Error-free transformation: a * b = p + err exactly (Dekker)."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def two_div(a, b):
+    """a / b = q + err to full double-double precision."""
+    q = a / b
+    ph, pl = two_prod(q, b)
+    return q, ((a - ph) - pl) / b
+
+
 def _normalize(jd1, jd2):
     """Renormalize so jd1 carries the big part and jd2 the residual."""
     hi, lo = two_sum(jd1, jd2)
@@ -59,20 +82,22 @@ class TimeDelta:
 
     @classmethod
     def from_sec(cls, sec1, sec2=0.0):
-        return cls(np.asarray(sec1, dtype=np.float64) / SECONDS_PER_DAY,
-                   np.asarray(sec2, dtype=np.float64) / SECONDS_PER_DAY)
+        # compensated division: the rounding error of sec1/86400 alone
+        # is ~0.5 sample at GHz rates for month-scale durations
+        q, err = two_div(np.asarray(sec1, dtype=np.float64),
+                         SECONDS_PER_DAY)
+        return cls(q, err + np.asarray(sec2, dtype=np.float64)
+                   / SECONDS_PER_DAY)
 
     @classmethod
     def from_samples(cls, n, rate_hz):
         """Exact two-double duration of ``n`` samples at ``rate_hz``.
 
-        Two-product correction: hi = n/rate rounds once; err recovers
-        the residue so hi + err == n/rate to full double-double
-        precision (the shared sample<->time conversion used by stream
-        bookkeeping; CLAUDE.md: never bare float64 seconds)."""
-        rate_hz = float(rate_hz)
-        hi = n / rate_hz
-        err = (n - hi * rate_hz) / rate_hz
+        Compensated division (two_div) so hi + err == n/rate to full
+        double-double precision even at petasample offsets (the shared
+        sample<->time conversion used by stream bookkeeping; CLAUDE.md:
+        never bare float64 seconds)."""
+        hi, err = two_div(np.asarray(n, dtype=np.float64), float(rate_hz))
         return cls.from_sec(hi, err)
 
     @property
@@ -87,8 +112,10 @@ class TimeDelta:
 
     @property
     def sec_pair(self):
-        """Duration as an exact (hi, lo) pair of seconds."""
-        return self.d1 * SECONDS_PER_DAY, self.d2 * SECONDS_PER_DAY
+        """Duration as an exact (hi, lo) pair of seconds (compensated
+        product: d1*86400 alone rounds by ~0.5 ns per month of span)."""
+        p, err = two_prod(self.d1, SECONDS_PER_DAY)
+        return _normalize(p, err + self.d2 * SECONDS_PER_DAY)
 
     def to(self, unit):
         return u.Quantity(self.sec, u.s).to(unit)

@@ -27,6 +27,14 @@ class TestMesh:
         with pytest.raises(ValueError):
             make_mesh(time=16, chan=2)
 
+    def test_both_unknown_rejected(self):
+        with pytest.raises(ValueError, match="one of"):
+            make_mesh(time=-1, chan=-1)
+
+    def test_nonpositive_rejected(self):
+        with pytest.raises(ValueError, match="positive"):
+            make_mesh(time=0, chan=2)
+
 
 class TestHaloExchange:
     def test_matches_global_slices(self):
@@ -57,6 +65,18 @@ class TestHaloExchange:
                             out_specs=P("time", "chan"))(jnp.asarray(x))
         out = np.asarray(out).reshape(4, 6)
         assert out[0][0] == 15  # wrapped from the last shard
+
+    def test_oversized_halo_rejected_in_edges_too(self):
+        """halo_edges must refuse pad > local block like halo_exchange
+        (an unguarded lax.slice would wrap and exchange wrong data)."""
+        from baseband_tasks_tpu.parallel.halo import halo_edges
+        mesh = make_mesh(time=4, chan=1)
+        x = jnp.asarray(np.arange(40, dtype=np.float32).reshape(40, 1))
+
+        with pytest.raises(ValueError, match="exceeds local block"):
+            jax.shard_map(lambda xl: halo_edges(xl, 13, 2)[0], mesh=mesh,
+                          in_specs=P("time", "chan"),
+                          out_specs=P("time", "chan"))(x)
 
 
 class TestShardedOverlapSave:

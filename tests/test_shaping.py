@@ -142,3 +142,45 @@ class TestGetSliceClamping:
             np.asarray(sliced.read())[:, 0], np.arange(5))
         with pytest.raises(IndexError):
             sh[:-12]                      # empty slice
+
+
+class TestScalarSampleValidation:
+    """The construction-time dry-run must see the true frame shape, so
+    shape ops on scalar-sample streams validate correctly (reference
+    shaping.py:30-39 uses (7,) + sample_shape unconditionally)."""
+
+    def _scalar_stream(self):
+        def f(sh):
+            n = min(sh.samples_per_frame, sh.shape[0] - sh.tell())
+            return jnp.arange(n, dtype=jnp.float32)
+        return StreamGenerator(f, (600,), START, 1 * u.kHz,
+                               samples_per_frame=100, dtype=np.float32)
+
+    def test_bad_op_fails_at_construction(self):
+        # indexing a second axis of a 1-d frame must fail NOW, not on read
+        with pytest.raises(ValueError, match="dummy"):
+            ChangeSampleShape(self._scalar_stream(), lambda d: d[:, :1])
+
+    def test_newaxis_op_constructs_and_reads(self):
+        sh = ChangeSampleShape(self._scalar_stream(),
+                               lambda d: d[:, np.newaxis])
+        assert sh.sample_shape == (1,)
+        out = np.asarray(sh.read(10))
+        np.testing.assert_array_equal(out[:, 0], np.arange(10))
+
+
+class TestTransposeNegativeAxes:
+    def test_negative_axes_normalized(self):
+        sh = counter(shape=(600, 4, 2))
+        tr = Transpose(sh, (-1, -2))
+        assert tr.sample_shape == (2, 4)
+        direct = Transpose(counter(shape=(600, 4, 2)), (2, 1))
+        np.testing.assert_array_equal(np.asarray(tr.read(5)),
+                                      np.asarray(direct.read(5)))
+
+    def test_negative_time_axis_rejected(self):
+        sh = counter(shape=(600, 4, 2))
+        with pytest.raises(ValueError, match="time axis"):
+            Transpose(sh, (-3, 1))
+        with pytest.raises(ValueError, match="time axis"):
+            ReshapeAndTranspose(sh, (2, 4), (-3, 1))

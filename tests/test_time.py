@@ -77,6 +77,21 @@ class TestTimeDelta:
         dt = TimeDelta.from_sec(0.25)
         assert dt.to(u.ms).value == pytest.approx(250.0)
 
+    def test_petasample_roundtrip_precision(self):
+        """from_samples -> Time add/sub -> sec_pair must hold far below
+        one sample even at ~10^15-sample offsets (compensated day<->sec
+        scaling; a bare float64 product loses ~0.5 sample here)."""
+        from fractions import Fraction
+        t0 = Time("2018-01-01T00:00:00.000000000")
+        for n, rate in [(4_194_304_100_000_000, 1e9),
+                        (10**15 + 3, 1e9), (123456789012345, 2e9)]:
+            dt = TimeDelta.from_samples(n, rate)
+            hi, lo = ((t0 + dt) - t0).sec_pair
+            resid = float(((Fraction(float(hi)) + Fraction(float(lo)))
+                           - Fraction(n) / Fraction(rate))
+                          * Fraction(rate))
+            assert abs(resid) < 1e-9, (n, rate, resid)
+
 
 class TestDateOnlyStrings:
     """astropy accepts date-only and minute-resolution ISO strings
