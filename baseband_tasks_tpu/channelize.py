@@ -99,11 +99,16 @@ class Dechannelize(TaskBase):
             n = nchan
         n = operator.index(n)
         self._n = n
+        # reference semantics (channelize.py:104-107): samples_per_frame
+        # counts OUTPUT time samples, rounded to a whole number of
+        # spectra; default one underlying frame's worth.
         if samples_per_frame is None:
-            samples_per_frame = max(getattr(ih, "samples_per_frame", 1), 1)
+            spectra_per_frame = max(getattr(ih, "samples_per_frame", 1), 1)
+        else:
+            spectra_per_frame = max(int(round(samples_per_frame / n)), 1)
         time_dtype = np.dtype(dtype)
         self._fft = fft_maker(
-            (samples_per_frame, n) + ih.sample_shape[1:], time_dtype,
+            (spectra_per_frame, n) + ih.sample_shape[1:], time_dtype,
             axis=1, direction="backward", sample_rate=ih.sample_rate * n)
         frequency = getattr_if_none(ih, "frequency", frequency,
                                     required=False)
@@ -117,8 +122,8 @@ class Dechannelize(TaskBase):
         if sideband is not None:
             sb = np.broadcast_to(np.asarray(sideband), ih.sample_shape or (1,))
             sideband = sb[0]
-        super().__init__(ih, ih_samples_per_frame=samples_per_frame,
-                         samples_per_frame=samples_per_frame * n,
+        super().__init__(ih, ih_samples_per_frame=spectra_per_frame,
+                         samples_per_frame=spectra_per_frame * n,
                          sample_rate=ih.sample_rate * n, dtype=time_dtype,
                          frequency=frequency, sideband=sideband)
 

@@ -77,6 +77,14 @@ class _ConvolveBase(PaddedTaskBase):
                          samples_per_frame=samples_per_frame,
                          next_fast_len=fast_len,
                          **kwargs)
+        if np.asarray(response).dtype.kind == "c" and \
+                self.dtype.kind != "c":
+            # the reference fails loudly here too (complex assigned into
+            # a real output array); silently taking .real would corrupt
+            raise ValueError(
+                "complex response with a real output dtype would discard "
+                "the imaginary part; pass dtype=complex64 or convert the "
+                "stream (e.g. Real2Complex) first")
         self._response = response
         self._response_offset = offset
 
@@ -158,10 +166,10 @@ class Convolve(_ConvolveBase):
                                             split_n)
         n = self._padded_samples_per_frame
         n1, n2 = split_n(n)
-        ft = np.broadcast_to(
-            self._ft_response(host=True),
-            (n,) + tuple(self.ih.sample_shape or (1,)))
-        stor = permute_to_storage_order(ft.reshape(n, -1), n1, n2)
+        # reshape (not broadcast_to) so scalar-sample streams, whose FT
+        # is 1-d, become the (n, 1) lane layout the kernel expects
+        ft = self._ft_response(host=True).reshape(n, -1)
+        stor = permute_to_storage_order(ft, n1, n2)
         return (jnp.asarray(np.ascontiguousarray(
                     stor.real.astype(np.float32))),
                 jnp.asarray(np.ascontiguousarray(

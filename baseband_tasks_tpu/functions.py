@@ -28,8 +28,7 @@ class Square(TaskBase):
     """
 
     def __init__(self, ih):
-        polarization = getattr(ih, "meta", {}).get(
-            "__attributes__", {}).get("polarization")
+        polarization = getattr(ih, "polarization", None)
         if polarization is not None:
             polarization = np.char.add(polarization, polarization)
         real_dtype = np.empty(0, dtype=ih.dtype).real.dtype

@@ -96,6 +96,17 @@ def _bcd_decode(word, digits):
     return out
 
 
+def _bcd_decode_vec(words, digits):
+    """Vectorized :func:`_bcd_decode` over a uint32 array -> int64."""
+    out = np.zeros(words.shape, dtype=np.int64)
+    for k in range(digits - 1, -1, -1):
+        d = (words >> np.uint32(4 * k)) & np.uint32(0xF)
+        if np.any(d > 9):
+            raise ValueError("invalid BCD digit in Mark5B time code")
+        out = out * 10 + d
+    return out
+
+
 def _parse_header(raw):
     w = np.frombuffer(raw, dtype="<u4", count=4)
     if int(w[0]) != SYNC:
@@ -222,33 +233,49 @@ class Mark5BStreamReader(Base):
         n_frames = size // FRAME_BYTES
         if n_frames < 1:
             raise ValueError("file shorter than one Mark5B frame")
-        headers = []
-        for k in range(min(n_frames, 1 << 22)):
-            self._fh.seek(k * FRAME_BYTES)
-            h = _parse_header(self._fh.read(HEADER_BYTES))
-            day3 = _bcd_decode(h["bcd_jjjsssss"] >> 20, 3)
-            sec = _bcd_decode(h["bcd_jjjsssss"] & 0xFFFFF, 5)
-            headers.append((day3, sec, h["frame_nr"]))
-
-        day0, sec0, fnr0 = min(headers)
-        mjd0 = _resolve_kday(day0, ref_time, kday)
+        cap = 1 << 22
+        n_scan = min(n_frames, cap)
+        if n_frames > cap:
+            import warnings
+            warnings.warn(
+                f"indexing only the first {cap} of {n_frames} Mark5B "
+                f"frames; split the file to read the remainder")
+        # One vectorized pass over the headers (memmap touches only the
+        # header pages, not the 10000-byte payloads).
+        mm = np.memmap(self._fh, dtype=np.uint8, mode="r",
+                       shape=(n_scan, FRAME_BYTES))
+        w = np.ascontiguousarray(mm[:, :HEADER_BYTES]).view("<u4") \
+            .reshape(n_scan, 4)
+        del mm
+        bad = np.nonzero(w[:, 0] != SYNC)[0]
+        if bad.size:
+            raise ValueError(
+                f"bad Mark5B sync word at frame {int(bad[0])} "
+                f"({int(w[bad[0], 0]):#010x})")
+        frame_nr = (w[:, 1] & 0x7FFF).astype(np.int64)
+        day3 = _bcd_decode_vec(w[:, 2] >> 20, 3)
+        sec = _bcd_decode_vec(w[:, 2] & 0xFFFFF, 5)
+        # A file spanning a millennium-day wrap (999 -> 000) holds both
+        # high and low day values; order the low ones as +1000.
+        day_eff = np.where(day3 < 500, day3 + 1000, day3) \
+            if int(day3.max()) - int(day3.min()) > 500 else day3
+        key = (day_eff * 86400 + sec) * (1 << 15) + frame_nr
+        k0 = int(np.argmin(key))
+        day0, sec0, fnr0 = int(day_eff[k0]), int(sec[k0]), int(frame_nr[k0])
+        mjd0 = _resolve_kday(int(day3[k0]), ref_time, kday)
 
         if sample_rate is None:
-            secs = {(d, s) for d, s, _ in headers}
-            if len(secs) < 2:
+            if len(np.unique(day_eff * 86400 + sec)) < 2:
                 raise ValueError(
                     "file shorter than one second; pass sample_rate=")
-            frames_per_sec = max(f for _, _, f in headers) + 1
+            frames_per_sec = int(frame_nr.max()) + 1
             sample_rate = u.Quantity(frames_per_sec * spf, u.Hz)
         fps = int(round(sample_rate.to_value(u.Hz) / spf))
 
-        n_times = 0
-        self._frame_locs = {}
-        for k, (d, s, f) in enumerate(headers):
-            days = (d - day0) % 1000  # era wrap inside one file
-            time_idx = (days * 86400 + s - sec0) * fps + (f - fnr0)
-            self._frame_locs[time_idx] = k
-            n_times = max(n_times, time_idx + 1)
+        time_idx = ((day_eff - day0) * 86400 + (sec - sec0)) * fps \
+            + (frame_nr - fnr0)
+        self._frame_locs = {int(t): k for k, t in enumerate(time_idx)}
+        n_times = int(time_idx.max()) + 1
 
         start = Time.from_mjd(mjd0) + u.Quantity(float(sec0), u.s) \
             + u.Quantity(fnr0 * spf / sample_rate.to_value(u.Hz), u.s)

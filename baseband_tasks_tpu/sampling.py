@@ -178,20 +178,26 @@ class TimeDelay(PaddedTaskBase):
     sampling.py:315-377).  No resampling occurs.
     """
 
-    def __init__(self, ih, delay, *, lo=None, frequency=None, sideband=None):
+    def __init__(self, ih, delay, *, lo, frequency=None, sideband=None):
         if ih.dtype.kind != "c":
             raise ValueError("TimeDelay requires complex (analytic) data")
         super().__init__(ih, pad_start=0, pad_end=0,
                          samples_per_frame=getattr(ih, "samples_per_frame",
-                                                   1))
-        delay_s = delay.to_value(u.s) if isinstance(delay, u.Quantity) \
-            else float(delay)
+                                                   1),
+                         frequency=frequency, sideband=sideband)
+        # reference semantics (sampling.py:359-365): a bare float delay
+        # is in SAMPLES; time Quantities convert via the sample rate.
+        # ``lo`` is required — None means data were recorded without
+        # mixing (CHIME-like) and get no phase rotation; for channelized
+        # data the true LO frequency must be passed explicitly.
+        delay_samples = float(to_sample(ih, delay))
+        rate_hz = ih.sample_rate.to_value(u.Hz)
         from .utils.time import TimeDelta
-        self._start_time = self._start_time + TimeDelta.from_sec(delay_s)
-        if lo is None:
-            lo = getattr_if_none(ih, "frequency", frequency, required=False)
+        self._start_time = self._start_time \
+            + TimeDelta.from_samples(delay_samples, rate_hz)
         if lo is not None:
             sideband = getattr_if_none(ih, "sideband", sideband)
+            delay_s = delay_samples / rate_hz
             phase = -2j * np.pi * np.asarray(lo.to_value(u.Hz)) \
                 * delay_s * np.asarray(sideband, dtype=float)
             self._phase_factor = np.exp(phase).astype(np.complex64)
@@ -227,14 +233,16 @@ class ShiftSamples(PaddedTaskBase):
         super().__init__(ih, pad_start=pad_start, pad_end=pad_end,
                          samples_per_frame=samples_per_frame)
         # Gather index per channel: out[j, c] = window[j + pad_start - s_c, c]
-        if shift.ndim > len(ih.sample_shape):
+        # Standard numpy TRAILING-axis broadcast against the sample shape
+        # (reference sampling.py:412: shift of shape (N, 1) addresses the
+        # one-but-last axis); leading-axis alignment would silently shift
+        # the wrong axis.
+        try:
+            full_shift = np.broadcast_to(shift, ih.sample_shape)
+        except ValueError:
             raise ValueError(
                 f"shift shape {shift.shape} cannot broadcast to sample "
-                f"shape {ih.sample_shape}")
-        full_shift = np.broadcast_to(
-            shift.reshape(shift.shape + (1,) * (len(ih.sample_shape)
-                                                - shift.ndim)),
-            ih.sample_shape)
+                f"shape {ih.sample_shape}") from None
         # a uniform shift is a static slice (free under XLA); only
         # per-channel shifts need the gather
         self._uniform = int(full_shift.flat[0]) if full_shift.size \

@@ -109,8 +109,11 @@ class Unit:
 
     # -- comparison / properties ----------------------------------------
     def __eq__(self, other):
+        # relative comparison only: the default np.isclose atol (1e-8)
+        # would equate any two sub-1e-8 scales (e.g. ns vs 2 ns)
         return (isinstance(other, Unit) and self.powers == other.powers
-                and np.isclose(self.scale, other.scale, rtol=1e-14))
+                and np.isclose(self.scale, other.scale, rtol=1e-14,
+                               atol=0.0))
 
     def __hash__(self):
         return hash((round(np.log(self.scale), 12), self.powers))

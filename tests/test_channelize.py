@@ -99,3 +99,20 @@ class TestDechannelize:
         ct = Channelize(labeled, 8)
         dt = Dechannelize(ct, 8)
         assert dt.frequency.to_value(u.MHz) == pytest.approx(400.0)
+
+
+class TestDechannelizeFrameSemantics:
+    def test_samples_per_frame_counts_output_samples(self):
+        """Reference channelize.py:104-107: samples_per_frame is OUTPUT
+        time samples (rounded to whole spectra), not input spectra."""
+        sh = NoiseGenerator(shape=(8192,), start_time=START,
+                            sample_rate=1 * u.MHz, samples_per_frame=1024,
+                            seed=31)
+        ct = Channelize(sh, 256)
+        dt = Dechannelize(ct, samples_per_frame=2048)
+        assert dt.samples_per_frame == 2048      # = 8 spectra * 256
+        assert dt.shape == (8192,)
+        back = np.asarray(dt.read(2048))
+        sh.seek(0)
+        np.testing.assert_allclose(back, np.asarray(sh.read(2048)),
+                                   atol=1e-4)

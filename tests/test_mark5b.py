@@ -170,6 +170,35 @@ class TestMark5BRoundtrip:
         with pytest.raises(ValueError, match="multiple of 1000"):
             mark5b.open(path, nchan=nchan, sample_rate=rate, kday=60500)
 
+    def test_millennium_day_wrap(self, tmp_path):
+        """A file spanning the 999 -> 000 era-day wrap must order its
+        frames correctly and keep the pre-wrap start time."""
+        nchan, bps = 4, 2
+        spf = mark5b.PAYLOAD_BYTES * 8 // (bps * nchan)
+        rate = u.Quantity(spf * 2, u.Hz)        # 2 frames/s
+        t0 = Time.from_mjd(60999) + u.Quantity(86399.5, u.s)
+        sh = NoiseGenerator(shape=(spf * 4, nchan), start_time=t0,
+                            sample_rate=rate, samples_per_frame=spf,
+                            dtype=np.float32, seed=9)
+        data = np.asarray(sh.read()) * 1.5
+        path = str(tmp_path / "wrap.m5b")
+        with mark5b.open(path, "w", template=sh) as fw:
+            fw.write(data)
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        h_first = mark5b._parse_header(raw[:16])
+        h_last = mark5b._parse_header(raw[-mark5b.FRAME_BYTES:]
+                                      [:16])
+        assert mark5b._bcd_decode(h_first["bcd_jjjsssss"] >> 20, 3) == 999
+        assert mark5b._bcd_decode(h_last["bcd_jjjsssss"] >> 20, 3) == 0
+        with mark5b.open(path, nchan=nchan, sample_rate=rate,
+                         ref_time=t0) as fr:
+            assert abs((fr.start_time - t0).sec) < 1e-9
+            assert fr.shape[0] == spf * 4
+            back = np.asarray(fr.read())
+        corr = np.corrcoef(back.ravel(), data.ravel())[0, 1]
+        assert corr > 0.85
+
     def test_gap_zero_filled(self, tmp_path):
         nchan = 4
         spf = mark5b.PAYLOAD_BYTES * 8 // (2 * nchan)

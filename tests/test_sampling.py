@@ -126,13 +126,30 @@ class TestTimeDelay:
         sh = SetAttribute(pure_tone(nu), frequency=[400., 400.] * u.MHz,
                           sideband=1)
         delay = 2.5 * u.ms
-        td = TimeDelay(sh, delay)
+        td = TimeDelay(sh, delay, lo=[400., 400.] * u.MHz)
         assert abs((td.start_time - START).sec - 2.5e-3) < 1e-12
         data = np.asarray(td.read(10))
         raw = np.asarray(pure_tone(nu).read(10))
         factor = np.exp(-2j * np.pi * 400e6 * 2.5e-3)
         np.testing.assert_allclose(data, raw * np.complex64(factor),
                                    atol=1e-4)
+
+    def test_float_delay_is_samples_and_lo_none_skips_rotation(self):
+        """Reference semantics (sampling.py:336-371): a bare float delay
+        counts SAMPLES, and lo=None applies no phase rotation."""
+        nu = 0.11
+        sh = pure_tone(nu)
+        td = TimeDelay(sh, 16, lo=None)
+        rate_hz = sh.sample_rate.to_value(u.Hz)
+        assert abs((td.start_time - START).sec - 16 / rate_hz) < 1e-12
+        np.testing.assert_array_equal(np.asarray(td.read(10)),
+                                      np.asarray(pure_tone(nu).read(10)))
+
+    def test_attribute_overrides_stored(self):
+        td = TimeDelay(pure_tone(0.2), 1.0, lo=None,
+                       frequency=[500., 500.] * u.MHz, sideband=-1)
+        assert np.all(td.frequency.to_value(u.MHz) == 500.)
+        assert np.all(td.sideband == -1)
 
     def test_requires_complex(self):
         def real_stream(sh):
@@ -141,7 +158,7 @@ class TestTimeDelay:
         sh = StreamGenerator(real_stream, (100, 2), START, RATE,
                              samples_per_frame=50, dtype=np.float32)
         with pytest.raises(ValueError):
-            TimeDelay(sh, 1 * u.ms)
+            TimeDelay(sh, 1 * u.ms, lo=None)
 
 
 class TestShiftSamples:
@@ -429,3 +446,42 @@ class TestDelayRecovery:
                                   tel1.start_time, lo=self.lo_hz * u.Hz,
                                   samples_per_frame=16, pad=6)
         self.assert_tel_same(tel1, undone, atol=2e-2)
+
+
+class TestShiftSamplesBroadcast:
+    """shift broadcasts against the sample shape with numpy TRAILING-axis
+    rules (reference sampling.py:396-398: shape (N, 1) addresses the
+    one-but-last axis)."""
+
+    def _counter(self, shape):
+        def f(sh):
+            o = sh.tell()
+            n = min(sh.samples_per_frame, sh.shape[0] - o)
+            idx = jnp.arange(o, o + n, dtype=jnp.float32)
+            return jnp.broadcast_to(idx.reshape((n,) + (1,) * 2),
+                                    (n,) + sh.sample_shape)
+        return StreamGenerator(f, shape, START, RATE,
+                               samples_per_frame=250, dtype=np.float32)
+
+    def test_trailing_axis_shift(self):
+        # (freq=3, pol=2): a plain (2,) shift must act per-POL
+        sh = ShiftSamples(self._counter((1000, 3, 2)), np.array([2, 5]),
+                          samples_per_frame=200)
+        out = np.asarray(sh.read(100))
+        expected0 = np.broadcast_to(
+            (out[0, 0, 0] + np.arange(100))[:, None], (100, 3))
+        np.testing.assert_array_equal(out[..., 0], expected0)
+        np.testing.assert_array_equal(out[..., 1] - out[..., 0], -3)
+
+    def test_leading_axis_shift_via_column(self):
+        # shape (3, 1) addresses the freq axis
+        sh = ShiftSamples(self._counter((1000, 3, 2)),
+                          np.array([[0], [1], [2]]),
+                          samples_per_frame=200)
+        out = np.asarray(sh.read(100))
+        np.testing.assert_array_equal(out[:, 0] - out[:, 1], 1)
+        np.testing.assert_array_equal(out[:, 0] - out[:, 2], 2)
+
+    def test_unbroadcastable_rejected(self):
+        with pytest.raises(ValueError, match="broadcast"):
+            ShiftSamples(self._counter((1000, 3, 2)), np.array([1, 2, 3]))
