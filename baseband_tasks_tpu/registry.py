@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import builtins
 
-__all__ = ["open", "FORMATS"]
+__all__ = ["open", "detect_format", "FORMATS"]
 
 
 def _hdf5_open(name, mode="r", **kwargs):
@@ -116,6 +116,21 @@ def _load_entry_points():
         FORMATS[ep.name] = (opener, detect)
 
 
+def detect_format(name):
+    """Detect the format of a file from its signature (and name)."""
+    _load_entry_points()
+    with builtins.open(name, "rb") as fh:
+        head = fh.read(512)
+    for fmt, (opener, detect) in FORMATS.items():
+        try:
+            matched = detect(head, str(name))
+        except Exception:  # a broken (plugin) detector must not
+            continue       # disable detection of later formats
+        if matched:
+            return fmt
+    raise ValueError(f"could not detect format of {name}")
+
+
 def open(name, mode="r", format=None, **kwargs):
     """Open a stream file in any registered format.
 
@@ -123,23 +138,24 @@ def open(name, mode="r", format=None, **kwargs):
     'guppi', or any
     plugin-registered name; when omitted it is detected from the file
     signature (reads) or required (writes).
+
+    ``name`` may also denote a multi-file sequence — a list/tuple of
+    names, a glob pattern, a ``{file_nr}`` template string, or a
+    ``FileNameSequencer`` — which opens as a single spliced stream
+    (reading) or a file-splitting writer (writing; also needs
+    ``template=`` and ``samples_per_file=``).  Reference analogue:
+    ``baseband.open`` over ``sequentialfile``.
     """
     _load_entry_points()
+    from .io import sequence
+    if sequence.is_sequence(name):
+        if format is not None:
+            kwargs["format"] = format
+        return sequence.open(name, mode, **kwargs)
     if format is None:
         if "w" in mode:
             raise ValueError("writing requires an explicit format=")
-        with builtins.open(name, "rb") as fh:
-            head = fh.read(512)
-        for fmt, (opener, detect) in FORMATS.items():
-            try:
-                matched = detect(head, str(name))
-            except Exception:  # a broken (plugin) detector must not
-                continue       # disable detection of later formats
-            if matched:
-                format = fmt
-                break
-        else:
-            raise ValueError(f"could not detect format of {name}")
+        format = detect_format(name)
     try:
         opener = FORMATS[format][0]
     except KeyError:
