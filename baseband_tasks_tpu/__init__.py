@@ -7,7 +7,7 @@ pulsar folding and phase computation), device-resident and jit-compiled,
 with sharding over TPU meshes.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.2"
 
 from .base import (Base, BaseTaskBase, TaskBase, PaddedTaskBase, Task,
                    SetAttribute)
@@ -28,6 +28,7 @@ from .pfb import (sinc_hamming, PolyphaseFilterBank,
                   PolyphaseFilterBankSamples, InversePolyphaseFilterBank)
 from .dispersion import (Disperse, Dedisperse, DisperseSamples,
                          DedisperseSamples)
+from .rfi import SpectralKurtosis, ExciseSpectralKurtosis
 
 __all__ = ["Base", "BaseTaskBase", "TaskBase", "PaddedTaskBase", "Task",
            "SetAttribute", "StreamGenerator", "EmptyStreamGenerator",
@@ -40,4 +41,4 @@ __all__ = ["Base", "BaseTaskBase", "TaskBase", "PaddedTaskBase", "Task",
            "Dedisperse", "DisperseSamples", "DedisperseSamples",
            "Real2Complex", "sinc_hamming", "PolyphaseFilterBank",
            "PolyphaseFilterBankSamples", "InversePolyphaseFilterBank",
-           "open"]
+           "SpectralKurtosis", "ExciseSpectralKurtosis", "open"]

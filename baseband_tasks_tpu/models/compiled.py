@@ -254,7 +254,13 @@ class CompiledPipeline:
                                  n._ih_samples_per_frame)
                 stages.append(_Stage(n, False, 0, ratio.denominator,
                                      ratio.numerator))
-                constraints.append((coef_stack[-1], ratio.denominator))
+                # tasks with an internal block grid (e.g. the spectral-
+                # kurtosis excision's n-sample decision blocks) declare
+                # it via _task_granularity so scan blocks land on that
+                # grid and compiled == eager decision-for-decision
+                group = int(getattr(n, "_task_granularity", 1))
+                constraints.append((coef_stack[-1],
+                                    _lcm(ratio.denominator, group)))
                 coef_stack[-1] *= ratio
                 delay_stack[-1] *= ratio
                 warmup_stack[-1] *= ratio
