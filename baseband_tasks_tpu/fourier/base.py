@@ -225,6 +225,16 @@ class FFTMakerBase(metaclass=FFTMakerMeta):
     def next_fast_len(n):
         return next_fast_len(n)
 
+    def get_frequency_data_info(self, shape, dtype, axis=0):
+        """Frequency-domain (shape, dtype) for a time-domain array.
+
+        Real input transforms to ``shape[axis]//2 + 1`` complex samples
+        along ``axis``; complex input keeps shape and dtype (reference
+        fourier/base.py:313-340).
+        """
+        return FFTBase._get_frequency_data_info(shape, np.dtype(dtype),
+                                                axis)
+
     def __eq__(self, other):
         return type(self) is type(other) and self.__dict__ == other.__dict__
 

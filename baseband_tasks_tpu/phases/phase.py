@@ -410,6 +410,27 @@ class Phase:
     def to_value(self, unit=u.cycle):
         return self.cycle.to_value(unit)
 
+    def astype(self, dtype, order="K", casting="unsafe", subok=True,
+               copy=True):
+        """Plain array of the phase in cycles, cast to ``dtype``.
+
+        As `numpy.ndarray.astype`, but using knowledge of the two-double
+        format: each part is cast separately and then summed, so casting
+        to float128-like or float64 keeps the maximum precision the
+        target type can hold (reference phases/phase.py:785-802).
+        """
+        dtype = np.dtype(dtype)
+        if dtype.fields or casting not in ("same_kind", "unsafe"):
+            raise TypeError(
+                f"Phase.astype supports only unstructured dtypes with "
+                f"casting='same_kind'/'unsafe', not dtype={dtype}, "
+                f"casting={casting!r}")
+        out = np.asarray(self.count).astype(dtype, order=order,
+                                            casting=casting, copy=True)
+        out += np.asarray(self.fraction).astype(dtype, order=order,
+                                                casting=casting, copy=False)
+        return out
+
     # -- arithmetic ------------------------------------------------------
     def __add__(self, other):
         if not isinstance(other, Phase):
