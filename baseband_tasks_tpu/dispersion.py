@@ -121,11 +121,24 @@ class Disperse(PaddedTaskBase):
         self._storage_chirp_cache = None
         if self.engine == "pallas":
             fast_len = _pow2_len
-            if samples_per_frame is not None:
-                # the fused kernels need a power-of-two window even when
-                # the frame size is explicit: grow it to fill one
-                pad = pad_start + pad_end
-                samples_per_frame = _pow2_len(samples_per_frame + pad) - pad
+            # The fused kernels need a power-of-two window; additionally
+            # rounding the pads up to multiples of the four-step N2 makes
+            # the trim boundaries land on whole stage-A rows, which lets
+            # downstream fusions (compiled Disperse→Dechannelize) discard
+            # the pads inside the last kernel instead of a separate pass.
+            from .ops.dedisperse_pallas import split_n
+            spf0 = samples_per_frame if samples_per_frame is not None \
+                else max(3 * (pad_start + pad_end), 1)
+            n_fft = _pow2_len(spf0 + pad_start + pad_end)
+            while True:
+                n2 = split_n(n_fft)[1]
+                p0 = -(-pad_start // n2) * n2
+                p1 = -(-pad_end // n2) * n2
+                if n_fft - p0 - p1 >= max(spf0, 1):
+                    break
+                n_fft *= 2
+            pad_start, pad_end = p0, p1
+            samples_per_frame = n_fft - p0 - p1
         else:
             fast_len = fft_maker.get().next_fast_len
         super().__init__(ih, pad_start=pad_start, pad_end=pad_end,
@@ -163,7 +176,6 @@ class Disperse(PaddedTaskBase):
                     np.float32))))
 
     def _task_pallas(self, data):
-        from .ops.dedisperse_pallas import dedisperse_pow2
         if self._chirp_cache is None:
             self._chirp_cache = self._chirp()
         if self._storage_chirp_cache is None:
@@ -174,15 +186,43 @@ class Disperse(PaddedTaskBase):
         n = data.shape[0]
         sample_shape = data.shape[1:]
         x = jnp.asarray(data).astype(jnp.complex64)
-        xr = jnp.real(x).reshape(n, -1)
-        xi = jnp.imag(x).reshape(n, -1)
-        csr, csi = self._storage_chirp_cache
-        yr, yi = dedisperse_pow2(xr, xi, csr, csi)
-        out = jax.lax.complex(yr, yi).reshape((n,) + sample_shape)
-        out = out[self._pad_start:self._pad_start + self._samples_per_frame]
+        yr, yi = self._task_pallas_planes(jnp.real(x).reshape(n, -1),
+                                          jnp.imag(x).reshape(n, -1))
+        out = jax.lax.complex(yr, yi).reshape(
+            (self._samples_per_frame,) + sample_shape)
         if squeeze:
             out = out[:, 0]
         return out
+
+    def _task_pallas_planes(self, xr, xi, post=None):
+        """Dedisperse padded float32 planes (N, lanes) -> trimmed planes.
+
+        Pads are discarded inside the last kernel (they are multiples of
+        the four-step N2 by construction); ``post`` optionally fuses a
+        lane-mixing matrix — e.g. a following Dechannelize's inverse-DFT
+        (models/compiled.py fusion)."""
+        from .ops.spectral_filter import spectral_filter_pow2
+        csr, csi = self._storage_chirp_cache
+        return spectral_filter_pow2(xr, xi, csr, csi,
+                                    pad_start=self._pad_start,
+                                    pad_end=self._pad_end, post=post)
+
+    def _task_pallas_stream(self, carry_pair, x_pair, scale=None,
+                            post=None):
+        """Streaming planes form: overlap-save carry + block planes in,
+        trimmed planes out, with the window assembled in VMEM and an
+        optional per-iteration scale applied there (no XLA pass touches
+        the padded window)."""
+        from .ops.spectral_filter import spectral_filter_stream
+        if self._chirp_cache is None:
+            self._chirp_cache = self._chirp()
+        if self._storage_chirp_cache is None:
+            self._storage_chirp_cache = self._storage_chirp()
+        csr, csi = self._storage_chirp_cache
+        return spectral_filter_stream(
+            carry_pair[0], carry_pair[1], x_pair[0], x_pair[1], csr, csi,
+            pad_start=self._pad_start, pad_end=self._pad_end,
+            scale=scale, post=post)
 
     def task(self, data):
         if self.engine == "pallas" and \

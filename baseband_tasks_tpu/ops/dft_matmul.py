@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dft_matmul", "MAX_MATMUL_N"]
+__all__ = ["dft_matmul", "dft_matmul_planes", "MAX_MATMUL_N"]
 
 #: largest transform length routed to the MXU (above this the O(n²)
 #: arithmetic exceeds the HBM-bound FFT kernels' cost)
@@ -78,6 +78,22 @@ def _dot(x, mat, axis):
         precision=_HIGH)
     # dot_general appends the rhs free axis last; put it back.
     return jnp.moveaxis(out, -1, axis)
+
+
+def dft_matmul_planes(xr, xi, *, axis, direction, n):
+    """Complex DFT of separate float32 re/im planes via four MXU matmuls
+    (numpy scaling: forward unscaled, inverse 1/n).  Returns (yr, yi).
+
+    The planes form lets compiled planes-interchange pipelines
+    (models/compiled.py stream path) channelize/dechannelize without
+    ever materializing interleaved complex arrays.
+    """
+    if direction == "forward":
+        fr, fi = _forward_mats(n, n)
+    else:
+        fr, fi = _inverse_mats(n)
+    return (_dot(xr, fr, axis) - _dot(xi, fi, axis),
+            _dot(xr, fi, axis) + _dot(xi, fr, axis))
 
 
 def dft_matmul(data, *, axis, direction, ortho, real, n):

@@ -240,17 +240,91 @@ class Polyco:
         result = u.Quantity(out, unit)
         return result[0] if scalar else result.reshape(t.shape)
 
-    def phasepol(self, index=0, rphase=None):
-        """Return a callable t -> Phase for one entry
-        (predictor.py:204-304)."""
-        def pol(t):
-            return self(t, index=index, rphase=rphase)
-        return pol
+    def polynomial(self, index, rphase=None, deriv=0,
+                   t0=None, time_unit=u.minute, out_unit=None,
+                   convert=False):
+        """Prediction polynomial for one entry, as a
+        `numpy.polynomial.Polynomial` (reference predictor.py:204-304).
 
-    def fpol(self, index=0):
-        def pol(t):
-            return self(t, deriv=1, index=index)
-        return pol
+        Parameters
+        ----------
+        index : int or float or Time
+            Entry index, or an MJD/time for nearest-entry lookup.
+        rphase : None, 'fraction', 'ignore', or float
+            Phase zero point: None adds the stored RPHASE (large — loses
+            precision in a single float64 coefficient), 'fraction' adds
+            only its fractional part (fine for folding; breaks cycle
+            continuity between entries), 'ignore' keeps the raw
+            coefficients, a float replaces the zero point outright.
+        deriv : int
+            Phase derivative (1 = spin frequency, 2 = fdot, ...).
+        t0 : Time or float (MJD), optional
+            If given, the polynomial's domain is re-anchored so its
+            argument is (t - t0) in ``time_unit`` (e.g. ``t0=0,
+            time_unit=u.day`` makes the argument the MJD itself).
+        time_unit : Unit
+            Unit of the polynomial argument when ``t0`` is given.
+        out_unit : Unit, optional
+            Unit of time in the output for ``deriv > 0`` (default
+            ``time_unit``): coefficients are scaled so values come out
+            in cycles / out_unit**deriv.
+        convert : bool
+            Return ``polynomial.convert()`` (coefficients re-expanded in
+            the domain variable) instead of the windowed polynomial.
+
+        Notes
+        -----
+        Without ``t0``, the argument is minutes since the entry's TMID
+        and values are cycles (/minute**deriv before out_unit scaling),
+        exactly the tempo convention.
+        """
+        out_unit = out_unit or time_unit
+        import operator
+        try:
+            index = operator.index(index)
+        except TypeError:
+            index = int(self.searchclosest(index))
+        e = self.entries[index]
+        window = np.array([-0.5, 0.5]) * float(e.span)  # minutes
+        coef = np.array(e.coeff, dtype=np.float64)
+        if coef.size < 2:
+            coef = np.concatenate([coef, np.zeros(2 - coef.size)])
+        pol = np.polynomial.Polynomial(coef, window.copy(), window.copy())
+        pol.coef[1] += 60.0 * e.f0  # F0 (Hz) in cycles/minute
+
+        if deriv == 0:
+            if rphase is None:
+                pol.coef[0] += e.rphase_int + e.rphase_frac
+            elif rphase == "fraction":
+                pol.coef[0] += e.rphase_frac % 1
+            elif rphase not in ("ignore", "ignored"):
+                pol.coef[0] = rphase
+        else:
+            pol = pol.deriv(deriv)
+            pol.coef /= u.minute.to(out_unit) ** deriv
+
+        if t0 is not None:
+            tt = t0 if isinstance(t0, Time) else Time(float(t0),
+                                                      format="mjd")
+            hi, lo = (tt - e.tmid).sec_pair
+            dt_min = hi / 60.0 + lo / 60.0
+            pol.domain = (window - dt_min) * u.minute.to(time_unit)
+
+        return pol.convert() if convert else pol
+
+    def phasepol(self, index=0, rphase=None, t0=0., time_unit=u.day,
+                 convert=False):
+        """Phase polynomial in MJD (by default): cycles as a function of
+        ``(t - t0)`` in ``time_unit`` (reference predictor.py:264-283)."""
+        return self.polynomial(index, rphase, t0=t0, time_unit=time_unit,
+                               convert=convert)
+
+    def fpol(self, index=0, t0=0., time_unit=u.day, convert=False):
+        """Spin-frequency polynomial: Hz as a function of ``(t - t0)`` in
+        ``time_unit`` (default: of the MJD; reference
+        predictor.py:285-298)."""
+        return self.polynomial(index, deriv=1, t0=t0, time_unit=time_unit,
+                               out_unit=u.s, convert=convert)
 
     # -- writing ---------------------------------------------------------
     def to_string(self, style="tempo2"):

@@ -184,13 +184,21 @@ class TestPallasEngine:
                            seed=6), frequency=F0, sideband=1)
         d_pal = Dedisperse(sh2, DM, samples_per_frame=1024,
                            engine="pallas")
-        # same (power-of-two) window for the xla engine: identical frames,
-        # so outputs must agree to float noise
+        # pallas windows are pow2 with pads rounded to N2 multiples
+        assert d_pal._padded_samples_per_frame & \
+            (d_pal._padded_samples_per_frame - 1) == 0
+        from baseband_tasks_tpu.ops.dedisperse_pallas import split_n
+        n2 = split_n(d_pal._padded_samples_per_frame)[1]
+        assert d_pal.pad_start % n2 == 0 and d_pal.pad_end % n2 == 0
+        # the xla task on the very same node (same window, same chirp)
+        # must agree to float noise
         d_xla = Dedisperse(sh1, DM,
                            samples_per_frame=d_pal.samples_per_frame,
                            engine="xla")
-        assert d_xla._padded_samples_per_frame \
-            == d_pal._padded_samples_per_frame
+        d_xla._pad_start = d_pal._pad_start
+        d_xla._pad_end = d_pal._pad_end
+        d_xla._padded_samples_per_frame = d_pal._padded_samples_per_frame
+        d_xla._start_time = d_pal._start_time
         n = 2048
         a = np.asarray(d_xla.read(n))
         b = np.asarray(d_pal.read(n))

@@ -83,16 +83,108 @@ class TestPolycoEvaluate:
                    - (RPHASE_INT + RPHASE_FRAC)) < 1e-6
 
     def test_phasepol(self):
+        # phasepol returns a numpy Polynomial in the MJD by default
+        # (reference predictor.py:264-283)
         p = Polyco(POLYCO_TEXT)
-        pol = p.phasepol()
-        t = Time.from_mjd(TMID) + 5 * u.minute
-        assert pol(t) == p(t)
+        pol = p.phasepol(rphase="fraction")
+        mjd = TMID + 5.0 / 1440.0
+        expected = expected_phase(mjd) - RPHASE_INT
+        assert pol(mjd) == pytest.approx(expected, rel=1e-9)
 
     def test_out_of_span_warns(self):
         p = Polyco(POLYCO_TEXT)
         t = Time.from_mjd(TMID + 2.0)  # 2 days out
         with pytest.warns(UserWarning, match="span"):
             p(t)
+
+
+class TestPolynomialBuilder:
+    """Option grid of Polyco.polynomial (reference predictor.py:204-304)."""
+
+    def setup_method(self):
+        self.p = Polyco(POLYCO_TEXT)
+
+    def test_default_minutes_since_tmid(self):
+        pol = self.p.polynomial(0)
+        for dt_min in (0.0, 1.0, -30.0, 123.456):
+            mjd = TMID + dt_min / 1440.0
+            assert pol(dt_min) == pytest.approx(expected_phase(mjd),
+                                                rel=1e-12)
+
+    @pytest.mark.parametrize("rphase,zero", [
+        (None, RPHASE_INT + RPHASE_FRAC),
+        ("fraction", RPHASE_FRAC),
+        ("ignore", 0.0),
+        (2.5, 2.5),
+    ])
+    def test_rphase_options(self, rphase, zero):
+        pol = self.p.polynomial(0, rphase=rphase)
+        dt_min = 1.0
+        base = 60.0 * F0 * dt_min + sum(c * dt_min ** k
+                                        for k, c in enumerate(COEFF))
+        if isinstance(rphase, float):
+            # a float rphase REPLACES the constant coefficient
+            # (reference predictor.py:252-255)
+            base -= COEFF[0]
+        if rphase is None:
+            assert pol(dt_min) == pytest.approx(zero + base, rel=1e-12)
+        else:
+            assert pol(dt_min) == pytest.approx(zero + base, abs=1e-9)
+
+    def test_deriv_frequency(self):
+        # d(phase)/dt at TMID in cycles/min is 60*F0 + COEFF[1]; with
+        # out_unit=u.s the values come out in Hz
+        pol = self.p.polynomial(0, deriv=1, out_unit=u.s)
+        assert pol(0.0) == pytest.approx(F0 + COEFF[1] / 60.0, rel=1e-12)
+
+    def test_deriv2(self):
+        pol = self.p.polynomial(0, deriv=2, out_unit=u.s)
+        assert pol(0.0) == pytest.approx(2 * COEFF[2] / 3600.0, rel=1e-10)
+
+    def test_t0_mjd_domain(self):
+        # t0=0, time_unit=day: argument is the MJD itself
+        pol = self.p.polynomial(0, t0=0.0, time_unit=u.day)
+        mjd = TMID + 0.01
+        assert pol(mjd) == pytest.approx(expected_phase(mjd), rel=1e-12)
+
+    def test_t0_time_object(self):
+        pol = self.p.polynomial(0, t0=Time.from_mjd(TMID),
+                                time_unit=u.s)
+        # argument: seconds since TMID
+        assert pol(120.0) == pytest.approx(
+            expected_phase(TMID + 2.0 / 1440.0), rel=1e-12)
+
+    def test_convert(self):
+        # convert() re-expands in the domain variable; anchor at TMID so
+        # the expansion is well-conditioned (an MJD-scale domain loses
+        # precision to cancellation, in the reference just the same)
+        pol = self.p.polynomial(0, rphase="fraction",
+                                t0=Time.from_mjd(TMID),
+                                time_unit=u.minute, convert=True)
+        ref = self.p.polynomial(0, rphase="fraction",
+                                t0=Time.from_mjd(TMID),
+                                time_unit=u.minute)
+        assert pol(7.25) == pytest.approx(ref(7.25), rel=1e-9)
+
+    def test_index_by_mjd(self):
+        pol = self.p.polynomial(TMID + 0.1)
+        assert pol(0.0) == pytest.approx(expected_phase(TMID), rel=1e-12)
+
+    def test_fpol(self):
+        f = self.p.fpol(0)
+        mjd = TMID + 3.0 / 1440.0
+        dt_min = 3.0
+        dphase = (60.0 * F0 + COEFF[1] + 2 * COEFF[2] * dt_min
+                  + 3 * COEFF[3] * dt_min ** 2)
+        assert f(mjd) == pytest.approx(dphase / 60.0, rel=1e-12)
+
+    def test_matches_call_eval(self):
+        # polynomial(0) at dt agrees with the table evaluation __call__
+        t = Time.from_mjd(TMID) + 7.0 * u.minute
+        pol = self.p.polynomial(0, rphase="fraction")
+        ph = self.p(t, rphase="fraction")
+        assert pol(7.0) == pytest.approx(
+            ph.count + ph.fraction, rel=1e-12)
 
 
 class TestPolycoRoundtrip:
