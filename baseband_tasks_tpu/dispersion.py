@@ -224,6 +224,39 @@ class Disperse(PaddedTaskBase):
             pad_start=self._pad_start, pad_end=self._pad_end,
             scale=scale, post=post)
 
+    def task_planes(self, pair):
+        """Planes-interchange form for compiled pipelines: padded window
+        as (re, im) float32 planes in, trimmed planes out (in-kernel
+        trim).  NotImplemented when the pallas geometry does not apply
+        (the caller then falls back through ``task``)."""
+        xr, xi = pair
+        if (self.engine != "pallas" or xi is None
+                or xr.shape[0] != self._padded_samples_per_frame):
+            return NotImplemented
+        shape = xr.shape
+        yr, yi = self._task_pallas_planes(xr.reshape(shape[0], -1),
+                                          xi.reshape(shape[0], -1))
+        out_shape = (self._samples_per_frame,) + shape[1:]
+        return yr.reshape(out_shape), yi.reshape(out_shape)
+
+    def task_stream(self, carry_pair, x_pair, scale=None):
+        """Streaming planes form: (pad, ...) carry planes + (spf, ...)
+        block planes -> trimmed planes, window assembled in VMEM with an
+        optional in-kernel scale (see models/compiled.py planes_step)."""
+        pad = self._pad_start + self._pad_end
+        if (self.engine != "pallas" or carry_pair[0].shape[0] != pad
+                or x_pair[0].shape[0] + pad
+                != self._padded_samples_per_frame):
+            return NotImplemented
+        shape = x_pair[0].shape
+        yr, yi = self._task_pallas_stream(
+            (carry_pair[0].reshape(pad, -1),
+             carry_pair[1].reshape(pad, -1)),
+            (x_pair[0].reshape(shape[0], -1),
+             x_pair[1].reshape(shape[0], -1)), scale=scale)
+        out_shape = (self._samples_per_frame,) + shape[1:]
+        return yr.reshape(out_shape), yi.reshape(out_shape)
+
     def task(self, data):
         if self.engine == "pallas" and \
                 data.shape[0] == self._padded_samples_per_frame:

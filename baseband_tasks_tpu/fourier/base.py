@@ -88,6 +88,13 @@ class FFTBase:
 
     @staticmethod
     def _get_frequency_data_info(shape, dtype, axis):
+        shape = tuple(shape)
+        if not shape:
+            raise ValueError("cannot plan an FFT over an empty shape ()")
+        axis = operator.index(axis)
+        if not -len(shape) <= axis < len(shape):
+            raise ValueError(f"axis {axis} out of bounds for a "
+                             f"{len(shape)}-dimensional transform")
         axis = axis % len(shape)   # tuple slicing below needs axis >= 0
         dtype = np.dtype(dtype)
         if dtype.kind == "f":

@@ -67,7 +67,7 @@ __all__ = ["CompiledPipeline"]
 
 class _Stage:
     __slots__ = ("node", "padded", "pad", "in_block", "out_block",
-                 "in_sample_shape", "in_dtype")
+                 "in_sample_shape", "in_dtype", "fused", "skip")
 
     def __init__(self, node, padded, pad, in_block, out_block):
         self.node = node
@@ -77,10 +77,150 @@ class _Stage:
         self.out_block = out_block
         self.in_sample_shape = node.ih.sample_shape
         self.in_dtype = node.ih.dtype
+        self.fused = None   # execution-override object (pair fusions)
+        self.skip = False   # stage absorbed into a neighbor's fusion
 
 
 def _lcm(a, b):
     return int(np.lcm(int(a), int(b)))
+
+
+def _pads_on_grid(node):
+    """True when the node's pow2 window has pads on the four-step N2
+    grid (the pallas-engine constructors arrange this)."""
+    from ..ops.dedisperse_pallas import _is_pow2, split_n
+    n = node._padded_samples_per_frame
+    if not _is_pow2(n):
+        return False
+    n2 = split_n(n)[1]
+    return node._pad_start % n2 == 0 and node._pad_end % n2 == 0
+
+
+class _FusedDisperseDechan:
+    """Execution fusion of ``Disperse(engine='pallas') → Dechannelize``.
+
+    The dechannelize inverse-DFT is a lane-axis mix, so it rides the
+    dedispersion's last kernel as an MXU matmul (``post``) — the pair
+    costs the same three HBM passes as dedispersion alone, and the
+    overlap-save pads are discarded in-kernel (reference
+    dispersion.py:135-139 + channelize.py:90 in one program).
+    """
+
+    def __init__(self, disp, dech):
+        from ..ops.spectral_filter import lane_dft_mats
+        self.disp = disp
+        self.dech = dech
+        self.post = lane_dft_mats(dech.n, inverse=True)
+
+    @staticmethod
+    def can_fuse(disp, dech):
+        from ..channelize import Dechannelize
+        from ..dispersion import Disperse
+        return (isinstance(disp, Disperse)
+                and isinstance(dech, Dechannelize)
+                and getattr(disp, "engine", None) == "pallas"
+                and dech.ih is disp
+                and len(disp.sample_shape) == 1
+                and dech.n == disp.sample_shape[0]
+                and np.dtype(dech.dtype).kind == "c"
+                and not dech._fft.ortho
+                and _pads_on_grid(disp))
+
+    def task(self, window):
+        x = jnp.asarray(window).astype(jnp.complex64)
+        yr, yi = self.disp._task_pallas_planes(
+            jnp.real(x), jnp.imag(x), post=self.post)
+        return jax.lax.complex(yr, yi).reshape(-1).astype(self.dech.dtype)
+
+    def task_planes(self, pair):
+        if pair[1] is None:
+            return NotImplemented
+        yr, yi = self.disp._task_pallas_planes(pair[0], pair[1],
+                                               post=self.post)
+        return yr.reshape(-1), yi.reshape(-1)
+
+    def task_stream(self, carry_pair, x_pair, scale=None):
+        yr, yi = self.disp._task_pallas_stream(carry_pair, x_pair,
+                                               scale=scale, post=self.post)
+        return yr.reshape(-1), yi.reshape(-1)
+
+
+class _FusedDechanInvPFB:
+    """Execution fusion of ``Dechannelize → InversePolyphaseFilterBank``.
+
+    A lane-axis mix commutes with the row-axis FFT, so the dechannelize
+    inverse-DFT becomes a ``pre`` matmul inside the deconvolution's
+    first kernel; the overlap-save carry moves to the (smaller) spectra
+    domain (reference pfb.py:157-255 with channelize.py:90 absorbed).
+    """
+
+    def __init__(self, dech, inv):
+        from ..ops.spectral_filter import expand_lane_mats, lane_dft_mats
+        self.dech = dech
+        self.inv = inv
+        extra = dech.ih.sample_shape[1:]
+        self.reps = int(np.prod(extra, dtype=int)) if extra else 1
+        mats = lane_dft_mats(inv._n, inverse=True)
+        self.pre = expand_lane_mats(mats, self.reps) if self.reps > 1 \
+            else mats
+
+    @staticmethod
+    def can_fuse(dech, inv):
+        from ..channelize import Dechannelize
+        from ..ops.dedisperse_pallas import _is_pow2, split_n
+        from ..pfb import InversePolyphaseFilterBank
+        if not (isinstance(dech, Dechannelize)
+                and isinstance(inv, InversePolyphaseFilterBank)
+                and getattr(inv, "engine", None) == "pallas"
+                and inv.ih is dech
+                and dech.ih.sample_shape
+                and dech.ih.sample_shape[0] == inv._n == dech.n
+                and np.dtype(dech.dtype).kind == "c"
+                and not dech._fft.ortho
+                and inv._pad_start % inv._n == 0
+                and inv._pad_end % inv._n == 0):
+            return False
+        rows = inv._padded_samples_per_frame // inv._n
+        if not _is_pow2(rows):
+            return False
+        n2 = split_n(rows)[1]
+        return (inv._pad_start // inv._n) % n2 == 0 \
+            and (inv._pad_end // inv._n) % n2 == 0
+
+    def task(self, window):
+        m = window.shape[0]
+        z = jnp.asarray(window).astype(jnp.complex64).reshape(m, -1)
+        yr, yi = self.inv._task_pallas_planes(
+            jnp.real(z), jnp.imag(z), pre=self.pre)
+        out = jax.lax.complex(yr, yi).reshape(
+            (-1,) + self.inv.sample_shape)
+        if self.inv.dtype.kind != "c":
+            out = out.real
+        return out.astype(self.inv.dtype)
+
+    def _shape_out(self, yr, yi):
+        yr = yr.reshape((-1,) + self.inv.sample_shape)
+        if self.inv.dtype.kind != "c":
+            return yr, None
+        return yr, yi.reshape((-1,) + self.inv.sample_shape)
+
+    def task_planes(self, pair):
+        if pair[1] is None:
+            return NotImplemented
+        m = pair[0].shape[0]
+        yr, yi = self.inv._task_pallas_planes(
+            pair[0].reshape(m, -1), pair[1].reshape(m, -1), pre=self.pre)
+        return self._shape_out(yr, yi)
+
+    def task_stream(self, carry_pair, x_pair, scale=None):
+        m = x_pair[0].shape[0]
+        mc = carry_pair[0].shape[0]
+        yr, yi = self.inv._task_pallas_planes(
+            x_pair[0].reshape(m, -1), x_pair[1].reshape(m, -1),
+            pre=self.pre, scale=scale,
+            carry=(carry_pair[0].reshape(mc, -1),
+                   carry_pair[1].reshape(mc, -1)))
+        return self._shape_out(yr, yi)
 
 
 class CompiledPipeline:
@@ -96,7 +236,7 @@ class CompiledPipeline:
         reduction (see module docstring).
     """
 
-    def __init__(self, tail, *, block_samples=None):
+    def __init__(self, tail, *, block_samples=None, fuse=True):
         self._run_cache = {}  # n_blocks -> compiled run closure
         # Split off a trailing reduction (Integrate and subclasses).
         self.reduction = None
@@ -311,21 +451,54 @@ class CompiledPipeline:
         self.delay = delay  # exact, in tail samples (may be fractional if
         #                     a rate change follows a padded stage)
         self.warmup = int(np.ceil(warmup))
+        if fuse:
+            self._apply_fusions()
+
+    def _apply_fusions(self):
+        """Peephole pass: fuse adjacent stage pairs whose second half is
+        a pure lane-axis mix the pallas kernels can absorb.  Execution
+        only — all block/delay bookkeeping (done above) is unchanged,
+        and the original nodes still work eagerly."""
+        stages = self.stages
+        for i in range(len(stages) - 1):
+            a, b = stages[i], stages[i + 1]
+            if not (isinstance(a, _Stage) and isinstance(b, _Stage)) \
+                    or a.skip or b.skip or a.fused or b.fused:
+                continue
+            if _FusedDisperseDechan.can_fuse(a.node, b.node):
+                a.fused = _FusedDisperseDechan(a.node, b.node)
+                b.skip = True
+            elif _FusedDechanInvPFB.can_fuse(a.node, b.node):
+                b.fused = _FusedDechanInvPFB(a.node, b.node)
+                a.skip = True
+                # the carry moves to the spectra domain: pad rows of the
+                # (channelized) input instead of pad samples of the
+                # dechannelized stream
+                n = b.node._n
+                b.pad = (b.node.pad_start + b.node.pad_end) // n
+                b.in_sample_shape = a.node.ih.sample_shape
+                b.in_dtype = a.node.ih.dtype
 
     # -- the compiled step ----------------------------------------------
-    def init_carry(self):
+    def init_carry(self, planes=False):
         carries = []
         for st in self.stages:
             if isinstance(st, _Stage) and st.padded:
-                carries.append(jnp.zeros(
-                    (st.pad,) + st.in_sample_shape,
-                    st.in_dtype))
+                shape = (st.pad,) + st.in_sample_shape
+                if planes:
+                    z = jnp.zeros(shape, jnp.float32)
+                    carries.append(
+                        (z, z if np.dtype(st.in_dtype).kind == "c"
+                         else None))
+                else:
+                    carries.append(jnp.zeros(shape, st.in_dtype))
         return tuple(carries)
 
     #: node attributes holding device-resident cache arrays
     _CACHE_ATTRS = ("_chirp_cache", "_ft_response_cache", "_gain_cache",
                     "_storage_chirp_cache", "_storage_response_cache",
-                    "_lo_cache", "_phase_cache", "_taps")
+                    "_storage_gain_cache", "_lo_cache", "_phase_cache",
+                    "_taps")
 
     def _prepare_caches(self):
         """Materialize lazy device caches eagerly: built inside a traced
@@ -361,6 +534,8 @@ class CompiledPipeline:
                     n._storage_chirp_cache = n._storage_chirp()
                 if getattr(n, "_storage_response_cache", 1) is None:
                     n._storage_response_cache = n._storage_response()
+                if getattr(n, "_storage_gain_cache", 1) is None:
+                    n._storage_gain_cache = n._storage_gain()
 
     def cache_bindings(self):
         """(bindings, leaves): every device cache array of the graph, to
@@ -462,21 +637,146 @@ class CompiledPipeline:
                     del stack[-st.k:]
                     stack.append(st.node.task(list(args)))
                     continue
-                if isinstance(st.node, (SetAttribute, GetSlice)):
+                if st.skip or isinstance(st.node, (SetAttribute, GetSlice)):
                     continue
+                fn = st.fused if st.fused is not None else st.node
                 x = stack.pop()
                 if st.padded:
                     window = jnp.concatenate([carry[ci], x], axis=0)
                     new_carry.append(window[-st.pad:] if st.pad else
                                      window[:0])
                     ci += 1
-                    x = st.node.task(window)
+                    x = fn.task(window)
                 else:
-                    x = st.node.task(x)
+                    x = fn.task(x)
                 stack.append(x)
             return tuple(new_carry), stack[-1]
 
         return step
+
+    # -- planes-interchange step ------------------------------------------
+    def planes_step(self):
+        """(carry, xs, scale) -> (carry, (yr, yi)): the step with values
+        flowing as separate float32 re/im planes.
+
+        Complex data as flat f32 planes is the TPU-native interchange:
+        the kernels read planes directly (no split/recombine passes), the
+        axon-style device boundary only transfers f32, and flat planes
+        stream at ~2x the HBM bandwidth of packed complex on v5e.  A
+        plane pair is ``(re, im)`` with ``im = None`` for real streams.
+
+        Stages that implement ``task_planes`` (pallas Disperse, the
+        fused pairs, (De)Channelize via MXU matmuls, real-linear FIRs)
+        run natively; any other stage falls back through one complex
+        recombination.  ``scale`` (scalar or None) multiplies the input
+        of the first compute stage — inside the kernel (SMEM) when that
+        stage is a streaming fusion, so benchmark-style per-iteration
+        variation costs no extra HBM pass.  Streaming fused stages also
+        skip the window concatenate: the overlap-save carry is passed to
+        the kernel as a separate buffer.
+        """
+        self._prepare_caches()
+        stages = self.stages
+        program = self.program
+        multi = len(self.sources) > 1
+
+        def to_pair(x):
+            if isinstance(x, tuple):
+                return x
+            x = jnp.asarray(x)
+            if jnp.iscomplexobj(x):
+                return jnp.real(x), jnp.imag(x)
+            return x, None
+
+        def to_complex(pair):
+            re, im = pair
+            return re if im is None else jax.lax.complex(re, im)
+
+        def scaled(pair, s):
+            if s is None:
+                return pair
+            return (pair[0] * s, None if pair[1] is None else pair[1] * s)
+
+        def step(carry, xs, scale=None):
+            inputs = xs if multi else (xs,)
+            stack = []
+            new_carry = []
+            ci = 0
+            si = 0
+            pending_scale = scale
+            for kind, *rest in program:
+                if kind == "input":
+                    stack.append(to_pair(inputs[rest[0]]))
+                    continue
+                st = stages[si]
+                si += 1
+                if isinstance(st, _CombineStage):
+                    args = [to_complex(p) for p in stack[-st.k:]]
+                    del stack[-st.k:]
+                    if pending_scale is not None:
+                        args = [a * pending_scale for a in args]
+                        pending_scale = None
+                    stack.append(to_pair(st.node.task(args)))
+                    continue
+                if st.skip or isinstance(st.node, (SetAttribute, GetSlice)):
+                    continue
+                fn = st.fused if st.fused is not None else st.node
+                x = stack.pop()
+                if st.padded:
+                    c = carry[ci]
+                    ci += 1
+                    stream_fn = getattr(fn, "task_stream", None)
+                    if (stream_fn is not None and x[1] is not None
+                            and c[1] is not None
+                            and st.pad <= x[0].shape[0]):
+                        y = stream_fn(c, x, scale=pending_scale)
+                        if y is not NotImplemented:
+                            pending_scale = None
+                            new_carry.append((x[0][-st.pad:],
+                                              x[1][-st.pad:]))
+                            stack.append(y)
+                            continue
+                    x = scaled(x, pending_scale)
+                    pending_scale = None
+                    wr = jnp.concatenate([c[0], x[0]], axis=0)
+                    wi = None if x[1] is None else \
+                        jnp.concatenate([jnp.zeros_like(c[0])
+                                         if c[1] is None else c[1],
+                                         x[1]], axis=0)
+                    pad = st.pad
+                    new_carry.append(
+                        (wr[-pad:], None if wi is None else wi[-pad:])
+                        if pad else (wr[:0], None if wi is None
+                                     else wi[:0]))
+                    x = (wr, wi)
+                else:
+                    x = scaled(x, pending_scale)
+                    pending_scale = None
+                y = NotImplemented
+                planes_fn = getattr(fn, "task_planes", None)
+                if planes_fn is not None:
+                    y = planes_fn(x)
+                if y is NotImplemented:
+                    y = to_pair(fn.task(to_complex(x)))
+                stack.append(y)
+            return tuple(new_carry), stack[-1]
+
+        return step
+
+    def cached_planes_step(self):
+        """(step_c, cache_leaves) for :meth:`planes_step`, with the
+        device caches as explicit arguments (see :meth:`cached_step`):
+
+            step_c(carry, xs, scale, caches)
+        """
+        step = self.planes_step()
+        bindings, leaves = self.cache_bindings()
+
+        def step_c(carry, xs, scale, caches):
+            with self._bind(bindings, caches):
+                return step(carry, xs, scale)
+
+        return step_c, leaves
 
     # -- reduction (Integrate / Fold / PulseStack) -----------------------
     def _segment_ids(self, start, n):

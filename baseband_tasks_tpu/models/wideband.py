@@ -73,7 +73,7 @@ class WidebandPulsarPipeline:
                  period_samples=(16000, 3), n_phase=64,
                  block_samples=16384, mesh=None, fft_pow2=False,
                  use_pallas=False, phase_model=None, start_time=None,
-                 ingest_bits=8, detect="power"):
+                 ingest_bits=8, detect="power", halo="ppermute"):
         if freq_center is None:
             freq_center = 1400 * u.MHz
         if chan_rate is None:
@@ -88,6 +88,13 @@ class WidebandPulsarPipeline:
         #: 'power' -> |x|^2 per (chan, pol); 'stokes' -> per channel
         #: [XX, YY, Re(X Y*), Im(X Y*)] (reference functions.py:132-143)
         self.detect = detect
+        if halo not in ("ppermute", "remote"):
+            raise ValueError(f"halo={halo!r}: 'ppermute' or 'remote'")
+        #: 'ppermute' -> XLA collective halo exchange; 'remote' -> pallas
+        #: in-kernel async remote DMA (parallel/halo_pallas.py; on the
+        #: CPU interpreter multi-axis meshes transparently fall back to
+        #: ppermute — the emulator cannot discharge multi-axis DMAs)
+        self.halo = halo
         self.n_phase = n_phase
         self.block_samples = block_samples
         if mesh is None:
@@ -229,6 +236,26 @@ class WidebandPulsarPipeline:
                                (n2, n1, self.n_chan, self.n_pol))
         return np.ascontiguousarray(full)
 
+    # -- halo backend ------------------------------------------------------
+    def _halo_edges(self, x, axis=0):
+        if self.halo == "remote":
+            from ..parallel.halo_pallas import halo_edges_remote
+            if axis != 0:
+                raise NotImplementedError(
+                    "halo='remote' moves axis-0 halos; reshape first")
+            return halo_edges_remote(x, self.pad_start, self.pad_end,
+                                     "time")
+        from ..parallel.halo import halo_edges
+        return halo_edges(x, self.pad_start, self.pad_end, "time",
+                          axis=axis)
+
+    def _halo_exchange(self, x):
+        if self.halo == "remote":
+            from ..parallel.halo_pallas import halo_exchange_remote
+            return halo_exchange_remote(x, self.pad_start, self.pad_end,
+                                        "time")
+        return halo_exchange(x, self.pad_start, self.pad_end, "time")
+
     # -- the fused step --------------------------------------------------
     def _shard_fold3(self, foldv, shard, T, include_pad):
         """Per-shard (3,) int32 [i0_fx, p_fx, 0] from the block-level
@@ -310,7 +337,7 @@ class WidebandPulsarPipeline:
         """Halo-extend, FFT·chirp·IFFT, trim pads, detect (XLA path)."""
         x = jax.lax.complex(xf[..., 0], xf[..., 1])
         chirp = jax.lax.complex(chirp_f[..., 0], chirp_f[..., 1])
-        w = halo_exchange(x, self.pad_start, self.pad_end, "time")
+        w = self._halo_exchange(x)
         y = jnp.fft.ifft(jnp.fft.fft(w, axis=0) * chirp, axis=0)
         y = jax.lax.dynamic_slice_in_dim(y, self.pad_start, T, axis=0)
         return self._detect_xla(y)
@@ -374,7 +401,7 @@ class WidebandPulsarPipeline:
         """
         T = xf.shape[0]
         # halo-extend the f32 pairs directly; complex never materializes
-        w4 = halo_exchange(xf, self.pad_start, self.pad_end, "time")
+        w4 = self._halo_exchange(xf)
         power = self._dedisperse_detect_pow2(w4, csr, csi, T)
         shard = jax.lax.axis_index("time")
         fold3 = self._shard_fold3(foldv, shard, T, include_pad=False)
@@ -402,11 +429,9 @@ class WidebandPulsarPipeline:
         sliced away first.
         """
         from ..ops.dedisperse_pallas import dedisperse_fold_stream
-        from ..parallel.halo import halo_edges
         T, c_local, n_pol = x2.shape[1:4]
         L = c_local * n_pol
-        front, end = halo_edges(x2, self.pad_start, self.pad_end, "time",
-                                axis=1)
+        front, end = self._halo_edges(x2, axis=1)
         scale = (1.0 + 1e-6 * off).reshape(1)
         shard = jax.lax.axis_index("time")
         fold3 = self._shard_fold3(foldv, shard, T, include_pad=True)
@@ -476,11 +501,10 @@ class WidebandPulsarPipeline:
         them with no relayout.
         """
         from ..ops.dedisperse_pallas import dedisperse_fold_split
-        from ..parallel.halo import halo_edges
         T, c_local, n_pol = xr.shape
         L = c_local * n_pol
-        fr, er = halo_edges(xr, self.pad_start, self.pad_end, "time")
-        fi, ei = halo_edges(xi, self.pad_start, self.pad_end, "time")
+        fr, er = self._halo_edges(xr)
+        fi, ei = self._halo_edges(xi)
         scale = (1.0 + 1e-6 * off).reshape(1)
         shard = jax.lax.axis_index("time")
         fold3 = self._shard_fold3(foldv, shard, T, include_pad=True)
@@ -552,7 +576,7 @@ class WidebandPulsarPipeline:
         chirp_args, bins_f = args[:-1], args[-1]
         T = xf.shape[0]
         if self.use_pallas:
-            w4 = halo_exchange(xf, self.pad_start, self.pad_end, "time")
+            w4 = self._halo_exchange(xf)
             power = self._dedisperse_detect_pow2(w4, *chirp_args, T)
         else:
             power = self._dedisperse_detect_xla_step(xf, chirp_args[0], T)

@@ -1051,8 +1051,14 @@ def _choose_blocks(n, n1, n2, L, block_b, block_c, sub16=False):
             # size the budget with the actual itemsize.
             itemsize = 2 if sub16 else 4
             cap = 16 if (sub16 and n1 % 16 == 0) else 8
-            block_c = max(1, min(cap, n1,
-                                 budget // (n2 * L * itemsize * 12)))
+            # Mosaic requires the sublane (second-to-last) block dim to
+            # be a multiple of 8 (16 for 2-byte tiles) or the full dim:
+            # never shrink below that even when wide lanes blow the soft
+            # byte budget — the 64 MB vmem_limit still has headroom
+            # (e.g. (256, 8, 512) f32 K2 tiles = 48 MB double-buffered).
+            floor = min(cap, n1)
+            block_c = max(floor, min(cap, n1,
+                                     budget // (n2 * L * itemsize * 12)))
     while n2 % block_b:
         block_b //= 2
     while n1 % block_c:

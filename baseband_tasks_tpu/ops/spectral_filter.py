@@ -150,7 +150,10 @@ def _k3_trim_body(n1, kf, ke, post, *refs):
 def _spectral_filter_impl(args, *, n1, n2, kf, ke, block_b, block_c,
                           pre, post, stream, scaled, interpret):
     n = n1 * n2
-    params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    # 2^19-row windows split as (512, 1024): the stage-B Stockham over
+    # n2=1024 rows holds one more radix stage of live intermediates than
+    # the flagship's n2=512 — ~76 MB scoped; v5e has 128 MiB VMEM
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     i = 0
     scale = None
     if scaled:
@@ -248,6 +251,13 @@ def _check_geometry(n, pad_start, pad_end):
     return n1, n2, pad_start // n2, pad_end // n2
 
 
+def _check_gain(gr, n1, n2, L):
+    if gr.shape != (n2, n1, L):
+        raise ValueError(f"gain storage shape {gr.shape} does not match "
+                         f"the (N2, N1, L) = ({n2}, {n1}, {L}) window "
+                         f"layout (permute_to_storage_order)")
+
+
 def _as_mats(mats):
     if mats is None:
         return ()
@@ -278,6 +288,7 @@ def spectral_filter_pow2(xr, xi, gr, gi, *, pad_start, pad_end,
     """
     n, L = xr.shape
     n1, n2, kf, ke = _check_geometry(n, pad_start, pad_end)
+    _check_gain(gr, n1, n2, L)
     block_b, block_c = _choose_blocks(n, n1, n2, L, block_b, block_c)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -308,6 +319,7 @@ def spectral_filter_stream(cr, ci, xr, xi, gr, gi, *, pad_start, pad_end,
     if cr.shape[0] != pad:
         raise ValueError(f"carry must hold pad_start + pad_end = {pad} "
                          f"rows, got {cr.shape[0]}")
+    _check_gain(gr, n1, n2, L)
     block_b, block_c = _choose_blocks(n, n1, n2, L, block_b, block_c)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -20,9 +20,12 @@ On hardware, device addressing uses mesh-coordinate dicts
 (``device_id={axis_name: neighbor}``, ``DeviceIdType.MESH``) so the
 kernel works on multi-axis meshes (e.g. ``('time', 'chan')``: the halo
 moves along 'time' within each 'chan' ring).  The CPU interpreter's
-discharge rule for remote DMA only supports scalar LOGICAL ids on a
-single named axis, so interpret mode switches to that form and tests
-run on a 1-D time mesh (where the two coincide).
+discharge rule for remote DMA only supports scalar LOGICAL ids, so in
+interpret mode the kernel reconstructs the neighbor's logical id from
+the full mesh coordinates (:func:`mesh_logical_id` — the same device
+MESH addressing targets, since logical ids are the row-major flattening
+of mesh coordinates), making multi-axis meshes testable on the virtual
+CPU mesh too.
 """
 
 from __future__ import annotations
@@ -34,7 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["halo_edges_remote", "halo_exchange_remote"]
+__all__ = ["halo_edges_remote", "halo_exchange_remote",
+           "mesh_logical_id"]
 
 
 def _neighbor(axis_name, step, n_shards):
@@ -42,8 +46,26 @@ def _neighbor(axis_name, step, n_shards):
     return jax.lax.rem(my + step + n_shards, n_shards)
 
 
-def _halo_kernel(axis_name, n_shards, pad_start, pad_end, barrier,
-                 interpret, x_ref, *out_and_sems):
+def mesh_logical_id(axis_order, axis_name, idx):
+    """Logical device id of the device at my mesh coordinates with the
+    ``axis_name`` coordinate replaced by ``idx``.
+
+    ``axis_order`` is the static ((name, size), ...) of the mesh axes in
+    mesh order; logical ids are the row-major flattening of mesh
+    coordinates (what ``Mesh(devices.reshape(...))`` produces), so this
+    is exactly the device ``device_id={axis_name: idx}`` MESH addressing
+    targets — the bridge that lets the CPU interpreter (LOGICAL-id only)
+    exercise the multi-axis addressing path.
+    """
+    lid = jnp.int32(0)
+    for name, size in axis_order:
+        comp = idx if name == axis_name else jax.lax.axis_index(name)
+        lid = lid * size + comp
+    return lid
+
+
+def _halo_kernel(axis_name, axis_order, n_shards, pad_start, pad_end,
+                 barrier, interpret, x_ref, *out_and_sems):
     """Send my trailing ``pad_start`` rows right and my leading
     ``pad_end`` rows left, both as async remote DMAs."""
     # signature order: inputs, outputs, scratch (semaphores)
@@ -52,10 +74,12 @@ def _halo_kernel(axis_name, n_shards, pad_start, pad_end, barrier,
     sems = list(out_and_sems[n_out:])
 
     if interpret:
-        # the interpreter's DMA discharge only handles scalar LOGICAL
-        # ids on a single named axis (its 1-D-mesh emulation)
+        # the interpreter's DMA discharge handles scalar LOGICAL ids
+        # only; compute the neighbor's logical id from the full mesh
+        # coordinates (mesh_logical_id), so multi-axis meshes work
         def dest(idx):
-            return dict(device_id=idx,
+            return dict(device_id=mesh_logical_id(axis_order, axis_name,
+                                                  idx),
                         device_id_type=pltpu.DeviceIdType.LOGICAL)
     else:
         # mesh coordinates: move along axis_name, other axes unchanged —
@@ -120,33 +144,54 @@ def halo_edges_remote(x, pad_start, pad_end, axis_name="time",
             f"{x.shape[0]}; use fewer shards or larger blocks")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    axis_order = ((axis_name, n_shards),)
     if interpret:
-        # The interpreter addresses devices by scalar LOGICAL id, which
-        # equals the axis index only on a single-named-axis mesh; on a
-        # multi-axis mesh the DMA would target the wrong device (the
-        # interpreter's own discharge also rejects it, but opaquely).
+        # The interpreter addresses devices by scalar LOGICAL id and its
+        # remote-DMA discharge rule supports only ONE manual mesh axis
+        # (jax dma_start_partial_discharge_rule).  With several manual
+        # axes, fall back to the ppermute implementation — semantically
+        # identical (the 1-D tests pin DMA == ppermute equality), so
+        # multi-axis pipelines wired to halo='remote' stay CPU-testable;
+        # hardware always takes the real mesh-coordinate DMA path.  To
+        # exercise the DMA interpret path on a multi-axis mesh, restrict
+        # the manual axes: shard_map(..., axis_names={'time'}).
         try:
             from jax._src.core import get_axis_env
-            n_axes = sum(1 for name in get_axis_env().axis_sizes
-                         if name is not None)
-        except Exception:  # private API moved — defer to the interpreter
-            n_axes = 1
-        if n_axes > 1:
-            raise NotImplementedError(
-                "halo_edges_remote in interpret mode supports only a "
-                "single-named-axis mesh (the CPU emulator cannot "
-                "address mesh coordinates); test on a 1-D time mesh, "
-                "or run on TPU hardware for multi-axis meshes")
+            env = get_axis_env()
+            axis_order = tuple((name, int(env.axis_size(name)))
+                               for name in env.axis_sizes
+                               if name is not None)
+        except Exception:
+            # private API moved — a 1-D mesh still addresses correctly
+            axis_order = ((axis_name, n_shards),)
+        if len(axis_order) > 1:
+            from .halo import halo_edges
+            return halo_edges(x, pad_start, pad_end, axis_name=axis_name,
+                              periodic=periodic)
+
+    # outputs vary over every manual mesh axis (vma lets callers keep
+    # shard_map's check_vma=True, e.g. with partial manual axes)
+    try:
+        from jax._src.core import get_axis_env
+        vma = frozenset(name for name in get_axis_env().axis_sizes
+                        if name is not None)
+    except Exception:
+        vma = frozenset((axis_name,))
+
+    def out_struct(m):
+        try:
+            return jax.ShapeDtypeStruct((m,) + x.shape[1:], x.dtype,
+                                        vma=vma)
+        except TypeError:  # older jax without vma
+            return jax.ShapeDtypeStruct((m,) + x.shape[1:], x.dtype)
 
     out_shapes = []
     sem_shapes = []
     if pad_start:
-        out_shapes.append(jax.ShapeDtypeStruct((pad_start,) + x.shape[1:],
-                                               x.dtype))
+        out_shapes.append(out_struct(pad_start))
         sem_shapes += [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
     if pad_end:
-        out_shapes.append(jax.ShapeDtypeStruct((pad_end,) + x.shape[1:],
-                                               x.dtype))
+        out_shapes.append(out_struct(pad_end))
         sem_shapes += [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
     if not out_shapes:
         return zeros(0), zeros(0)
@@ -155,8 +200,9 @@ def halo_edges_remote(x, pad_start, pad_end, axis_name="time",
     # handshake only matters on real hardware anyway (the interpreter's
     # DMA emulation is itself a synchronous collective).
     barrier = not interpret
-    kern = functools.partial(_halo_kernel, axis_name, n_shards,
-                             pad_start, pad_end, barrier, interpret)
+    kern = functools.partial(_halo_kernel, axis_name, axis_order,
+                             n_shards, pad_start, pad_end, barrier,
+                             interpret)
     outs = pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],

@@ -13,6 +13,7 @@ the block axis, with windows kept block-aligned so phases never shift.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,6 +96,12 @@ class _PolyphaseFIR(PaddedTaskBase):
             acc = acc + self._taps[t] * xr[t:t + m_out]
         return acc.reshape((-1,) + data.shape[1:])
 
+    def task_planes(self, pair):
+        """Planes-interchange form: the FIR has real taps, so it applies
+        to the re/im planes independently (models/compiled.py)."""
+        return (self.task(pair[0]),
+                None if pair[1] is None else self.task(pair[1]))
+
 
 class PolyphaseFilterBankSamples(Channelize):
     """Polyphase filter bank: blockwise FIR then channelization.
@@ -155,7 +162,9 @@ class InversePolyphaseFilterBank(PaddedTaskBase):
 
     def __init__(self, ih, response, *, sn=10.0, pad_start=128, pad_end=128,
                  samples_per_frame=None, dtype=None, frequency=None,
-                 sideband=None):
+                 sideband=None, engine="auto"):
+        import jax
+
         response = np.asarray(response)
         n_tap, n = response.shape[:2]
         self._n = n
@@ -163,18 +172,47 @@ class InversePolyphaseFilterBank(PaddedTaskBase):
         self._sn = float(sn)
         dech = Dechannelize(ih, n=n, dtype=dtype, frequency=frequency,
                             sideband=sideband)
-        if samples_per_frame is not None:
-            samples_per_frame *= n
+        # engine: 'xla' (batch jnp.fft deconvolution), 'pallas' (fused
+        # four-step spectral-filter kernels over power-of-two spectra
+        # windows, trim in-kernel), or 'auto' (pallas on TPU).
+        if engine == "auto":
+            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.engine = engine
+        self._storage_gain_cache = None
 
-        fast_len = fft_maker.get().next_fast_len
+        p0r = int(pad_start)
+        p1r = int(pad_end) + (n_tap - 1)
+        if engine == "pallas":
+            # power-of-two spectra windows with pad rows on the four-step
+            # N2 grid: the Wiener deconvolution then runs as three fused
+            # HBM passes with the pads discarded inside the last kernel
+            from .ops.dedisperse_pallas import split_n
+            r0 = samples_per_frame if samples_per_frame is not None \
+                else max(3 * (p0r + p1r), 1)
+            m = 1 << (r0 + p0r + p1r - 1).bit_length()
+            while True:
+                n2r = split_n(m)[1]
+                q0 = -(-p0r // n2r) * n2r
+                q1 = -(-p1r // n2r) * n2r
+                if m - q0 - q1 >= max(r0, 1):
+                    break
+                m *= 2
+            p0r, p1r = q0, q1
+            super().__init__(dech, pad_start=p0r * n, pad_end=p1r * n,
+                             samples_per_frame=(m - p0r - p1r) * n)
+        else:
+            if samples_per_frame is not None:
+                samples_per_frame *= n
 
-        def block_fast_len(size):
-            return n * fast_len(-(-size // n))
+            fast_len = fft_maker.get().next_fast_len
 
-        super().__init__(dech, pad_start=pad_start * n,
-                         pad_end=pad_end * n + (n_tap - 1) * n,
-                         samples_per_frame=samples_per_frame,
-                         next_fast_len=block_fast_len)
+            def block_fast_len(size):
+                return n * fast_len(-(-size // n))
+
+            super().__init__(dech, pad_start=p0r * n,
+                             pad_end=p1r * n,
+                             samples_per_frame=samples_per_frame,
+                             next_fast_len=block_fast_len)
         self._response = response
         self._gain_cache = None
         # the forward PFB stamps spectra mid-FIR (centered pads); the
@@ -186,15 +224,19 @@ class InversePolyphaseFilterBank(PaddedTaskBase):
         self._start_time = self._start_time \
             - self._samples_to_timedelta(1, self.sample_rate) \
             * ((n_tap - 1) * n // 2)
-        # plan the per-phase batch transforms through the active engine
-        # (under 'pallas', pow2 windows run the four-step VMEM kernels)
-        m = self._padded_samples_per_frame // n
-        shape = (m, n) + tuple(dech.sample_shape)
-        self._batch_fft = fft_maker(shape, np.complex64, axis=0)
-        self._batch_ifft = self._batch_fft.inverse()
+        if self.engine == "pallas":
+            # the fused spectral-filter kernels do fft·gain·ifft·trim in
+            # three HBM passes; no separate plan needed
+            self._batch_fft = self._batch_ifft = None
+        else:
+            # plan the per-phase batch transforms through the active engine
+            m = self._padded_samples_per_frame // n
+            shape = (m, n) + tuple(dech.sample_shape)
+            self._batch_fft = fft_maker(shape, np.complex64, axis=0)
+            self._batch_ifft = self._batch_fft.inverse()
 
-    def _make_gain(self, m):
-        """Wiener gain per (block-frequency, phase).
+    def _gain_np(self, m):
+        """Wiener gain per (block-frequency, phase) as complex128 (m, n).
 
         The dechannelized stream per phase j is the correlation
         z_j[k] = sum_t h[t, j] x_j[k + t], i.e. Z = conj(H) X in the
@@ -207,12 +249,74 @@ class InversePolyphaseFilterBank(PaddedTaskBase):
         inv_sn2 = 1.0 / self._sn ** 2
         # the (1 + 1/sn^2) factor keeps unit gain where |H| = 1
         # (reference pfb.py:252-255)
-        gain = (np.conj(hbar) / (np.abs(hbar) ** 2 + inv_sn2)
+        return (np.conj(hbar) / (np.abs(hbar) ** 2 + inv_sn2)
                 * (1.0 + inv_sn2))
-        return device_complex(gain.astype(np.complex64))
+
+    def _make_gain(self, m):
+        return device_complex(self._gain_np(m).astype(np.complex64))
+
+    @property
+    def _rows(self):
+        """Padded window size in spectra rows."""
+        return self._padded_samples_per_frame // self._n
+
+    def _storage_gain(self):
+        """Wiener gain planes in four-step storage order, lanes =
+        (phase j, trailing sample dims) flattened — the 'chirp' of the
+        fused spectral-filter kernels."""
+        from .ops.dedisperse_pallas import (permute_to_storage_order,
+                                            split_n)
+        m = self._rows
+        # lanes = (polyphase j, trailing dims): this node's sample shape
+        # IS the trailing dims (the dechannelized stream's)
+        reps = int(np.prod(self.sample_shape, dtype=int)) \
+            if self.sample_shape else 1
+        gain = self._gain_np(m).astype(np.complex64)
+        lanes = np.repeat(gain[:, :, np.newaxis], reps,
+                          axis=2).reshape(m, self._n * reps)
+        n1, n2 = split_n(m)
+        stor = permute_to_storage_order(lanes, n1, n2)
+        return (jnp.asarray(np.ascontiguousarray(stor.real)),
+                jnp.asarray(np.ascontiguousarray(stor.imag)))
+
+    def _task_pallas_planes(self, zr, zi, pre=None, scale=None,
+                            carry=None):
+        """Deconvolve float32 spectra-row planes (rows, n·reps lanes).
+
+        With ``carry`` (pad rows), runs the streaming form (window
+        assembled in VMEM); otherwise ``zr/zi`` hold the full padded
+        window.  ``pre`` optionally fuses a preceding Dechannelize's
+        inverse-DFT lane mix (models/compiled.py fusion).  Returns
+        trimmed planes (valid_rows, n·reps)."""
+        from .ops.spectral_filter import (spectral_filter_pow2,
+                                          spectral_filter_stream)
+        if self._storage_gain_cache is None:
+            self._storage_gain_cache = self._storage_gain()
+        gr, gi = self._storage_gain_cache
+        n = self._n
+        kw = dict(pad_start=self._pad_start // n,
+                  pad_end=self._pad_end // n, pre=pre)
+        if carry is not None:
+            return spectral_filter_stream(carry[0], carry[1], zr, zi,
+                                          gr, gi, scale=scale, **kw)
+        return spectral_filter_pow2(zr, zi, gr, gi, **kw)
+
+    def _task_pallas(self, data):
+        n = self._n
+        sample_shape = data.shape[1:]
+        m = data.shape[0] // n
+        z = data.astype(jnp.complex64).reshape(m, -1)
+        yr, yi = self._task_pallas_planes(jnp.real(z), jnp.imag(z))
+        out = jax.lax.complex(yr, yi).reshape((-1,) + sample_shape)
+        if self.dtype.kind != "c":
+            out = out.real
+        return out.astype(self.dtype)
 
     def task(self, data):
         n = self._n
+        if self.engine == "pallas" and \
+                data.shape[0] == self._padded_samples_per_frame:
+            return self._task_pallas(data)
         sample_shape = data.shape[1:]
         z = data.reshape((-1, n) + sample_shape)
         m = z.shape[0]
@@ -220,10 +324,11 @@ class InversePolyphaseFilterBank(PaddedTaskBase):
             self._gain_cache = self._make_gain(m)
         gain = self._gain_cache.reshape((m, n) + (1,) * len(sample_shape))
         zc = z.astype(jnp.complex64)
-        if m == self._batch_fft.time_shape[0]:
+        if self._batch_fft is not None \
+                and m == self._batch_fft.time_shape[0]:
             Z = self._batch_fft(zc)
             x = self._batch_ifft(Z * gain)
-        else:  # off-plan window (shouldn't happen: frames are static)
+        else:  # off-plan window (pallas-engine fallback frames)
             Z = jnp.fft.fft(zc, axis=0)
             x = jnp.fft.ifft(Z * gain, axis=0)
         out = x.reshape((-1,) + sample_shape)

@@ -418,13 +418,33 @@ class Phase:
         format: each part is cast separately and then summed, so casting
         to float128-like or float64 keeps the maximum precision the
         target type can hold (reference phases/phase.py:785-802).
+
+        A structured ``dtype`` with exactly two float fields (e.g.
+        ``[('int', 'f8'), ('frac', 'f8')]``) receives the two parts
+        separately — the lossless serialization form.  ``subok`` and
+        ``copy`` are accepted for signature compatibility only: the
+        result is always a freshly-built plain ndarray (the reference's
+        fallback to ndarray.astype behaves the same way for the summed
+        representation).
         """
         dtype = np.dtype(dtype)
-        if dtype.fields or casting not in ("same_kind", "unsafe"):
+        if dtype.fields:
+            names = dtype.names
+            if len(names) != 2:
+                raise TypeError(
+                    f"structured target for Phase.astype needs exactly "
+                    f"two fields (count, fraction), got {dtype}")
+            out = np.empty(self.shape, dtype)
+            out[names[0]] = np.asarray(self.count).astype(
+                dtype[names[0]], casting=casting)
+            out[names[1]] = np.asarray(self.fraction).astype(
+                dtype[names[1]], casting=casting)
+            return out
+        if casting not in ("same_kind", "unsafe"):
             raise TypeError(
-                f"Phase.astype supports only unstructured dtypes with "
-                f"casting='same_kind'/'unsafe', not dtype={dtype}, "
-                f"casting={casting!r}")
+                f"Phase.astype supports casting='same_kind'/'unsafe' "
+                f"only (each two-double part is summed into the target "
+                f"type, which numpy deems unsafe), not {casting!r}")
         out = np.asarray(self.count).astype(dtype, order=order,
                                             casting=casting, copy=True)
         out += np.asarray(self.fraction).astype(dtype, order=order,

@@ -333,3 +333,16 @@ class TestNegativeAxis:
         np.testing.assert_allclose(np.asarray(fft(x)),
                                    np.fft.rfft(x, axis=-1), rtol=1e-5,
                                    atol=1e-5)
+
+
+class TestFrequencyInfoValidation:
+    def test_empty_shape_rejected(self):
+        from baseband_tasks_tpu.fourier import fft_maker
+        with pytest.raises(ValueError, match="empty shape"):
+            fft_maker.get().get_frequency_data_info((), "complex64")
+
+    def test_axis_out_of_bounds(self):
+        from baseband_tasks_tpu.fourier import fft_maker
+        with pytest.raises(ValueError, match="out of bounds"):
+            fft_maker.get().get_frequency_data_info((8, 4), "complex64",
+                                                    axis=2)

@@ -106,13 +106,63 @@ def test_overlap_save_window_consistency():
     np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-6)
 
 
-def test_multi_axis_mesh_rejected_in_interpret():
-    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+@pytest.mark.parametrize("shape,order", [
+    ((4, 2), ("time", "chan")),   # halo along the major axis
+    ((2, 4), ("time", "chan")),
+    ((8, 1), ("time", "chan")),   # degenerate second axis
+    ((2, 4), ("chan", "time")),   # halo along the MINOR axis
+])
+def test_multi_axis_mesh_matches_ppermute(shape, order):
+    """Multi-axis meshes: halo='remote' must give the ppermute result —
+    in interpret mode via the documented fallback (the CPU emulator's
+    DMA discharge supports one manual axis only), so multi-axis
+    pipelines wired to the remote halo stay testable."""
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(shape), order)
+    rng = np.random.default_rng(3)
+    t_shards = dict(zip(order, shape))["time"]
+    c_shards = dict(zip(order, shape))["chan"]
+    x = jnp.asarray(rng.standard_normal(
+        (t_shards * 16, c_shards * 8)).astype(np.float32))
+    spec = P("time", "chan")
+
+    def via_ppermute(xl):
+        f, e = halo_edges(xl, 5, 3)
+        return jnp.concatenate([f, e], axis=0)
+
+    def via_dma(xl):
+        f, e = halo_edges_remote(xl, 5, 3, interpret=True)
+        return jnp.concatenate([f, e], axis=0)
+
+    sh = lambda fn: jax.shard_map(fn, mesh=mesh, in_specs=spec,  # noqa
+                                  out_specs=spec, check_vma=False)
+    ref = np.asarray(sh(via_ppermute)(x))
+    got = np.asarray(sh(via_dma)(x))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_mesh_logical_id_unit():
+    """mesh_logical_id must match row-major coordinate flattening (what
+    MESH-coordinate addressing targets) on a 2-D mesh."""
+    from baseband_tasks_tpu.parallel.halo_pallas import mesh_logical_id
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
                 ("time", "chan"))
-    x = jnp.zeros((64, 8), jnp.float32)
-    with pytest.raises(NotImplementedError, match="single-named-axis"):
-        jax.shard_map(
-            lambda xl: halo_edges_remote(xl, 2, 2, interpret=True),
-            mesh=mesh, in_specs=P("time", "chan"),
-            out_specs=(P("time", "chan"), P("time", "chan")),
-            check_vma=False)(x)
+
+    def local(xl):
+        axis_order = (("time", 2), ("chan", 4))
+        t = jax.lax.axis_index("time")
+        c = jax.lax.axis_index("chan")
+        lid_self = mesh_logical_id(axis_order, "time", t)
+        lid_next = mesh_logical_id(axis_order, "time", (t + 1) % 2)
+        return xl * 0 + jnp.stack([lid_self, lid_next]
+                                  ).astype(jnp.float32)[:, None]
+
+    out = jax.shard_map(local, mesh=mesh, in_specs=P("time", "chan"),
+                        out_specs=P("time", "chan"),
+                        check_vma=False)(jnp.zeros((4, 8), jnp.float32))
+    out = np.asarray(out)
+    # device (t, c) occupies block rows [2t, 2t+2), cols [2c, 2c+2)
+    for t in range(2):
+        for c in range(4):
+            blk = out[2 * t: 2 * t + 2, 2 * c: 2 * c + 2]
+            assert blk[0, 0] == t * 4 + c              # self
+            assert blk[1, 0] == ((t + 1) % 2) * 4 + c  # time-neighbor

@@ -141,6 +141,90 @@ class TestWidebandPipeline:
         counts = np.bincount(bins, minlength=16).astype(np.float32)
         np.testing.assert_array_equal(np.asarray(cnt), counts)
 
+    def test_remote_halo_matches_ppermute(self):
+        """halo='remote' must reproduce halo='ppermute' exactly — on the
+        CPU interpreter via the documented multi-axis fallback; the DMA
+        kernel itself is pinned equal on 1-D meshes
+        (tests/test_halo_pallas.py)."""
+        rng = np.random.default_rng(4)
+        a = self.make(make_mesh(time=4, chan=2), dm=2.0)
+        b = self.make(make_mesh(time=4, chan=2), dm=2.0, halo="remote")
+        T = a.global_block
+        xf = rng.standard_normal((T, 8, 2, 2)).astype(np.float32)
+        xs = jax.device_put(xf, NamedSharding(a.mesh, P("time", "chan")))
+        prof_a, cnt_a = a.step_fn()(xs, jnp.float32(0))
+        prof_b, cnt_b = b.step_fn()(xs, jnp.float32(0))
+        np.testing.assert_array_equal(np.asarray(cnt_a), np.asarray(cnt_b))
+        np.testing.assert_array_equal(np.asarray(prof_a),
+                                      np.asarray(prof_b))
+
+    def test_production_shape_factorizations(self):
+        """Production shapes (n_chan=128, 2^15-sample shards, n_phase=64)
+        across (time, chan) mesh factorizations.
+
+        With dm=0 (unit chirp: fft·ifft is an identity to roundoff, so
+        overlap-save window placement cannot matter) every factorization
+        must match the single-device (1,1) profile bit-for-bit-level;
+        with dm=50 the chan resharding at fixed time sharding must stay
+        bit-compatible.  Counts are exact everywhere."""
+        rng = np.random.default_rng(7)
+        n_chan, n_phase = 128, 64
+        block = 1 << 15
+
+        def run(t, c, dm, x=None):
+            pipe = self.make(make_mesh(time=t, chan=c), n_chan=n_chan,
+                             n_phase=n_phase, dm=dm,
+                             freq_center=1400 * u.MHz,
+                             # per_q a power of two: the kernel's 2^-31
+                             # fixed-point phase rate is then EXACT, so
+                             # the closed-form integer bins match it
+                             # sample-for-sample
+                             period_samples=(16384, 3),
+                             block_samples=block)
+            T = pipe.global_block
+            if x is None:
+                x = rng.standard_normal(
+                    (T, n_chan, 2, 2)).astype(np.float32)
+            prof, cnt = pipe.step_fn()(
+                jax.device_put(x, NamedSharding(pipe.mesh,
+                                                P("time", "chan"))),
+                jnp.float32(0))
+            assert float(np.asarray(cnt).sum()) == float(T)
+            return np.asarray(prof), x, pipe
+
+        # dm=0: window placement is irrelevant -> every factorization
+        # equals single-device (each processes its own T; same per-shard
+        # block so (t, c) with equal t share T; compare via per-sample
+        # normalized closed-form fold)
+        for t, c in ((4, 2), (2, 4), (4, 1)):
+            prof, x, pipe = run(t, c, 0.0)
+            T = x.shape[0]
+            power = x[..., 0] ** 2 + x[..., 1] ** 2
+            bins = (np.arange(T) * 3 % 16384) * n_phase // 16384
+            expected = np.zeros((n_phase, n_chan, 2), np.float32)
+            np.add.at(expected, bins, power)
+            np.testing.assert_allclose(prof, expected, rtol=2e-3,
+                                       atol=0.05)
+        # dm=50: chan resharding bit-compatibility at fixed time shards
+        prof_a, x, _ = run(4, 2, 50.0)
+        prof_b, _, _ = run(4, 1, 50.0, x=x)
+        np.testing.assert_allclose(prof_a, prof_b, rtol=1e-6, atol=1e-3)
+
+    def test_production_shape_corner_turn(self):
+        """Corner-turn reshard at a production shape: 8-way sharded
+        channelize (FFT + all_to_all) equals the local computation."""
+        from baseband_tasks_tpu.parallel.corner import sharded_channelize
+        mesh = Mesh(np.array(jax.devices()[:8]), ("time",))
+        n = 256
+        t_total = 8 * (1 << 14)
+        rng = np.random.default_rng(9)
+        x = (rng.standard_normal(t_total)
+             + 1j * rng.standard_normal(t_total)).astype(np.complex64)
+        got = np.asarray(sharded_channelize(mesh, n)(
+            jax.device_put(x, NamedSharding(mesh, P("time")))))
+        expect = np.fft.fft(x.reshape(-1, n), axis=1)
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-2)
+
     def test_step_shapes(self):
         pipe = self.make(make_mesh(time=2, chan=2))
         xf, off = pipe.example_inputs()

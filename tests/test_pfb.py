@@ -112,6 +112,31 @@ class TestInversePFB:
         # default 128-block pads: recovery well beyond the 60 dB bar
         assert err < 1e-6
 
+    @pytest.mark.parametrize("dtype", [np.complex64, np.float32])
+    def test_pallas_engine_roundtrip(self, dtype):
+        """engine='pallas' (interpret on CPU): fused spectral-filter
+        deconvolution recovers the raw stream like the xla engine."""
+        n, n_tap = 32, 4
+        h = sinc_hamming(n_tap, n)
+        sh = noise((65536,), dtype=dtype, seed=5)
+        raw = np.asarray(sh.read())
+        sh.seek(0)
+        pfb = PolyphaseFilterBank(sh, h)
+        inv = InversePolyphaseFilterBank(pfb, h, sn=1e4, dtype=dtype,
+                                         pad_start=16, pad_end=16,
+                                         samples_per_frame=224,
+                                         engine="pallas")
+        # window is a power of two in spectra rows
+        rows = inv._padded_samples_per_frame // n
+        assert rows & (rows - 1) == 0
+        data = np.asarray(inv.read(2048))
+        dt_samples = int(round(float(
+            ((inv.start_time - START).sec) * 1e6)))
+        expected = raw[dt_samples:dt_samples + 2048]
+        err = np.mean(np.abs(data - expected) ** 2) \
+            / np.mean(np.abs(expected) ** 2)
+        assert err < 1e-6
+
     def test_higher_sn_better_recovery(self):
         n, n_tap = 32, 4
         h = sinc_hamming(n_tap, n)

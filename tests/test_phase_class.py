@@ -577,3 +577,25 @@ class TestImaginaryPropagation:
         # exp of an imaginary phase stays on the real-exponent path
         np.testing.assert_allclose(np.exp(p.ravel())[0],
                                    np.exp(2j * np.pi * 0.25), rtol=1e-6)
+
+
+class TestAstype:
+    def test_float_sum_precision(self):
+        p = Phase(np.array([1e9, 2e9]), np.array([0.25, -0.125]))
+        out = p.astype(np.float64)
+        np.testing.assert_array_equal(out, [1e9 + 0.25, 2e9 - 0.125])
+
+    def test_structured_lossless(self):
+        # two-field structured targets receive the parts separately
+        # (ADVICE r2: reference falls back to ndarray.astype for these)
+        p = Phase(np.array([1.0, -3.0]), np.array([0.25, -0.125]))
+        s = p.astype([("int", "f8"), ("frac", "f8")])
+        np.testing.assert_array_equal(s["int"], [1.0, -3.0])
+        np.testing.assert_array_equal(s["frac"], [0.25, -0.125])
+
+    def test_bad_casting_and_fields(self):
+        p = Phase(1.0)
+        with pytest.raises(TypeError, match="casting"):
+            p.astype(np.float64, casting="safe")
+        with pytest.raises(TypeError, match="two fields"):
+            p.astype([("a", "f8"), ("b", "f8"), ("c", "f8")])

@@ -158,33 +158,79 @@ def config1():
             "backend": jax.default_backend(), "block": block}
 
 
+def _timed_planes_chain(cp, shape, n_iter=N_ITER):
+    """Time the compiled planes-interchange step: complex data travels
+    as two flat f32 planes, the per-iteration scale rides into the
+    first fused kernel's SMEM, and streaming fused stages assemble
+    their overlap-save windows in VMEM (models/compiled.py
+    planes_step) — no XLA plumbing pass touches the blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    step_c, caches = cp.cached_planes_step()
+
+    @jax.jit
+    def make_block(seedf):
+        k = jax.random.key(seedf[0].astype(jnp.int32))
+        return (jax.random.normal(k, shape, jnp.float32),
+                jax.random.normal(jax.random.fold_in(k, 1), shape,
+                                  jnp.float32))
+
+    xr, xi = make_block(np.ones((1,), np.float32))
+    jax.block_until_ready(xr)
+
+    @jax.jit
+    def run(xr, xi, *cs):
+        def s(carry, i):
+            scale = 1.0 + 1e-6 * i.astype(jnp.float32)
+            carry, (yr, yi) = step_c(carry, (xr, xi), scale, cs)
+            out = jnp.sum(yr ** 2) + (0.0 if yi is None
+                                      else jnp.sum(yi ** 2))
+            return carry, out
+
+        carry, ys = jax.lax.scan(s, cp.init_carry(planes=True),
+                                 jnp.arange(n_iter, dtype=jnp.int32))
+        return jnp.sum(ys).reshape(1)
+
+    np.asarray(run(xr, xi, *caches))  # compile + warm
+    return _best_of(lambda: np.asarray(run(xr, xi, *caches))) / n_iter
+
+
 def config2():
     """Coherent dedispersion DM=29.7 + Dechannelize, 16 MHz band
-    (64 x 250 kHz complex channels)."""
+    (64 x 250 kHz complex channels).
+
+    The compiled pipeline fuses the Dechannelize inverse-DFT into the
+    pallas dedispersion's last kernel (models/compiled.py peephole), so
+    the whole chain is three HBM passes with the pads trimmed in-kernel
+    and the window assembled in VMEM from the streaming carry."""
     import jax
     from baseband_tasks_tpu import (Dechannelize, Dedisperse,
                                     NoiseGenerator, SetAttribute)
     from baseband_tasks_tpu.models.compiled import CompiledPipeline
     from baseband_tasks_tpu.utils import Time, units as u
 
-    n_chan = 64
-    freq = (1400 + (np.arange(n_chan) - n_chan / 2) * 0.25) * u.MHz
+    # the 16 MHz band as 128 x 125 kHz channels: 128 channels fill the
+    # TPU's 128 lanes exactly (64-channel layouts waste half of every
+    # vector op) and the 2^18-row window splits as the flagship-proven
+    # (512, 512) four-step geometry
+    n_chan = 128
+    freq = (1400 + (np.arange(n_chan) - n_chan / 2) * 0.125) * u.MHz
     src = SetAttribute(
-        NoiseGenerator(shape=(1 << 22, n_chan),
+        NoiseGenerator(shape=(1 << 23, n_chan),
                        start_time=Time.from_mjd(58000.0),
-                       sample_rate=250 * u.kHz, samples_per_frame=8192,
+                       sample_rate=125 * u.kHz, samples_per_frame=8192,
                        seed=1),
         frequency=freq, sideband=1)
-    from baseband_tasks_tpu.fourier import fft_maker
-    with fft_maker.set("pallas"):
-        # large frames amortize the device's fixed per-step cost
-        ded = Dedisperse(src, 29.7, samples_per_frame=1 << 17)
-        cp = CompiledPipeline(Dechannelize(ded))
+    # 2^18-row pow2 windows (~268 MB blocks) amortize the device's
+    # fixed per-step cost; engine='pallas' is explicit so the fusion
+    # also applies when benchmarked off-TPU
+    ded = Dedisperse(src, 29.7, samples_per_frame=1 << 17,
+                     engine="pallas")
+    cp = CompiledPipeline(Dechannelize(ded))
+    assert any(getattr(st, "fused", None) is not None for st in cp.stages)
 
-    def gen(key):
-        return _complex_noise(key, (cp.block_samples, n_chan))
-
-    dt = _timed_chain(cp, gen)
+    dt = _timed_planes_chain(cp, (cp.block_samples, n_chan))
     rate = cp.block_samples * n_chan / dt
     return {"config": 2, "samples_per_s": round(rate, 1),
             "backend": jax.default_backend(), "block": cp.block_samples,
@@ -193,38 +239,39 @@ def config2():
 
 def config3():
     """PFB (8 taps x 256 chan sinc-hamming) + Wiener inverse round trip,
-    dual-pol complex."""
+    dual-pol complex.
+
+    The chain compiles to: FIR tap-sum + channelizing DFT (one fused
+    XLA pass of MXU matmuls on planes), then the Wiener deconvolution
+    as three pallas HBM passes with the preceding Dechannelize's
+    inverse-DFT absorbed as an in-kernel lane matmul and the pads
+    trimmed in the last kernel (models/compiled.py fusion)."""
     import jax
     from baseband_tasks_tpu import (InversePolyphaseFilterBank,
                                     NoiseGenerator, PolyphaseFilterBank,
                                     sinc_hamming)
     from baseband_tasks_tpu.models.compiled import CompiledPipeline
+    from baseband_tasks_tpu.fourier import fft_maker
     from baseband_tasks_tpu.utils import Time, units as u
 
     n_tap, n_chan = 8, 256
     h = sinc_hamming(n_tap, n_chan).reshape(n_tap, n_chan)
-    src = NoiseGenerator(shape=(1 << 22, 2),
+    src = NoiseGenerator(shape=(1 << 24, 2),
                          start_time=Time.from_mjd(58000.0),
                          sample_rate=4 * u.MHz, samples_per_frame=1 << 16,
                          seed=2)
-    # pads/samples_per_frame are in spectra: 512 spectra x 256 chan =
-    # 131072 source samples per frame for BOTH padded stages
-    from baseband_tasks_tpu.fourier import fft_maker
+    # pads/samples_per_frame are in spectra; 32256-spectra frames give a
+    # 2^15-row deconvolution window (256-row pads, ~132 MB blocks) —
+    # big enough to amortize the fixed per-step cost
     with fft_maker.set("pallas"):
-        # 2048-spectra frames measured fastest back-to-back (4.0 ms/iter
-        # vs 12-22 ms at 4096/8192 spectra, both XLA-smooth and
-        # pow2-pallas windows — the inversion chain scales superlinearly
-        # past ~0.5M-sample frames on this device).
-        pfb = PolyphaseFilterBank(src, h, samples_per_frame=2048)
+        pfb = PolyphaseFilterBank(src, h, samples_per_frame=32256)
         inv = InversePolyphaseFilterBank(
-            pfb, h, sn=30, pad_start=8, pad_end=8,
-            samples_per_frame=2048, dtype=src.dtype)
+            pfb, h, sn=30, pad_start=128, pad_end=128,
+            samples_per_frame=32256, dtype=src.dtype, engine="pallas")
         cp = CompiledPipeline(inv)
+    assert any(getattr(st, "fused", None) is not None for st in cp.stages)
 
-    def gen(key):
-        return _complex_noise(key, (cp.block_samples, 2))
-
-    dt = _timed_chain(cp, gen)
+    dt = _timed_planes_chain(cp, (cp.block_samples, 2))
     rate = cp.block_samples * 2 / dt
     return {"config": 3, "samples_per_s": round(rate, 1),
             "backend": jax.default_backend(), "block": cp.block_samples}
