@@ -43,7 +43,7 @@ from .utils import Time, units as u
 
 __all__ = ["Base", "BaseTaskBase", "TaskBase", "PaddedTaskBase", "Task",
            "SetAttribute", "getattr_if_none", "check_broadcast_to",
-           "simplify_shape"]
+           "simplify_shape", "FrameSizeWarning", "PerformanceHint"]
 
 #: Stream attributes that propagate through tasks via ``meta``.
 META_ATTRIBUTES = ("frequency", "sideband", "polarization")
@@ -268,6 +268,7 @@ class Base:
             raise EOFError("cannot read from beyond end of input.")
 
         frame_index, sample_off = divmod(self._offset, self._samples_per_frame)
+        self._maybe_hint_compiled(count)
         pieces = []
         sample = 0
         while sample < count:
@@ -293,6 +294,33 @@ class Base:
             # Integrate; these are host arrays by construction.
             return np.concatenate(pieces, axis=0)
         return jnp.concatenate([jnp.asarray(p) for p in pieces], axis=0)
+
+    #: frames per eager read on a TPU backend above which a one-time
+    #: CompiledPipeline hint is emitted (None disables)
+    _HINT_FRAMES = 64
+    _hinted_compiled = False
+
+    def _maybe_hint_compiled(self, count):
+        """One-time performance hint: long eager reads through task
+        chains on a TPU backend dispatch every frame from the host
+        (~10^4x slower than the compiled scan — BASELINE.md config 1);
+        point at CompiledPipeline once per process."""
+        if (Base._hinted_compiled or self._HINT_FRAMES is None
+                or getattr(self, "ih", None) is None
+                or count < self._HINT_FRAMES * self._samples_per_frame):
+            return
+        import jax
+        if jax.default_backend() != "tpu":
+            return
+        Base._hinted_compiled = True
+        warnings.warn(
+            f"eager read of {count} samples spans "
+            f"{count // self._samples_per_frame} frames, each a separate "
+            f"host->TPU dispatch; for production throughput compile the "
+            f"chain once with "
+            f"baseband_tasks_tpu.models.compiled.CompiledPipeline "
+            f"(measured ~10^4x faster on this path, BASELINE.md config "
+            f"1). This hint is shown once.", PerformanceHint)
 
     def _get_frame_cached(self, frame_index):
         if frame_index != self._frame_index:
@@ -539,6 +567,12 @@ class TaskBase(BaseTaskBase):
         self.ih.seek(start)
         data = self.ih.read(stop - start)
         return self.task(data)
+
+
+class PerformanceHint(UserWarning):
+    """One-time advisory that a faster execution path exists (e.g. long
+    eager reads on a TPU backend -> CompiledPipeline).  Distinct category
+    so it can be filtered without hiding real warnings."""
 
 
 class FrameSizeWarning(UserWarning):

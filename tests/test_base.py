@@ -556,3 +556,44 @@ class TestTaskBoundMethods:
         th = Task(sh, self.Proc().two)
         np.testing.assert_allclose(np.asarray(th.read(3))[:, 0],
                                    [0, 1, 2])
+
+
+class TestPerformanceHint:
+    """Long eager reads through task chains on a TPU backend emit a
+    one-time CompiledPipeline hint (VERDICT r2 item 8)."""
+
+    def _chain(self, n=1 << 14, spf=256):
+        from baseband_tasks_tpu import NoiseGenerator, Square
+        from baseband_tasks_tpu.utils import Time, units as u
+        src = NoiseGenerator(shape=(n,), start_time=Time.from_mjd(58000.),
+                             sample_rate=1 * u.MHz, samples_per_frame=spf,
+                             seed=0)
+        return Square(src)
+
+    def test_hint_emitted_once(self, monkeypatch):
+        import jax
+        import warnings as w
+        from baseband_tasks_tpu.base import Base, PerformanceHint
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(Base, "_hinted_compiled", False)
+        sq = self._chain()
+        with pytest.warns(PerformanceHint, match="CompiledPipeline"):
+            sq.read(1 << 14)
+        # once per process only
+        sq.seek(0)
+        with w.catch_warnings():
+            w.simplefilter("error", PerformanceHint)
+            sq.read(1 << 14)
+
+    def test_no_hint_for_short_reads_or_sources(self, monkeypatch):
+        import jax
+        import warnings as w
+        from baseband_tasks_tpu.base import Base, PerformanceHint
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(Base, "_hinted_compiled", False)
+        sq = self._chain()
+        with w.catch_warnings():
+            w.simplefilter("error", PerformanceHint)
+            sq.read(1024)          # few frames: no hint
+            sq.ih.seek(0)
+            sq.ih.read(1 << 14)    # source node (no ih): no hint

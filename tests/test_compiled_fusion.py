@@ -193,3 +193,34 @@ class TestDechanInvPFBFusion:
         b = _run_compiled(CompiledPipeline(self._make()[1], fuse=False),
                           2)
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+class TestConvolveStream:
+    """Pallas Convolve in the planes-interchange step: the streaming
+    task_stream form (in-kernel window assembly + trim) must match the
+    complex path and the eager stream."""
+
+    def _make(self):
+        rng = np.random.default_rng(8)
+        r = (rng.standard_normal(33)
+             + 1j * rng.standard_normal(33)).astype(np.complex64) * 0.2
+        from baseband_tasks_tpu import Convolve
+        src = NoiseGenerator(shape=(1 << 14, 8), start_time=T0,
+                             sample_rate=1 * u.MHz,
+                             samples_per_frame=4096,
+                             dtype=np.complex64, seed=13)
+        conv = Convolve(src, r, samples_per_frame=1024, engine="pallas")
+        return CompiledPipeline(conv), conv
+
+    def test_planes_matches_complex(self):
+        cp, _ = self._make()
+        a = _run_compiled(cp, 3, planes=False)
+        b = _run_compiled(cp, 3, planes=True)
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_matches_eager(self):
+        # convolution responses are finite: pads fully contain them, so
+        # streaming windows equal eager output exactly past warmup
+        cp, conv = self._make()
+        got = _run_compiled(cp, 3, planes=True)
+        _compare_eager(got, cp, conv, rtol=1e-4, atol=1e-4)

@@ -43,3 +43,24 @@ def test_docs_doctests(name):
         optionflags=doctest.ELLIPSIS | doctest.NORMALIZE_WHITESPACE)
     assert result.failed == 0, f"{result.failed} doc example failures"
     assert result.attempted > 0, f"docs/{name} has no examples"
+
+
+def test_tutorial_blocks():
+    """docs/tutorial.md runs end-to-end: every ```python block executes
+    in one shared namespace (the reference doctests its rst tutorials;
+    this is the markdown equivalent)."""
+    import os
+    import re
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "tutorial.md")
+    with open(path) as fh:
+        text = fh.read()
+    blocks = re.findall(r"```python\n(.*?)```", text, re.DOTALL)
+    assert len(blocks) >= 6
+    ns = {}
+    for i, block in enumerate(blocks):
+        try:
+            exec(compile(block, f"tutorial.md[block {i}]", "exec"), ns)
+        except Exception as exc:
+            raise AssertionError(
+                f"tutorial block {i} failed: {exc}\n{block}") from exc

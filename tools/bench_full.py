@@ -561,7 +561,7 @@ def main():
             os.path.abspath(__file__))), "BASELINE.json")
         with open(path) as fh:
             base = json.load(fh)
-        base.setdefault("published", {}).setdefault("round2", {}).update(results)
+        base.setdefault("published", {}).setdefault("round3", {}).update(results)
         with open(path, "w") as fh:
             json.dump(base, fh, indent=1)
             fh.write("\n")
