@@ -38,43 +38,6 @@ def _best_of(fn, n=3):
     return dt
 
 
-def _timed_chain(cp, gen_block, n_iter=N_ITER):
-    """One jit: scan `step` over on-device blocks, f32 out.
-
-    The input block is generated ONCE outside the timed loop and scaled
-    by (1 + 1e-6 i) per iteration (same methodology as the flagship
-    bench): counter-based RNG on device costs more than some pipelines
-    under test, and ingest is measured separately.  Caches travel as jit
-    arguments (cp.cached_step): closure-captured device arrays are
-    fetched for constant embedding, which the axon boundary rejects for
-    complex dtypes."""
-    import jax
-    import jax.numpy as jnp
-
-    step_c, caches = cp.cached_step()
-
-    @jax.jit
-    def make_block(seedf):
-        return gen_block(jax.random.key(seedf[0].astype(jnp.int32)))
-
-    block = make_block(np.ones((1,), np.float32))
-    jax.block_until_ready(block)
-
-    @jax.jit
-    def run(x0, *cs):
-        def s(carry, i):
-            x = x0 * (1.0 + 1e-6 * i.astype(jnp.float32))
-            carry, y = step_c(carry, x, cs)
-            return carry, jnp.sum(jnp.abs(y) ** 2)
-
-        carry, ys = jax.lax.scan(s, cp.init_carry(),
-                                 jnp.arange(n_iter, dtype=jnp.int32))
-        return jnp.sum(ys).reshape(1)
-
-    np.asarray(run(block, *caches))  # compile + warm
-    return _best_of(lambda: np.asarray(run(block, *caches))) / n_iter
-
-
 def _complex_noise(key, shape):
     import jax
     import jax.numpy as jnp
@@ -198,7 +161,7 @@ def _timed_planes_chain(cp, shape, n_iter=N_ITER):
 
 def config2():
     """Coherent dedispersion DM=29.7 + Dechannelize, 16 MHz band
-    (64 x 250 kHz complex channels).
+    (128 x 125 kHz complex channels).
 
     The compiled pipeline fuses the Dechannelize inverse-DFT into the
     pallas dedispersion's last kernel (models/compiled.py peephole), so
