@@ -512,7 +512,11 @@ class CompiledPipeline:
             if getattr(n, "_ft_response_cache", 1) is None:
                 n._ft_response_cache = n._ft_response()
             if getattr(n, "_gain_cache", 1) is None and \
-                    hasattr(n, "_make_gain"):
+                    hasattr(n, "_make_gain") and \
+                    getattr(n, "engine", None) != "pallas":
+                # (the pallas engine reads _storage_gain_cache instead;
+                # building both would ship an unused ~rows x n complex
+                # array through every jit call)
                 n._gain_cache = n._make_gain(
                     n._padded_samples_per_frame // n._n)
             from ..utils.device import device_complex
@@ -728,12 +732,17 @@ class CompiledPipeline:
                     stream_fn = getattr(fn, "task_stream", None)
                     if (stream_fn is not None and x[1] is not None
                             and c[1] is not None
-                            and st.pad <= x[0].shape[0]):
+                            and 0 < st.pad <= x[0].shape[0]):
                         y = stream_fn(c, x, scale=pending_scale)
                         if y is not NotImplemented:
+                            # the kernel scales the BLOCK rows only, so
+                            # the carried tail must be scaled here to
+                            # hold its own iteration's values
+                            tail = scaled((x[0][-st.pad:],
+                                           x[1][-st.pad:]),
+                                          pending_scale)
                             pending_scale = None
-                            new_carry.append((x[0][-st.pad:],
-                                              x[1][-st.pad:]))
+                            new_carry.append(tail)
                             stack.append(y)
                             continue
                     x = scaled(x, pending_scale)

@@ -1043,22 +1043,16 @@ def _choose_blocks(n, n1, n2, L, block_b, block_c, sub16=False):
     if block_c is None:
         block_c = int(os.environ.get("BBT_PALLAS_BLOCK_C", 0))
         if not block_c:
-            budget = 24 << 20
-            # 2-byte intermediates tile as (16, 128): prefer a 16-wide
-            # K2 tile (an 8-wide one is half-padded on every load/store)
-            # but only when the byte budget allows it — the scoped
-            # double-buffered tiles are in the intermediate dtype, so
-            # size the budget with the actual itemsize.
-            itemsize = 2 if sub16 else 4
-            cap = 16 if (sub16 and n1 % 16 == 0) else 8
             # Mosaic requires the sublane (second-to-last) block dim to
-            # be a multiple of 8 (16 for 2-byte tiles) or the full dim:
-            # never shrink below that even when wide lanes blow the soft
-            # byte budget — the 64 MB vmem_limit still has headroom
-            # (e.g. (256, 8, 512) f32 K2 tiles = 48 MB double-buffered).
-            floor = min(cap, n1)
-            block_c = max(floor, min(cap, n1,
-                                     budget // (n2 * L * itemsize * 12)))
+            # be a multiple of 8 (16 for 2-byte tiles) or the full dim,
+            # so the minimum legal K2 tile is already the choice: wider
+            # tiles OOM first (measured: 2 MiB tiles fastest, 4 MiB
+            # OOM'd at the flagship shape), and for wide-lane windows
+            # (e.g. n2=1024, L=512) even the minimum needs the raised
+            # vmem_limit (spectral_filter uses 100 MB) — there is no
+            # smaller legal tile to fall back to.
+            cap = 16 if (sub16 and n1 % 16 == 0) else 8
+            block_c = min(cap, n1)
     while n2 % block_b:
         block_b //= 2
     while n1 % block_c:

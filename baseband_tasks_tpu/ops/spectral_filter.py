@@ -98,7 +98,13 @@ def _lane_matmul(rr, ii, wr_ref, wi_ref):
 
 def _k1_filter_body(n1, n2, n, pre, scale_smem, *refs):
     """Stage-A FFT (+ twiddle), from either a full window or
-    (carry, block) pieces, with optional SMEM scale and pre lane-mix."""
+    (carry, block) pieces, with optional SMEM scale and pre lane-mix.
+
+    In the streaming form the scale multiplies the BLOCK piece only:
+    the carry holds the previous block's (already-scaled) samples, so a
+    whole-window scale would double-apply it (the caller stores the
+    scaled tail as the next carry).
+    """
     i = 0
     if scale_smem:
         s = refs[i][0]
@@ -110,13 +116,17 @@ def _k1_filter_body(n1, n2, n, pre, scale_smem, *refs):
     yr_ref, yi_ref = refs[-2], refs[-1]
     if len(pieces) == 2:
         xr, xi = pieces[0][:], pieces[1][:]
+        if scale_smem:
+            xr = xr * s
+            xi = xi * s
     else:
         cr, ci, xr_ref, xi_ref = pieces
-        xr = jnp.concatenate([cr[:], xr_ref[:]], axis=0)
-        xi = jnp.concatenate([ci[:], xi_ref[:]], axis=0)
-    if scale_smem:
-        xr = xr * s
-        xi = xi * s
+        xb_r, xb_i = xr_ref[:], xi_ref[:]
+        if scale_smem:
+            xb_r = xb_r * s
+            xb_i = xb_i * s
+        xr = jnp.concatenate([cr[:], xb_r], axis=0)
+        xi = jnp.concatenate([ci[:], xb_i], axis=0)
     if pre:
         xr, xi = _lane_matmul(xr, xi, wr_ref, wi_ref)
     rr, ii = _stockham(xr, xi, -1.0)
@@ -305,12 +315,14 @@ def spectral_filter_stream(cr, ci, xr, xi, gr, gi, *, pad_start, pad_end,
     """Streaming :func:`spectral_filter_pow2`: window = [carry | block].
 
     ``cr``/``ci`` : (pad_start + pad_end, L) carry planes (the last pad
-    rows of the previous window); ``xr``/``xi`` : (N - pads, L) block
-    planes; ``scale`` : optional (1,) float32 multiplying the whole
-    window in VMEM (per-iteration variation without an HBM pass).
-    The window is assembled inside the stage-A kernel, so the padded
-    array never exists in HBM.  Output rows [pad_start, N - pad_end)
-    of the window, i.e. exactly one block of valid samples.
+    rows of the previous — already scaled — window); ``xr``/``xi`` :
+    (N - pads, L) block planes; ``scale`` : optional (1,) float32
+    multiplying the BLOCK rows in VMEM (per-iteration variation without
+    an HBM pass; the caller must store the scaled block tail as the
+    next carry so carries keep their own iteration's scale).  The
+    window is assembled inside the stage-A kernel, so the padded array
+    never exists in HBM.  Output rows [pad_start, N - pad_end) of the
+    window, i.e. exactly one block of valid samples.
     """
     pad = pad_start + pad_end
     n = pad + xr.shape[0]

@@ -20,12 +20,14 @@ On hardware, device addressing uses mesh-coordinate dicts
 (``device_id={axis_name: neighbor}``, ``DeviceIdType.MESH``) so the
 kernel works on multi-axis meshes (e.g. ``('time', 'chan')``: the halo
 moves along 'time' within each 'chan' ring).  The CPU interpreter's
-discharge rule for remote DMA only supports scalar LOGICAL ids, so in
-interpret mode the kernel reconstructs the neighbor's logical id from
-the full mesh coordinates (:func:`mesh_logical_id` — the same device
-MESH addressing targets, since logical ids are the row-major flattening
-of mesh coordinates), making multi-axis meshes testable on the virtual
-CPU mesh too.
+remote-DMA discharge supports only a single manual mesh axis (for both
+LOGICAL and MESH ids), so in interpret mode a multi-axis call falls
+back to the ppermute implementation — semantically identical, keeping
+multi-axis pipelines wired to the remote halo CPU-testable, while the
+DMA kernel itself is pinned equal to ppermute on 1-D meshes.  The id
+arithmetic MESH addressing performs on hardware (row-major coordinate
+flattening) is factored out as :func:`mesh_logical_id` and unit-tested
+on 2-D meshes.
 """
 
 from __future__ import annotations
@@ -53,9 +55,13 @@ def mesh_logical_id(axis_order, axis_name, idx):
     ``axis_order`` is the static ((name, size), ...) of the mesh axes in
     mesh order; logical ids are the row-major flattening of mesh
     coordinates (what ``Mesh(devices.reshape(...))`` produces), so this
-    is exactly the device ``device_id={axis_name: idx}`` MESH addressing
-    targets — the bridge that lets the CPU interpreter (LOGICAL-id only)
-    exercise the multi-axis addressing path.
+    computes exactly the device that ``device_id={axis_name: idx}``
+    MESH addressing targets on hardware.  In interpret mode it is only
+    ever reached with a single-axis ``axis_order`` (where it reduces to
+    ``idx``) — jax's emulator cannot discharge multi-axis DMAs, and
+    :func:`halo_edges_remote` falls back to ppermute there — but the
+    2-D arithmetic is unit-tested (tests/test_halo_pallas.py) so the
+    hardware addressing contract stays pinned.
     """
     lid = jnp.int32(0)
     for name, size in axis_order:

@@ -113,23 +113,29 @@ class TestDisperseDechanFusion:
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
     def test_stream_path_with_scale(self):
-        # the streaming fused stage consumes the scale in-kernel; a
-        # pre-scaled unfused run must agree on block 0 (zero carries on
-        # both sides make the windows identical)
+        """The in-kernel scale must multiply only the CURRENT block: a
+        run with per-iteration scales must equal a run over pre-scaled
+        inputs on EVERY block (the carry keeps its own iteration's
+        scale — regression for the round-3 review finding where the
+        whole window, carry included, was scaled)."""
         cp, _ = self._make()
-        blocks = cp.read_source_blocks(1)
-        x = np.asarray(blocks[0])
+        blocks = [np.asarray(b) for b in cp.read_source_blocks(3)]
+        scales = [0.5, 2.0, 4.0]
         step_c, caches = cp.cached_planes_step()
-        _, (yr, yi) = step_c(cp.init_carry(planes=True),
-                             (jnp.asarray(x.real), jnp.asarray(x.imag)),
-                             jnp.float32(0.5), caches)
-        _, (zr, zi) = step_c(cp.init_carry(planes=True),
-                             (jnp.asarray(0.5 * x.real),
-                              jnp.asarray(0.5 * x.imag)), None, caches)
-        np.testing.assert_allclose(np.asarray(yr), np.asarray(zr),
-                                   rtol=1e-4, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(yi), np.asarray(zi),
-                                   rtol=1e-4, atol=1e-5)
+        ca = cp.init_carry(planes=True)
+        cb = cp.init_carry(planes=True)
+        for x, s in zip(blocks, scales):
+            ca, ya = step_c(ca, (jnp.asarray(x.real),
+                                 jnp.asarray(x.imag)),
+                            jnp.float32(s), caches)
+            cb, yb = step_c(cb, (jnp.asarray(s * x.real),
+                                 jnp.asarray(s * x.imag)), None, caches)
+            np.testing.assert_allclose(np.asarray(ya[0]),
+                                       np.asarray(yb[0]),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(ya[1]),
+                                       np.asarray(yb[1]),
+                                       rtol=1e-4, atol=1e-5)
 
 
 class TestDechanInvPFBFusion:
@@ -224,3 +230,74 @@ class TestConvolveStream:
         cp, conv = self._make()
         got = _run_compiled(cp, 3, planes=True)
         _compare_eager(got, cp, conv, rtol=1e-4, atol=1e-4)
+
+
+class TestPlanesFallbacks:
+    """planes_step must handle stages without planes support (complex
+    recombination fallback) and real-valued streams (im=None pairs)."""
+
+    def test_mixed_chain_with_fallback_node(self):
+        from baseband_tasks_tpu import Channelize, Task
+
+        def swap_sign(data):
+            return -data
+
+        src = NoiseGenerator(shape=(1 << 13,), start_time=T0,
+                             sample_rate=1 * u.MHz,
+                             samples_per_frame=2048,
+                             dtype=np.complex64, seed=21)
+        # Task has no task_planes -> recombine fallback mid-chain
+        tail = Channelize(Task(src, swap_sign), 64)
+        cp = CompiledPipeline(tail)
+        a = _run_compiled(cp, 2, planes=False)
+        b = _run_compiled(cp, 2, planes=True)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_real_stream_planes(self):
+        from baseband_tasks_tpu import Channelize
+        src = NoiseGenerator(shape=(1 << 13,), start_time=T0,
+                             sample_rate=1 * u.MHz,
+                             samples_per_frame=2048,
+                             dtype=np.float32, seed=22)
+        tail = Channelize(src, 64)   # real input -> rfft (fallback)
+        cp = CompiledPipeline(tail)
+        a = _run_compiled(cp, 2, planes=False)
+        b = _run_compiled(cp, 2, planes=True)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_scale_applied_once_at_first_stage(self):
+        from baseband_tasks_tpu import Channelize, Square
+        src = NoiseGenerator(shape=(1 << 13,), start_time=T0,
+                             sample_rate=1 * u.MHz,
+                             samples_per_frame=2048,
+                             dtype=np.complex64, seed=23)
+        tail = Square(Channelize(src, 64))
+        cp = CompiledPipeline(tail)
+        step_c, caches = cp.cached_planes_step()
+        x = np.asarray(cp.read_source_blocks(1)[0])
+        pair = (jnp.asarray(x.real), jnp.asarray(x.imag))
+        _, y1 = step_c(cp.init_carry(planes=True), pair,
+                       jnp.float32(2.0), caches)
+        _, y2 = step_c(cp.init_carry(planes=True),
+                       (pair[0] * 2.0, pair[1] * 2.0), None, caches)
+        np.testing.assert_allclose(np.asarray(y1[0]), np.asarray(y2[0]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestPadZeroStream:
+    def test_single_tap_convolve_planes(self):
+        """pad == 0 padded stages (single-tap response) must not take
+        the streaming branch (regression: carry.reshape(0, -1) crashed
+        and the [-0:] carry slice returned the whole block)."""
+        from baseband_tasks_tpu import Convolve
+        src = NoiseGenerator(shape=(1 << 12, 8), start_time=T0,
+                             sample_rate=1 * u.MHz,
+                             samples_per_frame=1024,
+                             dtype=np.complex64, seed=31)
+        conv = Convolve(src, np.array([0.5 + 0.25j], np.complex64),
+                        samples_per_frame=512, engine="pallas")
+        assert conv.pad_start + conv.pad_end == 0
+        cp = CompiledPipeline(conv)
+        a = _run_compiled(cp, 2, planes=False)
+        b = _run_compiled(cp, 2, planes=True)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

@@ -98,6 +98,8 @@ class TestSpectralFilterStream:
         np.testing.assert_allclose(yr + 1j * yi, ref, atol=2e-4)
 
     def test_scale_and_post(self):
+        # the scale multiplies the BLOCK rows only — the carry holds the
+        # previous iteration's (already scaled) samples
         n, L = 512, 8
         x, gain, gr, gi = make_case(n, L, seed=4)
         n2 = split_n(n)[1]
@@ -107,6 +109,7 @@ class TestSpectralFilterStream:
             x.real[:pad].copy(), x.imag[:pad].copy(),
             x.real[pad:].copy(), x.imag[pad:].copy(), gr, gi,
             pad_start=n2, pad_end=n2, scale=np.float32(0.5), post=post)
-        ref = ref_filter(0.5 * x, gain, post=post,
+        x_scaled = np.concatenate([x[:pad], 0.5 * x[pad:]])
+        ref = ref_filter(x_scaled, gain, post=post,
                          pad_start=n2, pad_end=n2)
         np.testing.assert_allclose(yr + 1j * yi, ref, atol=2e-4)
