@@ -43,19 +43,42 @@ class StreamRunner:
     prefetch : int
         Blocks the reader thread may run ahead (>= 1; 2 = classic double
         buffering).
+    planes : bool
+        Ship complex blocks as two float32 re/im planes and run the
+        pipeline's planes-interchange step (``cached_planes_step``).
+        This is the path for float32-only device boundaries (the axon
+        TPU tunnel rejects complex transfers outright) and it also
+        engages the streaming fused kernels; outputs come back as an
+        ``(re, im)`` pair of float32 arrays (``im`` ``None`` for real
+        tails), never materializing complex on the boundary.
     """
 
-    def __init__(self, cp, prefetch=2):
+    def __init__(self, cp, prefetch=2, planes=False):
         if len(cp.sources) != 1:
             raise ValueError("StreamRunner drives single-source graphs")
         self.cp = cp
         self.prefetch = max(int(prefetch), 1)
-        step_c, caches = cp.cached_step()
-        self._caches = caches
+        self.planes = bool(planes)
+        if self.planes:
+            step_p, caches = cp.cached_planes_step()
+            self._caches = caches
 
-        @jax.jit
-        def jstep(carry, block, *cs):
-            return step_c(carry, block, cs)
+            @jax.jit
+            def jstep(carry, br, bi, *cs):
+                return step_p(carry, (br, bi), None, cs)
+
+            @jax.jit
+            def jstep_real(carry, br, *cs):
+                return step_p(carry, (br, None), None, cs)
+
+            self._jstep_real = jstep_real
+        else:
+            step_c, caches = cp.cached_step()
+            self._caches = caches
+
+            @jax.jit
+            def jstep(carry, block, *cs):
+                return step_c(carry, block, cs)
 
         self._jstep = jstep
 
@@ -88,7 +111,18 @@ class StreamRunner:
             src.seek(self.cp.source_offsets[0] + offset)
             for _ in range(n_blocks):
                 data = np.asarray(src.read(block))
-                shipped = jax.device_put(data)
+                if self.planes:
+                    # two f32 transfers: complex never crosses the
+                    # (possibly f32-only) device boundary
+                    if np.iscomplexobj(data):
+                        shipped = (jax.device_put(
+                                       np.ascontiguousarray(data.real)),
+                                   jax.device_put(
+                                       np.ascontiguousarray(data.imag)))
+                    else:
+                        shipped = (jax.device_put(data), None)
+                else:
+                    shipped = jax.device_put(data)
                 # bounded put that re-checks the stop flag, so a failed
                 # consumer can never leave this thread blocked forever
                 while not stop.is_set():
@@ -136,15 +170,29 @@ class StreamRunner:
         t = threading.Thread(target=self._reader,
                              args=(n_blocks, offset, q, stop), daemon=True)
         t.start()
-        carry = self.cp.init_carry()
+        carry = self.cp.init_carry(planes=self.planes)
         outs = []
         try:
             for i in range(n_blocks):
                 item = q.get()
                 if isinstance(item, Exception):
                     raise item
-                carry, y = self._jstep(carry, item, *self._caches)
+                if self.planes:
+                    br, bi = item
+                    if bi is None:
+                        carry, y = self._jstep_real(carry, br,
+                                                    *self._caches)
+                    else:
+                        carry, y = self._jstep(carry, br, bi,
+                                               *self._caches)
+                else:
+                    carry, y = self._jstep(carry, item, *self._caches)
                 if red is not None:
+                    if self.planes:
+                        # device-side recombine is fine (only boundary
+                        # transfers are restricted to f32)
+                        y = y[0] if y[1] is None \
+                            else jax.lax.complex(y[0], y[1])
                     sums, counts = self._jreduce(sums, counts, y, ids_f[i])
                 else:
                     outs.append(y)
@@ -154,4 +202,9 @@ class StreamRunner:
         if red is not None:
             return (self.cp._shape_reduced(sums[:-1]),
                     self.cp._shape_reduced_counts(counts[:-1]))
+        if self.planes:
+            yr = jnp.concatenate([o[0] for o in outs], axis=0)
+            if outs[0][1] is None:
+                return yr, None
+            return yr, jnp.concatenate([o[1] for o in outs], axis=0)
         return jnp.concatenate(outs, axis=0)

@@ -832,3 +832,50 @@ class TestStokesDetection:
         assert np.all(np.square(st[..., 2:].astype(np.float64)).sum(-1)
                       <= st[..., 0].astype(np.float64) * st[..., 1]
                       * (1 + 1e-5))
+
+
+class TestStreamRunnerPlanes:
+    """StreamRunner(planes=True): complex never crosses the device
+    boundary — blocks ship as two f32 planes, the planes-interchange
+    step runs (fused kernels engage), and outputs return as a plane
+    pair.  Must match the complex-interchange runner."""
+
+    def _cp(self):
+        from baseband_tasks_tpu import (Dechannelize, Dedisperse,
+                                        NoiseGenerator, SetAttribute)
+        from baseband_tasks_tpu.models.compiled import CompiledPipeline
+        from baseband_tasks_tpu.utils import Time
+        T0 = Time("2020-01-01T00:00:00.0")
+        n_chan = 8
+        freq = (400 + (np.arange(n_chan) - 4) * 0.25) * u.MHz
+        src = SetAttribute(
+            NoiseGenerator(shape=(1 << 14, n_chan), start_time=T0,
+                           sample_rate=250 * u.kHz,
+                           samples_per_frame=2048, seed=17),
+            frequency=freq, sideband=1)
+        return CompiledPipeline(Dechannelize(Dedisperse(
+            src, 5.0, samples_per_frame=1024, engine="pallas")))
+
+    def test_matches_complex_runner(self):
+        from baseband_tasks_tpu.models.runner import StreamRunner
+        ref = np.asarray(StreamRunner(self._cp()).run(3))
+        yr, yi = StreamRunner(self._cp(), planes=True).run(3)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_real_tail(self):
+        from baseband_tasks_tpu import Channelize, NoiseGenerator, Square
+        from baseband_tasks_tpu.models.compiled import CompiledPipeline
+        from baseband_tasks_tpu.models.runner import StreamRunner
+        from baseband_tasks_tpu.utils import Time
+        src = NoiseGenerator(shape=(1 << 13,),
+                             start_time=Time("2020-01-01T00:00:00.0"),
+                             sample_rate=1 * u.MHz,
+                             samples_per_frame=2048,
+                             dtype=np.complex64, seed=18)
+        cp = CompiledPipeline(Square(Channelize(src, 64)))
+        ref = np.asarray(StreamRunner(cp).run(2))
+        yr, yi = StreamRunner(cp, planes=True).run(2)
+        assert yi is None
+        np.testing.assert_allclose(np.asarray(yr), ref,
+                                   rtol=1e-5, atol=1e-6)
