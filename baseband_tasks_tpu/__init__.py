@@ -29,6 +29,7 @@ from .pfb import (sinc_hamming, PolyphaseFilterBank,
 from .dispersion import (Disperse, Dedisperse, DisperseSamples,
                          DedisperseSamples)
 from .rfi import SpectralKurtosis, ExciseSpectralKurtosis
+from .timing import ProfileTemplate, fit_phase_shift
 
 __all__ = ["Base", "BaseTaskBase", "TaskBase", "PaddedTaskBase", "Task",
            "SetAttribute", "StreamGenerator", "EmptyStreamGenerator",
@@ -41,4 +42,5 @@ __all__ = ["Base", "BaseTaskBase", "TaskBase", "PaddedTaskBase", "Task",
            "Dedisperse", "DisperseSamples", "DedisperseSamples",
            "Real2Complex", "sinc_hamming", "PolyphaseFilterBank",
            "PolyphaseFilterBankSamples", "InversePolyphaseFilterBank",
-           "SpectralKurtosis", "ExciseSpectralKurtosis", "open"]
+           "SpectralKurtosis", "ExciseSpectralKurtosis",
+           "ProfileTemplate", "fit_phase_shift", "open"]

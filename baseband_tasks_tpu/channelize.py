@@ -76,7 +76,12 @@ class Channelize(TaskBase):
 
     def task_planes(self, pair):
         """Planes-interchange form (models/compiled.py): the channel DFT
-        of separate re/im planes as four MXU matmuls."""
+        of separate re/im planes as four MXU matmuls.
+
+        (A Kronecker-expanded flat form avoiding XLA's middle-axis
+        relayouts exists — ops.dft_matmul.dft_matmul_planes_flat — but
+        measured slower here: at HIGHEST precision the reps^2-fold extra
+        MXU flops cost more than the transposes they save.)"""
         from .ops.dft_matmul import MAX_MATMUL_N, dft_matmul_planes
         xr, xi = pair
         if xi is None or self._fft.ortho or self._n > MAX_MATMUL_N:
@@ -152,7 +157,8 @@ class Dechannelize(TaskBase):
 
     def task_planes(self, pair):
         """Planes-interchange form: the inverse channel DFT of separate
-        re/im planes as four MXU matmuls, channel axis merged to time."""
+        re/im planes as four MXU matmuls, channel axis merged to time
+        (see Channelize.task_planes for the flat-form tradeoff)."""
         from .ops.dft_matmul import MAX_MATMUL_N, dft_matmul_planes
         xr, xi = pair
         if (xi is None or self._fft.ortho or self._n > MAX_MATMUL_N

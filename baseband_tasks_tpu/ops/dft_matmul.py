@@ -29,7 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dft_matmul", "dft_matmul_planes", "MAX_MATMUL_N"]
+__all__ = ["dft_matmul", "dft_matmul_planes",
+           "dft_matmul_planes_flat", "MAX_MATMUL_N"]
 
 #: largest transform length routed to the MXU (above this the O(n²)
 #: arithmetic exceeds the HBM-bound FFT kernels' cost)
@@ -78,6 +79,44 @@ def _dot(x, mat, axis):
         precision=_HIGH)
     # dot_general appends the rhs free axis last; put it back.
     return jnp.moveaxis(out, -1, axis)
+
+
+@lru_cache(maxsize=None)
+def _expanded_mats(n, reps, direction):
+    """(n·reps, n·reps) planes of F ⊗ I_reps: the DFT acting on a
+    flattened (dft-major, reps-minor) lane axis."""
+    if direction == "forward":
+        fr, fi = _forward_mats(n, n)
+    else:
+        fr, fi = _inverse_mats(n)
+    if reps == 1:
+        return fr, fi
+    eye = np.eye(reps, dtype=np.float32)
+    return (np.kron(fr, eye).astype(np.float32),
+            np.kron(fi, eye).astype(np.float32))
+
+
+def dft_matmul_planes_flat(xr, xi, *, direction, n, reps=1):
+    """Complex DFT over a flattened lane axis ordered (dft-axis major,
+    reps minor): (rows, n·reps) planes @ (n·reps, n·reps) F ⊗ I_reps.
+
+    Layout-preserving alternative to ``dft_matmul_planes`` with a
+    trailing axis (whose middle-axis contraction makes XLA relayout the
+    array around every matmul).  Measured tradeoff on v5e at n=256,
+    reps=2: the reps^2-fold extra MXU flops at HIGHEST precision cost
+    MORE than the transposes they save, so the channelize tasks keep
+    the axis form; this form wins when the matmul is cheap relative to
+    the relayouts (small n at low precision, or many trailing dims).
+    """
+    fr, fi = _expanded_mats(n, reps, direction)
+    fr = jnp.asarray(fr)
+    fi = jnp.asarray(fi)
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((a.ndim - 1,), (0,)), ((), ())),
+                                   precision=_HIGH)
+
+    return (dot(xr, fr) - dot(xi, fi), dot(xr, fi) + dot(xi, fr))
 
 
 def dft_matmul_planes(xr, xi, *, axis, direction, n):

@@ -493,6 +493,67 @@ def roofline():
             "ok": r.returncode == 0}
 
 
+def roofline23():
+    """Same-run HBM-roofline rows for configs 2 and 3 (the flagship's
+    roofline methodology): measure a pure-bandwidth base loop, then the
+    fused steps, and compare against their byte-traffic models at the
+    base loop's measured bandwidth.
+
+    Traffic models (f32 plane bytes per step, B = block plane bytes):
+    config 2 (three passes + in-K3 dechannelize matmul + bench checksum):
+      K1 r(B+carry)+wB, K2 rB+chirp(B)+wB(aliased), K3 rB+w~B, sum rB
+      -> ~7 B;  config 3 adds the FIR+DFT XLA pass (r2B+wB: four dots
+      each read an operand plane) and the gain read -> ~10 B.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    # pure-bandwidth probe: y = x * s (read + write) at 268 MB
+    shape = (2, 1 << 18, 128)
+
+    @jax.jit
+    def mk(sf):
+        return jax.random.normal(jax.random.key(sf[0].astype(jnp.int32)),
+                                 shape, jnp.float32)
+    x = mk(np.ones((1,), np.float32))
+    jax.block_until_ready(x)
+
+    @jax.jit
+    def base(x):
+        def s(carry, i):
+            y = x * (1.0 + 1e-6 * i.astype(jnp.float32))
+            return carry, y[0, 0, 0] + y[1, -1, -1]
+        _, ys = jax.lax.scan(s, 0.0, jnp.arange(N_ITER, dtype=jnp.int32))
+        return jnp.sum(ys).reshape(1)
+
+    np.asarray(base(x))
+    base_dt = _best_of(lambda: np.asarray(base(x))) / N_ITER
+    nbytes = int(np.prod(shape)) * 4
+    bw = 2 * nbytes / base_dt  # read + write
+    out = {"config": "roofline23",
+           "base_GBps": round(bw / 1e9, 1),
+           "base_ms": round(base_dt * 1e3, 3)}
+
+    r2 = config2()
+    b2 = r2["block"] * 128 * 4 * 2  # plane bytes per block
+    model2 = 7 * b2 / bw
+    meas2 = r2["block"] * 128 / r2["samples_per_s"]
+    out["config2"] = {
+        "measured_ms": round(meas2 * 1e3, 2),
+        "hbm_model_ms": round(model2 * 1e3, 2),
+        "of_model": round(model2 / meas2, 2)}
+
+    r3 = config3()
+    b3 = r3["block"] * 2 * 4 * 2
+    model3 = 10 * b3 / bw
+    meas3 = r3["block"] * 2 / r3["samples_per_s"]
+    out["config3"] = {
+        "measured_ms": round(meas3 * 1e3, 2),
+        "hbm_model_ms": round(model3 * 1e3, 2),
+        "of_model": round(model3 / meas3, 2)}
+    return out
+
+
 def main():
     if "--cpu" in sys.argv:
         # env vars alone do not override the axon sitecustomize hook
@@ -504,7 +565,7 @@ def main():
             "ingest": lambda: flagship(ingest_bits=8),
             "ingest2": lambda: flagship(ingest_bits=2),
             "stokes": lambda: flagship(detect="stokes"),
-            "correlator": correlator}
+            "correlator": correlator, "roofline23": roofline23}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     update = "--update" in sys.argv
     which = args or ["all"]
@@ -532,3 +593,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
