@@ -301,3 +301,18 @@ class TestPadZeroStream:
         a = _run_compiled(cp, 2, planes=False)
         b = _run_compiled(cp, 2, planes=True)
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+class TestFusedRunFn:
+    def test_scan_run_fn_matches_stepwise(self):
+        """run_fn's lax.scan over a fused chain equals the manual
+        step loop (the scan carries the same overlap-save state)."""
+        src = _chan_noise(6)
+        ded = Dedisperse(src, 5.0, samples_per_frame=1024,
+                         engine="pallas")
+        cp = CompiledPipeline(Dechannelize(ded))
+        blocks = cp.read_source_blocks(3)
+        via_scan = np.asarray(cp.run_fn(3)(blocks))
+        via_steps = _run_compiled(cp, 3)
+        np.testing.assert_allclose(via_scan, via_steps,
+                                   rtol=1e-5, atol=1e-6)
