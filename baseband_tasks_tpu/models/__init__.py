@@ -4,6 +4,8 @@ from .wideband import WidebandPulsarPipeline
 from .dmsearch import DMTrialSearch
 from .runner import StreamRunner
 from .correlator import CrossMultiply, fx_correlate
+from .accelsearch import FourierDomainAccelSearch, accel_template
 
 __all__ = ["WidebandPulsarPipeline", "DMTrialSearch", "StreamRunner",
-           "CrossMultiply", "fx_correlate"]
+           "CrossMultiply", "fx_correlate",
+           "FourierDomainAccelSearch", "accel_template"]

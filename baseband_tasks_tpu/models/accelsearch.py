@@ -1,0 +1,176 @@
+"""Fourier-domain acceleration search: drifting-tone matched filters.
+
+A pulsar in a compact binary drifts in spin frequency during an
+observation; its power smears over ``z = f_dot T**2`` Fourier bins and a
+plain FFT search loses it.  The standard recovery (Ransom, Eikenberry &
+Middleditch 2002; PRESTO's ``accelsearch``; GPU formulation in
+arXiv:1711.10855) correlates the complex spectrum with a bank of
+constant-``f_dot`` templates — the Fourier response of a linearly
+drifting tone — and searches the resulting (frequency, z) map.
+
+TPU formulation: the correlation along the frequency axis is
+overlap-save convolution, batched over the template bank — segments of
+the spectrum FFT once, multiply by every template's conjugate transfer
+function (bank on its own axis), inverse FFT, trim.  All static shapes
+under one jit; the z axis rides the TPU lanes.
+
+Beyond-reference scope: baseband-tasks has no searching at all; this
+composes with :class:`~baseband_tasks_tpu.models.dmsearch.DMTrialSearch`
+(incoherent DM trials) for the full FRB/binary-pulsar survey chain.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import units as u
+
+__all__ = ["FourierDomainAccelSearch", "accel_template"]
+
+
+def accel_template(z, m):
+    """Fourier response of a unit tone drifting ``z`` bins, length ``m``.
+
+    The DFT of ``exp(2πi (b0 t + z t²/2))`` over a unit observation,
+    sampled at integer bin offsets ``b - b0`` in [-m/2, m/2): the
+    complex Fresnel kernel the spectrum must be correlated with to
+    concentrate a drifting tone back into one bin.  Computed by direct
+    numerical integration (512 steps — relative error < 1e-4 for
+    |z| < ~200, ample for matched filtering).
+    """
+    offs = np.arange(m) - m // 2
+    t = (np.arange(512) + 0.5) / 512.0
+    # response at bin offset b: mean_t exp(2πi (z t²/2 - b t))
+    phase = 2j * np.pi * (0.5 * z * t[np.newaxis] ** 2
+                          - offs[:, np.newaxis] * t[np.newaxis])
+    return np.exp(phase).mean(axis=1).astype(np.complex64)
+
+
+class FourierDomainAccelSearch:
+    """A compiled (frequency, z) correlation search.
+
+    Parameters
+    ----------
+    n_time : int
+        Length of the input time series (power samples).
+    sample_rate : Quantity
+        Rate of the input time series.
+    z_max : float
+        Largest drift searched, in Fourier bins over the observation
+        (``z = f_dot T²``); the bank covers ``[-z_max, z_max]``.
+    z_step : float
+        Bank spacing in bins (2 is the classic choice: the response
+        half-width).
+    seg_len : int
+        Spectrum segment length for the overlap-save correlation
+        (power of two recommended).
+
+    Call :meth:`search` with the ``(n_time,)`` float series to get the
+    ``(n_freq, n_z)`` normalized power map, or :meth:`candidates` for
+    thresholded peaks.
+    """
+
+    def __init__(self, n_time, sample_rate, *, z_max=64.0, z_step=2.0,
+                 seg_len=4096):
+        self.n_time = int(n_time)
+        self.sample_rate = sample_rate
+        self.zs = np.arange(-z_max, z_max + 0.5 * z_step, z_step)
+        # template width: the response spans ~|z| bins plus wings
+        self.m = int(2 ** np.ceil(np.log2(max(2 * z_max + 32, 64))))
+        if seg_len <= self.m:
+            raise ValueError(f"seg_len {seg_len} must exceed the "
+                             f"template span {self.m}")
+        self.seg_len = int(seg_len)
+        self.n_freq = self.n_time // 2 + 1
+        # template transfer functions at the segment length: correlation
+        # = IFFT(FFT(segment) * conj(FFT(template)))
+        bank = np.stack([accel_template(z, self.m) for z in self.zs])
+        padded = np.zeros((len(self.zs), self.seg_len), np.complex64)
+        padded[:, :self.m] = bank
+        tf = np.conj(np.fft.fft(padded, axis=1)).astype(np.complex64)
+        self._tf_r = jnp.asarray(tf.real)
+        self._tf_i = jnp.asarray(tf.imag)
+        self._valid = self.seg_len - self.m
+        self._n_seg = -(-self.n_freq // self._valid)
+        self._jsearch = jax.jit(functools.partial(self._search_impl))
+
+    @property
+    def freqs(self):
+        """Centre frequency of every row of the map."""
+        return u.Quantity(
+            np.arange(self.n_freq)
+            * self.sample_rate.to_value(u.Hz) / self.n_time, u.Hz)
+
+    @property
+    def z_values(self):
+        return self.zs
+
+    def _search_impl(self, x, tf_r, tf_i):
+        # spectrum, normalized so each bin's noise power is ~1
+        # (chi^2_2/2): subtract the mean, scale by the rms
+        x = x.astype(jnp.float32)
+        x = x - jnp.mean(x)
+        spec = jnp.fft.rfft(x)
+        norm = jnp.sqrt(jnp.mean(jnp.abs(spec[1:]) ** 2) + 1e-30)
+        spec = spec / norm
+        # overlap-save segments along frequency; template span m at the
+        # FRONT of each window (correlation trims the first m-1 lags)
+        pad = self.m
+        total = self._n_seg * self._valid + pad
+        specp = jnp.concatenate(
+            [jnp.zeros(pad // 2, spec.dtype), spec,
+             jnp.zeros(total - self.n_freq - pad // 2, spec.dtype)])
+        idx = (jnp.arange(self._n_seg)[:, None] * self._valid
+               + jnp.arange(self.seg_len)[None, :])
+        segs = specp[idx]                          # (n_seg, seg_len)
+        F = jnp.fft.fft(segs, axis=1)
+        tf = jax.lax.complex(tf_r, tf_i)           # (n_z, seg_len)
+        prod = F[:, None, :] * tf[None, :, :]
+        corr = jnp.fft.ifft(prod, axis=2)          # (n_seg, n_z, seg_len)
+        # circular cross-correlation lag j sums spec[s·valid + j + offs]
+        # over template offsets (the pad//2 front zeros and the
+        # template's m//2 centre offset cancel against pad = m), so
+        # lag j IS spectrum bin s·valid + j: keep the first `valid` lags
+        # (j <= seg_len - m never wraps)
+        valid = corr[:, :, :self._valid]
+        power = jnp.abs(valid) ** 2
+        zmap = power.transpose(0, 2, 1).reshape(-1, len(self.zs))
+        return zmap[:self.n_freq]
+
+    def search(self, x):
+        """(n_freq, n_z) normalized drift-corrected power map of the
+        ``(n_time,)`` real time series (noise bins ~ chi²₂/2 ≈ 1)."""
+        x = jnp.asarray(x)
+        if x.shape != (self.n_time,):
+            raise ValueError(f"expected shape ({self.n_time},), got "
+                             f"{x.shape}")
+        return self._jsearch(x, self._tf_r, self._tf_i)
+
+    def candidates(self, x, threshold=25.0, exclude_dc=16):
+        """Thresholded peaks of the z-map.
+
+        Returns a list of ``(frequency Quantity, z_bins, power)`` sorted
+        by power, keeping one entry per local maximum above
+        ``threshold`` (normalized power; ~chi²₂/2 units).  The first
+        ``exclude_dc`` frequency bins are skipped (red noise / DC).
+        """
+        # np.asarray of a device array is read-only; take a real copy
+        work = np.array(self.search(x))
+        work[:exclude_dc] = 0.0
+        out = []
+        rate = self.sample_rate.to_value(u.Hz)
+        while True:
+            i, j = np.unravel_index(np.argmax(work), work.shape)
+            p = work[i, j]
+            if p < threshold:
+                break
+            out.append((u.Quantity(i * rate / self.n_time, u.Hz),
+                        float(self.zs[j]), float(p)))
+            lo = max(i - self.m // 2, 0)
+            work[lo:i + self.m // 2 + 1] = 0.0
+        return out

@@ -554,6 +554,41 @@ def roofline23():
     return out
 
 
+def accel():
+    """Fourier-domain acceleration search throughput: 2^22-sample power
+    series x 65 z-trials (z_max 64, step 2), one jit."""
+    import jax
+    import jax.numpy as jnp
+    from baseband_tasks_tpu.models import FourierDomainAccelSearch
+    from baseband_tasks_tpu.utils import units as u
+
+    n = 1 << 22
+    s = FourierDomainAccelSearch(n, 1 * u.MHz, z_max=64, z_step=2,
+                                 seg_len=8192)
+
+    @jax.jit
+    def mk(sf):
+        return jax.random.normal(jax.random.key(sf[0].astype(jnp.int32)),
+                                 (n,), jnp.float32)
+    x = mk(np.ones((1,), np.float32))
+    jax.block_until_ready(x)
+
+    @jax.jit
+    def run(x, tr, ti):
+        def step(carry, i):
+            zmap = s._search_impl(x * (1.0 + 1e-6 * i.astype(jnp.float32)),
+                                  tr, ti)
+            return carry, jnp.sum(zmap)
+        _, ys = jax.lax.scan(step, 0.0, jnp.arange(8, dtype=jnp.int32))
+        return jnp.sum(ys).reshape(1)
+
+    np.asarray(run(x, s._tf_r, s._tf_i))
+    dt = _best_of(lambda: np.asarray(run(x, s._tf_r, s._tf_i))) / 8
+    return {"config": "accelsearch",
+            "sample_trials_per_s": round(n * len(s.zs) / dt, 1),
+            "n_z": len(s.zs), "backend": jax.default_backend()}
+
+
 def main():
     if "--cpu" in sys.argv:
         # env vars alone do not override the axon sitecustomize hook
@@ -565,7 +600,8 @@ def main():
             "ingest": lambda: flagship(ingest_bits=8),
             "ingest2": lambda: flagship(ingest_bits=2),
             "stokes": lambda: flagship(detect="stokes"),
-            "correlator": correlator, "roofline23": roofline23}
+            "correlator": correlator, "roofline23": roofline23,
+            "accel": accel}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     update = "--update" in sys.argv
     which = args or ["all"]
