@@ -91,6 +91,14 @@ class _ConvolveBase(PaddedTaskBase):
                          samples_per_frame=samples_per_frame,
                          next_fast_len=fast_len,
                          **kwargs)
+        if engine == "pallas":
+            from .ops.spectral_filter import geometry_ok
+            # the trailing trim discards pad_start + pad_end rows at the
+            # window FRONT, so the combined pad must sit on the N2 grid
+            if not geometry_ok(self._padded_samples_per_frame,
+                               self._pad_start + self._pad_end, 0):
+                self.engine = "xla"
+
         if np.asarray(response).dtype.kind == "c" and \
                 self.dtype.kind != "c":
             # the reference fails loudly here too (complex assigned into

@@ -144,6 +144,14 @@ class Disperse(PaddedTaskBase):
         super().__init__(ih, pad_start=pad_start, pad_end=pad_end,
                          samples_per_frame=samples_per_frame,
                          next_fast_len=fast_len)
+        if self.engine == "pallas":
+            from .ops.spectral_filter import geometry_ok
+            if not geometry_ok(self._padded_samples_per_frame,
+                               self._pad_start, self._pad_end):
+                # e.g. a short stream clamped the frame below the
+                # planned pow2 window; the XLA task is always valid
+                self.engine = "xla"
+
 
     def _chirp(self):
         """Device chirp exp(2πi φ(f_sky) · sb) over the padded window."""

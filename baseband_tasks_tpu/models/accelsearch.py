@@ -151,6 +151,30 @@ class FourierDomainAccelSearch:
                              f"{x.shape}")
         return self._jsearch(x, self._tf_r, self._tf_i)
 
+    def harmonic_sum(self, zmap, n_harm=4):
+        """Incoherent harmonic summing of a (frequency, z) map.
+
+        A pulsed (non-sinusoidal) signal puts power in harmonics: the
+        k-th harmonic of a tone at (f, z) sits at (k·f, k·z).  Summing
+        ``zmap[k·f, nearest(k·z)]`` for k = 1..n_harm (the classic
+        PRESTO scheme) recovers that power; the summed map's noise is
+        ~chi²(2·n_harm)/2, so thresholds scale accordingly.
+
+        Returns the (n_freq, n_z) summed map (host array; rows whose
+        k-th harmonic falls off the spectrum keep partial sums).
+        """
+        zmap = np.asarray(zmap)
+        nf, nz = zmap.shape
+        out = zmap.copy()
+        for k in range(2, int(n_harm) + 1):
+            fi = np.arange(nf) * k
+            ok = fi < nf
+            # column of the k-scaled drift, clipped to the bank edge
+            zi = np.abs(self.zs[:, None] * k
+                        - self.zs[None, :]).argmin(axis=1)
+            out[ok] += zmap[fi[ok]][:, zi]
+        return out
+
     def candidates(self, x, threshold=25.0, exclude_dc=16):
         """Thresholded peaks of the z-map.
 

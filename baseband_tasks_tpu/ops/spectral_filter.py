@@ -261,6 +261,17 @@ def _check_geometry(n, pad_start, pad_end):
     return n1, n2, pad_start // n2, pad_end // n2
 
 
+def geometry_ok(n, pad_start, pad_end):
+    """True when an (n, pad_start, pad_end) window satisfies the fused
+    kernels' geometry (pow2 window, pads on the N2 grid) — used by the
+    pallas-engine task constructors to downgrade gracefully when e.g. a
+    short stream clamped the frame below the planned pow2 size."""
+    if not _is_pow2(n):
+        return False
+    n2 = _split_n(n)[1]
+    return pad_start % n2 == 0 and pad_end % n2 == 0
+
+
 def _check_gain(gr, n1, n2, L):
     if gr.shape != (n2, n1, L):
         raise ValueError(f"gain storage shape {gr.shape} does not match "

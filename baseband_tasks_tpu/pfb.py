@@ -200,6 +200,13 @@ class InversePolyphaseFilterBank(PaddedTaskBase):
             p0r, p1r = q0, q1
             super().__init__(dech, pad_start=p0r * n, pad_end=p1r * n,
                              samples_per_frame=(m - p0r - p1r) * n)
+            from .ops.spectral_filter import geometry_ok
+            if not geometry_ok(self._padded_samples_per_frame // n,
+                               self._pad_start // n, self._pad_end // n):
+                # short stream clamped the frame off the pow2 grid; the
+                # XLA fallback branch in task() is always valid
+                self.engine = "pallas-fallback"
+
         else:
             if samples_per_frame is not None:
                 samples_per_frame *= n

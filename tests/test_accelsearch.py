@@ -94,3 +94,33 @@ class TestAccelSearch:
         with pytest.raises(ValueError, match="must exceed"):
             FourierDomainAccelSearch(1 << 12, 1 * u.kHz, z_max=1000,
                                      seg_len=1024)
+
+
+class TestHarmonicSum:
+    def test_pulse_train_gains_from_harmonics(self):
+        """A narrow drifting pulse train spreads power over harmonics;
+        the 4-harmonic sum at (f0, z) must clearly beat the fundamental
+        alone."""
+        n = 1 << 14
+        t = np.arange(n) / n
+        f0, z = 500.0, 8.0
+        phase = (f0 * t + 0.5 * z * t ** 2) % 1.0
+        x = np.where(phase < 0.1, 1.0, 0.0) \
+            + np.random.default_rng(2).standard_normal(n) * 0.2
+        s = FourierDomainAccelSearch(n, 1 * u.kHz, z_max=40, z_step=2,
+                                     seg_len=1024)
+        zmap = np.asarray(s.search(x))
+        hmap = s.harmonic_sum(zmap, n_harm=4)
+        j = int(np.argmin(np.abs(s.z_values - z)))
+        assert hmap[500, j] > 1.5 * zmap[500, j]
+        # and the peak of the summed map is at the right place
+        i, jj = np.unravel_index(np.argmax(hmap[16:4000]), 
+                                 hmap[16:4000].shape)
+        assert abs((i + 16) - 500) <= 1
+        assert abs(s.z_values[jj] - z) <= 2.0
+
+    def test_single_harmonic_is_identity(self):
+        s = FourierDomainAccelSearch(1 << 12, 1 * u.kHz, z_max=8,
+                                     z_step=4, seg_len=1024)
+        zmap = np.random.default_rng(1).random((s.n_freq, len(s.zs)))
+        np.testing.assert_array_equal(s.harmonic_sum(zmap, 1), zmap)
