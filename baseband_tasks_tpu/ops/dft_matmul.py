@@ -11,10 +11,12 @@ arithmetic (n/log n ≈ 32× at n=256) rides the systolic array, which is
 otherwise idle; at n ≤ 256 the matmul meets the HBM read bound, so this
 is speed-of-light for the op.
 
-Works for *any* n (no power-of-two or smoothness requirement).  All
-matmuls run at ``Precision.HIGHEST`` (full f32): relative error is
-~√n·ε ≈ 2e-6 at n=256, far inside the 60 dB correctness bar; the default
-TPU matmul precision (single bf16 pass) would not be.
+Works for *any* n (no power-of-two or smoothness requirement).  By
+default all matmuls run at ``Precision.HIGHEST`` (full f32, six bf16
+MXU passes): relative error is ~√n·ε ≈ 2e-6 at n=256, far inside the
+60 dB correctness bar; the default TPU matmul precision (single bf16
+pass) would not be.  :class:`set_matmul_precision` selects the
+three-pass 'high' mode for matmul-bound chains.
 
 Used by the 'pallas' performance FFT engine (fourier/pallas.py) for
 transforms too short for the four-step kernels.
@@ -29,14 +31,47 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dft_matmul", "dft_matmul_planes",
-           "dft_matmul_planes_flat", "MAX_MATMUL_N"]
+__all__ = ["dft_matmul", "dft_matmul_planes", "dft_matmul_planes_flat",
+           "MAX_MATMUL_N", "matmul_precision", "set_matmul_precision"]
 
 #: largest transform length routed to the MXU (above this the O(n²)
 #: arithmetic exceeds the HBM-bound FFT kernels' cost)
 MAX_MATMUL_N = 256
 
-_HIGH = jax.lax.Precision.HIGHEST
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+               "high": jax.lax.Precision.HIGH,
+               "default": jax.lax.Precision.DEFAULT}
+_precision = jax.lax.Precision.HIGHEST
+
+
+def matmul_precision():
+    """The `jax.lax.Precision` every DFT/lane matmul runs at."""
+    return _precision
+
+
+class set_matmul_precision:
+    """Set the DFT-matmul precision ('highest', 'high', 'default').
+
+    'highest' (the default) is full f32 — six bf16 MXU passes per real
+    matmul.  'high' is three passes: ~1e-6 relative error on a length-256
+    DFT (measured ≥95 dB round-trip SNR on the PFB chain, see
+    BASELINE.md round 3), at half the MXU cost — the right trade when a
+    compiled chain is matmul-bound rather than HBM-bound.  Usable as a
+    context manager; affects traces, so apply before building/compiling
+    a pipeline.
+    """
+
+    def __init__(self, name):
+        global _precision
+        self._old = _precision
+        _precision = _PRECISIONS[str(name).lower()]
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        global _precision
+        _precision = self._old
 
 
 @lru_cache(maxsize=None)
@@ -76,7 +111,7 @@ def _dot(x, mat, axis):
     out = jax.lax.dot_general(
         x, jnp.asarray(mat),
         dimension_numbers=(((axis % x.ndim,), (0,)), ((), ())),
-        precision=_HIGH)
+        precision=_precision)
     # dot_general appends the rhs free axis last; put it back.
     return jnp.moveaxis(out, -1, axis)
 
@@ -114,7 +149,7 @@ def dft_matmul_planes_flat(xr, xi, *, direction, n, reps=1):
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((a.ndim - 1,), (0,)), ((), ())),
-                                   precision=_HIGH)
+                                   precision=_precision)
 
     return (dot(xr, fr) - dot(xi, fi), dot(xr, fi) + dot(xi, fr))
 

@@ -52,7 +52,7 @@ from .dedisperse_pallas import (_choose_blocks, _is_pow2, _split_n,
 __all__ = ["spectral_filter_pow2", "spectral_filter_stream",
            "lane_dft_mats", "expand_lane_mats"]
 
-_HIGH = jax.lax.Precision.HIGHEST
+from .dft_matmul import matmul_precision
 
 
 def lane_dft_mats(n, *, inverse=True):
@@ -84,13 +84,13 @@ def _lane_matmul(rr, ii, wr_ref, wi_ref):
     wr = wr_ref[:]
     wi = wi_ref[:]
     out_r = (jax.lax.dot_general(rr2, wr, (((1,), (0,)), ((), ())),
-                                 precision=_HIGH)
+                                 precision=matmul_precision())
              - jax.lax.dot_general(ii2, wi, (((1,), (0,)), ((), ())),
-                                   precision=_HIGH))
+                                   precision=matmul_precision()))
     out_i = (jax.lax.dot_general(rr2, wi, (((1,), (0,)), ((), ())),
-                                 precision=_HIGH)
+                                 precision=matmul_precision())
              + jax.lax.dot_general(ii2, wr, (((1,), (0,)), ((), ())),
-                                   precision=_HIGH))
+                                   precision=matmul_precision()))
     return out_r.reshape(shape), out_i.reshape(shape)
 
 

@@ -63,6 +63,16 @@ def _dada_open(name, mode="r", **kwargs):
     return dada.open(name, mode, **kwargs)
 
 
+def _sigproc_open(name, mode="r", **kwargs):
+    from .io import sigproc
+    return sigproc.open(name, mode, **kwargs)
+
+
+def _sigproc_detect(head, name):
+    from .io.sigproc import detect_format
+    return detect_format(head, name)
+
+
 def _dada_detect(head, name):
     return head[:9] in (b"HDR_VERSI", b"HDR_SIZE ") or \
         name.lower().endswith(".dada")
@@ -79,6 +89,7 @@ FORMATS = {
     "mark5b": (_mark5b_open, _mark5b_detect),
     "dada": (_dada_open, _dada_detect),
     "guppi": (_guppi_open, _guppi_detect),
+    "sigproc": (_sigproc_open, _sigproc_detect),
 }
 
 
