@@ -145,6 +145,77 @@ class _FusedDisperseDechan:
         return yr.reshape(-1), yi.reshape(-1)
 
 
+class _FusedPFBForward:
+    """Execution fusion of ``_PolyphaseFIR → Channelize`` — the forward
+    polyphase filter bank (reference pfb.py:103-154) as ONE pallas HBM
+    pass (ops/pfb_pallas.py).
+
+    XLA's formulation re-reads the padded window once per tap for the
+    FIR (measured 2.6 ms of the 2.96 ms stage at m=2^14) and relayouts
+    around the channelizing DFT's middle-axis matmuls; the kernel does
+    the tap-sum in VMEM and the DFT as a flat F ⊗ I_reps lane matmul on
+    the otherwise-idle MXU.
+    """
+
+    def __init__(self, fir, chan):
+        from ..ops.dft_matmul import _expanded_mats
+        self.fir = fir
+        self.chan = chan
+        n = chan.n
+        extra = fir.ih.sample_shape
+        self.reps = int(np.prod(extra, dtype=int)) if extra else 1
+        self.n = n
+        self.L = n * self.reps
+        taps = np.asarray(fir._taps).reshape(fir._n_tap, n)
+        self.taps_lanes = np.repeat(taps, self.reps, axis=1)
+        self.mats = _expanded_mats(n, self.reps, "forward")
+
+    @staticmethod
+    def can_fuse(fir, chan):
+        from ..channelize import Channelize
+        from ..ops.pfb_pallas import forward_geometry_ok
+        from ..pfb import _PolyphaseFIR
+        if not (isinstance(fir, _PolyphaseFIR)
+                and isinstance(chan, Channelize)
+                and chan.ih is fir
+                and np.dtype(fir.ih.dtype).kind == "c"
+                and not chan._fft.ortho
+                and chan.n == fir._n):
+            return False
+        extra = fir.ih.sample_shape
+        reps = int(np.prod(extra, dtype=int)) if extra else 1
+        m = fir.samples_per_frame // fir._n
+        return forward_geometry_ok(m, fir._n * reps, fir._n_tap)
+
+    def task(self, window):
+        return self.chan.task(self.fir.task(window))
+
+    def task_planes(self, pair):
+        y = self.fir.task_planes(pair)
+        if y is NotImplemented:
+            return NotImplemented
+        return self.chan.task_planes(y)
+
+    def _shape_out(self, yr, yi):
+        shape = (-1,) + self.chan.sample_shape
+        return yr.reshape(shape), yi.reshape(shape)
+
+    def task_stream(self, carry_pair, x_pair, scale=None):
+        from ..ops.pfb_pallas import (choose_block_rows,
+                                      pfb_forward_stream)
+        n, L = self.n, self.L
+        m = x_pair[0].shape[0] // n
+        if x_pair[0].shape[0] % n or not choose_block_rows(m, 8):
+            return NotImplemented
+        k = self.fir._n_tap - 1
+        yr, yi = pfb_forward_stream(
+            carry_pair[0].reshape(k, L), carry_pair[1].reshape(k, L),
+            x_pair[0].reshape(m, L), x_pair[1].reshape(m, L),
+            self.taps_lanes, self.mats[0], self.mats[1],
+            n_tap=self.fir._n_tap, scale=scale)
+        return self._shape_out(yr, yi)
+
+
 class _FusedDechanInvPFB:
     """Execution fusion of ``Dechannelize → InversePolyphaseFilterBank``.
 
@@ -467,6 +538,9 @@ class CompiledPipeline:
                 continue
             if _FusedDisperseDechan.can_fuse(a.node, b.node):
                 a.fused = _FusedDisperseDechan(a.node, b.node)
+                b.skip = True
+            elif _FusedPFBForward.can_fuse(a.node, b.node):
+                a.fused = _FusedPFBForward(a.node, b.node)
                 b.skip = True
             elif _FusedDechanInvPFB.can_fuse(a.node, b.node):
                 b.fused = _FusedDechanInvPFB(a.node, b.node)

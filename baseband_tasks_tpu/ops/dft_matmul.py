@@ -49,16 +49,44 @@ def matmul_precision():
     return _precision
 
 
+def kernel_dot(a, b, prec):
+    """``a @ b`` (contract a's last axis with b's first) inside a pallas
+    kernel, honoring the matmul-precision setting.
+
+    Mosaic's dot lowering supports only DEFAULT and HIGHEST
+    (NotImplementedError on HIGH), so 'high' is emulated as the standard
+    three-pass bf16 split the XLA path uses: with x = hi(x) + lo(x)
+    (bf16 head + bf16 of the remainder),
+    a·b ≈ hi·hi + hi·lo + lo·hi accumulated in f32 — half the MXU passes
+    of HIGHEST, ~2^-16 relative error (config-3 chain measured 104 dB SNR
+    against 'highest', BASELINE.md round 3).
+    """
+    dims = (((a.ndim - 1,), (0,)), ((), ()))
+    if prec == jax.lax.Precision.HIGH:
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return jax.lax.dot_general(
+                x, y, dims, preferred_element_type=jnp.float32)
+
+        return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+    return jax.lax.dot_general(a, b, dims, precision=prec)
+
+
 class set_matmul_precision:
     """Set the DFT-matmul precision ('highest', 'high', 'default').
 
     'highest' (the default) is full f32 — six bf16 MXU passes per real
-    matmul.  'high' is three passes: ~1e-6 relative error on a length-256
-    DFT (measured ≥95 dB round-trip SNR on the PFB chain, see
-    BASELINE.md round 3), at half the MXU cost — the right trade when a
-    compiled chain is matmul-bound rather than HBM-bound.  Usable as a
-    context manager; affects traces, so apply before building/compiling
-    a pipeline.
+    matmul.  'high' is three passes: ~1e-6 relative error on a
+    length-256 DFT (config-3 chain output measured at 104 dB SNR
+    against 'highest', BASELINE.md round 3) at half the MXU cost — the
+    right trade when a compiled chain is matmul-bound rather than
+    HBM-bound.  Usable as a context manager; affects traces, so apply
+    before building/compiling a pipeline (pallas kernels key their jit
+    caches on it; see :func:`kernel_dot` for the in-kernel emulation).
     """
 
     def __init__(self, name):

@@ -48,11 +48,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dedisperse_pallas import (_choose_blocks, _is_pow2, _split_n,
                                 _stage_a_twiddle, _stage_b, _stockham)
+from .dft_matmul import kernel_dot, matmul_precision
 
 __all__ = ["spectral_filter_pow2", "spectral_filter_stream",
            "lane_dft_mats", "expand_lane_mats"]
-
-from .dft_matmul import matmul_precision
 
 
 def lane_dft_mats(n, *, inverse=True):
@@ -76,27 +75,21 @@ def expand_lane_mats(mats, reps):
             np.kron(wi, eye).reshape(n * reps, n * reps))
 
 
-def _lane_matmul(rr, ii, wr_ref, wi_ref):
+def _lane_matmul(rr, ii, wr_ref, wi_ref, prec):
     """(rows..., L) planes @ complex (L, L) matrix, on the MXU."""
     shape = rr.shape
     rr2 = rr.reshape(-1, shape[-1])
     ii2 = ii.reshape(-1, shape[-1])
     wr = wr_ref[:]
     wi = wi_ref[:]
-    out_r = (jax.lax.dot_general(rr2, wr, (((1,), (0,)), ((), ())),
-                                 precision=matmul_precision())
-             - jax.lax.dot_general(ii2, wi, (((1,), (0,)), ((), ())),
-                                   precision=matmul_precision()))
-    out_i = (jax.lax.dot_general(rr2, wi, (((1,), (0,)), ((), ())),
-                                 precision=matmul_precision())
-             + jax.lax.dot_general(ii2, wr, (((1,), (0,)), ((), ())),
-                                   precision=matmul_precision()))
+    out_r = kernel_dot(rr2, wr, prec) - kernel_dot(ii2, wi, prec)
+    out_i = kernel_dot(rr2, wi, prec) + kernel_dot(ii2, wr, prec)
     return out_r.reshape(shape), out_i.reshape(shape)
 
 
 # -- kernel bodies --------------------------------------------------------
 
-def _k1_filter_body(n1, n2, n, pre, scale_smem, *refs):
+def _k1_filter_body(n1, n2, n, pre, scale_smem, prec, *refs):
     """Stage-A FFT (+ twiddle), from either a full window or
     (carry, block) pieces, with optional SMEM scale and pre lane-mix.
 
@@ -128,12 +121,12 @@ def _k1_filter_body(n1, n2, n, pre, scale_smem, *refs):
         xr = jnp.concatenate([cr[:], xb_r], axis=0)
         xi = jnp.concatenate([ci[:], xb_i], axis=0)
     if pre:
-        xr, xi = _lane_matmul(xr, xi, wr_ref, wi_ref)
+        xr, xi = _lane_matmul(xr, xi, wr_ref, wi_ref, prec)
     rr, ii = _stockham(xr, xi, -1.0)
     _stage_a_twiddle(rr, ii, n1, n, yr_ref, yi_ref)
 
 
-def _k3_trim_body(n1, kf, ke, post, *refs):
+def _k3_trim_body(n1, kf, ke, post, prec, *refs):
     """Inverse stage-A, discard the kf/ke pad row-blocks, optional post
     lane-mix, natural-order store (valid rows only)."""
     if post:
@@ -147,7 +140,7 @@ def _k3_trim_body(n1, kf, ke, post, *refs):
     rr = rr[kf:n1 - ke]
     ii = ii[kf:n1 - ke]
     if post:
-        rr, ii = _lane_matmul(rr, ii, wr_ref, wi_ref)
+        rr, ii = _lane_matmul(rr, ii, wr_ref, wi_ref, prec)
     or_ref[:] = rr
     oi_ref[:] = ii
 
@@ -156,9 +149,13 @@ def _k3_trim_body(n1, kf, ke, post, *refs):
 
 @functools.partial(jax.jit, static_argnames=(
     "n1", "n2", "kf", "ke", "block_b", "block_c", "pre", "post",
-    "stream", "scaled", "interpret"))
+    "stream", "scaled", "interpret", "prec"))
 def _spectral_filter_impl(args, *, n1, n2, kf, ke, block_b, block_c,
-                          pre, post, stream, scaled, interpret):
+                          pre, post, stream, scaled, interpret,
+                          prec=jax.lax.Precision.HIGHEST):
+    # `prec` (the active matmul precision) must ride the jit cache key:
+    # read via a module global inside this already-cached jit it would
+    # be silently stale (ops/dft_matmul.set_matmul_precision)
     n = n1 * n2
     # 2^19-row windows split as (512, 1024): the stage-B Stockham over
     # n2=1024 rows holds one more radix stage of live intermediates than
@@ -215,7 +212,7 @@ def _spectral_filter_impl(args, *, n1, n2, kf, ke, block_b, block_c,
 
     y_r, y_i = pl.pallas_call(
         functools.partial(_k1_filter_body, n1, n2, n, bool(pre),
-                          bool(scaled)),
+                          bool(scaled), prec),
         compiler_params=params,
         grid=(n2 // block_b,),
         in_specs=in_specs,
@@ -236,7 +233,8 @@ def _spectral_filter_impl(args, *, n1, n2, kf, ke, block_b, block_c,
         [spec_bT, spec_bT]
     k3_args = list(post_mats) + [z_r, z_i]
     o_r, o_i = pl.pallas_call(
-        functools.partial(_k3_trim_body, n1, kf, ke, bool(post)),
+        functools.partial(_k3_trim_body, n1, kf, ke, bool(post),
+                          prec),
         compiler_params=params,
         grid=(n2 // block_b,),
         in_specs=k3_specs,
@@ -317,7 +315,8 @@ def spectral_filter_pow2(xr, xi, gr, gi, *, pad_start, pad_end,
     return _spectral_filter_impl(
         args, n1=n1, n2=n2, kf=kf, ke=ke, block_b=block_b,
         block_c=block_c, pre=pre is not None, post=post is not None,
-        stream=False, scaled=False, interpret=interpret)
+        stream=False, scaled=False, interpret=interpret,
+        prec=matmul_precision())
 
 
 def spectral_filter_stream(cr, ci, xr, xi, gr, gi, *, pad_start, pad_end,
@@ -353,4 +352,5 @@ def spectral_filter_stream(cr, ci, xr, xi, gr, gi, *, pad_start, pad_end,
     return _spectral_filter_impl(
         args, n1=n1, n2=n2, kf=kf, ke=ke, block_b=block_b,
         block_c=block_c, pre=pre is not None, post=post is not None,
-        stream=True, scaled=scaled, interpret=interpret)
+        prec=matmul_precision(), stream=True, scaled=scaled,
+        interpret=interpret)

@@ -201,6 +201,108 @@ class TestDechanInvPFBFusion:
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+class TestPFBForwardFusion:
+    """_PolyphaseFIR → Channelize fused into the one-pass pallas
+    forward-PFB kernel (ops/pfb_pallas.py): interpret-mode equality
+    against the XLA window form, the unfused chain, and the eager
+    stream; block-only scale semantics."""
+
+    def _make(self, fuse=True):
+        n, n_tap = 64, 8          # L = n * 2 pol = 128 lanes
+        h = sinc_hamming(n_tap, n)
+        src = NoiseGenerator(shape=(1 << 18, 2), start_time=T0,
+                             sample_rate=1 * u.MHz,
+                             samples_per_frame=8192, seed=7)
+        pfb = PolyphaseFilterBank(src, h, samples_per_frame=448)
+        return CompiledPipeline(pfb, fuse=fuse), pfb
+
+    def test_fusion_applied(self):
+        from baseband_tasks_tpu.models.compiled import _FusedPFBForward
+        cp, _ = self._make()
+        fused = [st.fused for st in cp.stages
+                 if getattr(st, "fused", None) is not None]
+        assert len(fused) == 1
+        assert isinstance(fused[0], _FusedPFBForward)
+        assert any(getattr(st, "skip", False) for st in cp.stages)
+
+    def test_planes_kernel_matches_complex(self):
+        cp, _ = self._make()
+        a = _run_compiled(cp, 3, planes=False)   # XLA window form
+        b = _run_compiled(cp, 3, planes=True)    # pallas stream kernel
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+    def test_matches_unfused(self):
+        a = _run_compiled(self._make()[0], 2, planes=True)
+        b = _run_compiled(self._make(fuse=False)[0], 2, planes=True)
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+    def test_matches_eager(self):
+        cp, tail = self._make()
+        n_blocks = cp.warmup // cp.tail_block + 3
+        got = _run_compiled(cp, n_blocks, planes=True)
+        _compare_eager(got, cp, tail)
+
+    def test_stream_scale_block_only(self):
+        """Per-iteration scale multiplies only the current block (the
+        carry holds its own iteration's scale)."""
+        cp, _ = self._make()
+        blocks = [np.asarray(b) for b in cp.read_source_blocks(3)]
+        scales = [0.5, 2.0, 4.0]
+        step_c, caches = cp.cached_planes_step()
+        ca = cp.init_carry(planes=True)
+        cb = cp.init_carry(planes=True)
+        for x, s in zip(blocks, scales):
+            ca, ya = step_c(ca, (jnp.asarray(x.real),
+                                 jnp.asarray(x.imag)),
+                            jnp.float32(s), caches)
+            cb, yb = step_c(cb, (jnp.asarray(s * x.real),
+                                 jnp.asarray(s * x.imag)), None, caches)
+            np.testing.assert_allclose(np.asarray(ya[0]),
+                                       np.asarray(yb[0]),
+                                       rtol=1e-4, atol=1e-3)
+            np.testing.assert_allclose(np.asarray(ya[1]),
+                                       np.asarray(yb[1]),
+                                       rtol=1e-4, atol=1e-3)
+
+    def test_full_roundtrip_both_fusions(self):
+        """PFB forward + Wiener inverse with BOTH pair fusions engaged
+        recovers the raw stream (config-3 shape, small)."""
+        n, n_tap = 64, 8
+        h = sinc_hamming(n_tap, n)
+        src = NoiseGenerator(shape=(1 << 18, 2), start_time=T0,
+                             sample_rate=1 * u.MHz,
+                             samples_per_frame=8192, seed=9)
+        pfb = PolyphaseFilterBank(src, h, samples_per_frame=416)
+        inv = InversePolyphaseFilterBank(
+            pfb, h, sn=1e3, pad_start=32, pad_end=32,
+            samples_per_frame=352, dtype=src.dtype, engine="pallas")
+        assert inv.samples_per_frame == 416 * n
+        cp = CompiledPipeline(inv)
+        fused = [st.fused for st in cp.stages
+                 if getattr(st, "fused", None) is not None]
+        assert len(fused) == 2
+        # the fused execution is the unfused one to float roundoff
+        got = _run_compiled(cp, 4, planes=True)
+        ref = _run_compiled(CompiledPipeline(inv, fuse=False), 4,
+                            planes=True)
+        err_k = (np.mean(np.abs(got - ref) ** 2)
+                 / np.mean(np.abs(ref) ** 2))
+        assert err_k < 1e-10
+        # and it recovers the raw stream at this geometry's leakage
+        # level (8-tap Wiener edges at 32-row pads, streaming windows
+        # off the eager frame grid — production sizings use 128-row
+        # pads, reference pfb.py:170-181)
+        src.seek(0)
+        raw = np.asarray(src.read(None))
+        lead = int(round(float(((inv.start_time - T0).sec) * 1e6)))
+        delay = int(cp.delay)
+        k0 = cp.warmup
+        expect = raw[lead + k0 - delay: lead + got.shape[0] - delay]
+        err = (np.mean(np.abs(got[k0:] - expect) ** 2)
+               / np.mean(np.abs(expect) ** 2))
+        assert err < 1e-2
+
+
 class TestConvolveStream:
     """Pallas Convolve in the planes-interchange step: the streaming
     task_stream form (in-kernel window assembly + trim) must match the

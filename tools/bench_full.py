@@ -204,17 +204,25 @@ def config3():
     """PFB (8 taps x 256 chan sinc-hamming) + Wiener inverse round trip,
     dual-pol complex.
 
-    The chain compiles to: FIR tap-sum + channelizing DFT (one fused
-    XLA pass of MXU matmuls on planes), then the Wiener deconvolution
-    as three pallas HBM passes with the preceding Dechannelize's
-    inverse-DFT absorbed as an in-kernel lane matmul and the pads
-    trimmed in the last kernel (models/compiled.py fusion)."""
+    The chain compiles to two fused pallas stages: the forward PFB
+    (FIR tap-sum in VMEM + channelizing DFT as a flat F (x) I_2 lane
+    matmul, one HBM pass — ops/pfb_pallas.py), then the Wiener
+    deconvolution as three pallas HBM passes with the preceding
+    Dechannelize's inverse-DFT absorbed as an in-kernel lane matmul and
+    the pads trimmed in the last kernel (models/compiled.py fusions).
+
+    Runs at matmul precision 'high' (three bf16 MXU passes per real f32
+    matmul — emulated in-kernel, ops/dft_matmul.kernel_dot): the chain
+    is matmul-bound at 'highest', and the 'high' output measures 104 dB
+    SNR against the 'highest' output (tools/bench_precision.py), far
+    above the 60 dB correctness bar."""
     import jax
     from baseband_tasks_tpu import (InversePolyphaseFilterBank,
                                     NoiseGenerator, PolyphaseFilterBank,
                                     sinc_hamming)
     from baseband_tasks_tpu.models.compiled import CompiledPipeline
     from baseband_tasks_tpu.fourier import fft_maker
+    from baseband_tasks_tpu.ops.dft_matmul import set_matmul_precision
     from baseband_tasks_tpu.utils import Time, units as u
 
     n_tap, n_chan = 8, 256
@@ -226,18 +234,21 @@ def config3():
     # pads/samples_per_frame are in spectra; 32256-spectra frames give a
     # 2^15-row deconvolution window (256-row pads, ~132 MB blocks) —
     # big enough to amortize the fixed per-step cost
-    with fft_maker.set("pallas"):
+    with fft_maker.set("pallas"), set_matmul_precision("high"):
         pfb = PolyphaseFilterBank(src, h, samples_per_frame=32256)
         inv = InversePolyphaseFilterBank(
             pfb, h, sn=30, pad_start=128, pad_end=128,
             samples_per_frame=32256, dtype=src.dtype, engine="pallas")
         cp = CompiledPipeline(inv)
-    assert any(getattr(st, "fused", None) is not None for st in cp.stages)
+        fused = sum(1 for st in cp.stages
+                    if getattr(st, "fused", None) is not None)
+        assert fused == 2, fused
 
-    dt = _timed_planes_chain(cp, (cp.block_samples, 2))
+        dt = _timed_planes_chain(cp, (cp.block_samples, 2))
     rate = cp.block_samples * 2 / dt
     return {"config": 3, "samples_per_s": round(rate, 1),
-            "backend": jax.default_backend(), "block": cp.block_samples}
+            "backend": jax.default_backend(), "block": cp.block_samples,
+            "matmul_precision": "high"}
 
 
 def config4():
