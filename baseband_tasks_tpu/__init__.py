@@ -28,6 +28,7 @@ from .pfb import (sinc_hamming, PolyphaseFilterBank,
                   PolyphaseFilterBankSamples, InversePolyphaseFilterBank)
 from .dispersion import (Disperse, Dedisperse, DisperseSamples,
                          DedisperseSamples)
+from .faraday import FaradayRotate, DeFaraday
 from .rfi import SpectralKurtosis, ExciseSpectralKurtosis
 from .timing import ProfileTemplate, fit_phase_shift
 
@@ -43,4 +44,5 @@ __all__ = ["Base", "BaseTaskBase", "TaskBase", "PaddedTaskBase", "Task",
            "Real2Complex", "sinc_hamming", "PolyphaseFilterBank",
            "PolyphaseFilterBankSamples", "InversePolyphaseFilterBank",
            "SpectralKurtosis", "ExciseSpectralKurtosis",
+           "FaradayRotate", "DeFaraday",
            "ProfileTemplate", "fit_phase_shift", "open"]

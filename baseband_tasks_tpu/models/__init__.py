@@ -5,7 +5,9 @@ from .dmsearch import DMTrialSearch
 from .runner import StreamRunner
 from .correlator import CrossMultiply, fx_correlate
 from .accelsearch import FourierDomainAccelSearch, accel_template
+from .rmsearch import RMSynthesis
 
 __all__ = ["WidebandPulsarPipeline", "DMTrialSearch", "StreamRunner",
            "CrossMultiply", "fx_correlate",
-           "FourierDomainAccelSearch", "accel_template"]
+           "FourierDomainAccelSearch", "accel_template",
+           "RMSynthesis"]

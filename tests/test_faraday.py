@@ -1,0 +1,174 @@
+"""FaradayRotate / DeFaraday (faraday.py) and RMSynthesis
+(models/rmsearch.py): conventions, round trips, and the end-to-end
+voltage -> channelize -> rotate -> detect -> RM-synthesis recovery."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from baseband_tasks_tpu import (Channelize, DeFaraday, FaradayRotate,
+                                Noise, Power, SetAttribute,
+                                StreamGenerator)
+from baseband_tasks_tpu.faraday import C_M_PER_S
+from baseband_tasks_tpu.models import RMSynthesis
+from baseband_tasks_tpu.utils import Time, units as u
+
+T0 = Time("2022-02-02T00:00:00.0")
+RATE = 50 * u.MHz
+CARRIER = 100 * u.MHz   # low frequency, wide band -> ~10 m^2 of
+                        # lambda^2 span, RMSF FWHM ~0.4 rad/m^2
+N_CHAN = 32
+RM = 3.0                # rad/m^2
+
+
+def make_xpol_stream(n=1 << 14, seed=5):
+    """Dual-linear stream with all power in X (100% polarized)."""
+    noise = Noise(seed)
+
+    def gen(fh):
+        x = noise(fh)                    # (count, 2)
+        return x * jnp.asarray([1.0, 0.0], x.dtype)
+
+    gen = StreamGenerator(gen, (n, 2), T0, RATE,
+                          samples_per_frame=4096, dtype=np.complex64)
+    return SetAttribute(gen, frequency=CARRIER, sideband=1,
+                        polarization=["X", "Y"])
+
+
+def channelized(stream):
+    return Channelize(stream, N_CHAN)
+
+
+class TestFaradayRotate:
+    def test_needs_complex_and_frequency(self):
+        noise = Noise(3)
+        gen = StreamGenerator(lambda fh: noise(fh), (1 << 10, 2), T0,
+                              RATE, samples_per_frame=256,
+                              dtype=np.complex64)
+        bare = SetAttribute(gen, polarization=["X", "Y"])
+        with pytest.raises(ValueError, match="frequency"):
+            FaradayRotate(bare, RM)
+
+    def test_roundtrip_defaraday(self):
+        fb = channelized(make_xpol_stream())
+        rot = FaradayRotate(fb, RM)
+        back = DeFaraday(rot, RM)
+        assert float(back.rm.to_value(u.rad / u.m ** 2)) == RM
+        x = np.asarray(back.read(64))
+        fb.seek(0)
+        ref = np.asarray(fb.read(64))
+        np.testing.assert_allclose(x, ref, rtol=1e-5, atol=1e-5)
+
+    def test_rotation_angle_convention(self):
+        """A pure-X input rotated by psi becomes
+        (X cos psi, X sin psi) with psi = RM lambda^2."""
+        fb = channelized(make_xpol_stream())
+        rot = FaradayRotate(fb, RM)
+        z = np.asarray(rot.read(256))           # (time, chan, pol)
+        fb.seek(0)
+        ref = np.asarray(fb.read(256))[..., 0]
+        freq = np.asarray(fb.frequency.to_value(u.Hz)).reshape(-1)
+        psi = RM * (C_M_PER_S / freq) ** 2
+        np.testing.assert_allclose(z[..., 0], ref * np.cos(psi),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(z[..., 1], ref * np.sin(psi),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_reference_frequency_pins_angle(self):
+        fb = channelized(make_xpol_stream())
+        rot = FaradayRotate(fb, RM, reference_frequency=CARRIER)
+        z = np.asarray(rot.read(256))
+        freq = np.asarray(fb.frequency.to_value(u.Hz)).reshape(-1)
+        k0 = int(np.argmin(np.abs(freq - CARRIER.to_value(u.Hz))))
+        # at the reference channel the rotation is ~zero
+        y_over_x = np.abs(z[:, k0, 1]).mean() / np.abs(z[:, k0, 0]).mean()
+        assert y_over_x < 0.02
+
+    def test_circular_basis_phases(self):
+        """L/R feeds: l' = l e^{+i psi}, r' = r e^{-i psi}."""
+        fb = channelized(SetAttribute(make_xpol_stream(),
+                                      polarization=["L", "R"]))
+        rot = FaradayRotate(fb, RM)
+        assert rot.basis == "circular"
+        fb.seek(0)
+        ref = np.asarray(fb.read(64))
+        z = np.asarray(rot.read(64))
+        freq = np.asarray(fb.frequency.to_value(u.Hz)).reshape(-1)
+        psi = RM * (C_M_PER_S / freq) ** 2
+        np.testing.assert_allclose(
+            z[..., 0], ref[..., 0] * np.exp(1j * psi)[None, :],
+            rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            z[..., 1], ref[..., 1] * np.exp(-1j * psi)[None, :],
+            rtol=1e-4, atol=1e-4)
+
+    def test_planes_path_matches_complex(self):
+        fb = channelized(make_xpol_stream())
+        for basis in ("linear", "circular"):
+            rot = FaradayRotate(fb, RM, basis=basis, pol_axis=1)
+            fb.seek(0)
+            x = np.asarray(fb.read(64))
+            want = np.asarray(rot.task(jnp.asarray(x)))
+            yr, yi = rot.task_planes((jnp.asarray(x.real),
+                                      jnp.asarray(x.imag)))
+            np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi),
+                                       want, rtol=1e-5, atol=1e-5)
+
+
+class TestRMSynthesis:
+    def _freq(self):
+        return (CARRIER + (np.arange(N_CHAN) - N_CHAN / 2)
+                * (RATE / N_CHAN)).to(u.MHz)
+
+    def test_recovers_synthetic_winding(self):
+        freq = self._freq()
+        lam2 = (C_M_PER_S / np.asarray(freq.to_value(u.Hz))) ** 2
+        phi0 = 4.0
+        p = np.exp(2j * phi0 * lam2)
+        phis = np.linspace(-20, 20, 161)
+        s = RMSynthesis(freq, phis)
+        f = np.asarray(s.fdf(p.real.astype(np.float32),
+                             p.imag.astype(np.float32)))
+        peak = phis[int(np.argmax(np.abs(f)))]
+        assert abs(peak - phi0) <= (phis[1] - phis[0])
+        # peak amplitude ~1 for a unit 100%-polarized signal
+        assert abs(np.abs(f).max() - 1.0) < 0.05
+
+    def test_weights_flag_channels(self):
+        freq = self._freq()
+        w = np.ones(N_CHAN)
+        w[:4] = 0
+        s = RMSynthesis(freq, np.linspace(-10, 10, 81), weights=w)
+        lam2 = (C_M_PER_S / np.asarray(freq.to_value(u.Hz))) ** 2
+        p = np.exp(2j * 2.0 * lam2)
+        p[:4] = 100.0  # corrupted channels are ignored
+        f = np.asarray(s.fdf(p.real.astype(np.float32),
+                             p.imag.astype(np.float32)))
+        peak = s.phis[int(np.argmax(np.abs(f)))]
+        assert abs(peak - 2.0) <= s.phis[1] - s.phis[0]
+
+    def test_rmsf_peak_at_zero(self):
+        s = RMSynthesis(self._freq(), np.linspace(-10, 10, 81))
+        phis, rmsf = s.rmsf()
+        assert abs(phis[int(np.argmax(np.abs(rmsf)))]) <= phis[1] - phis[0]
+        # grid points need not include phi = 0 exactly; the sharp RMSF
+        # (FWHM ~0.4 at this band) still peaks near unity
+        assert np.abs(rmsf).max() > 0.9
+
+    def test_end_to_end_voltage_recovery(self):
+        """Rotate voltages at RM, detect, synthesize: peak at RM."""
+        fb = channelized(make_xpol_stream(n=1 << 15))
+        rot = FaradayRotate(fb, RM)
+        det = Power(rot)
+        p = np.asarray(det.read(det.shape[0])).mean(0)  # (chan, 4)
+        q, u_ = RMSynthesis.stokes_qu(p)
+        freq = u.Quantity(np.asarray(
+            fb.frequency.to_value(u.MHz)).reshape(-1), u.MHz)
+        phis = np.linspace(-15, 15, 301)
+        s = RMSynthesis(freq, phis)
+        f = np.asarray(s.fdf(np.asarray(q), np.asarray(u_)))
+        peak = phis[int(np.argmax(np.abs(f)))]
+        assert abs(peak - RM) <= 2 * (phis[1] - phis[0])
+        cands = s.candidates(np.asarray(q), np.asarray(u_), threshold=5)
+        assert any(abs(c[0] - RM) < 0.5 for c in cands)
