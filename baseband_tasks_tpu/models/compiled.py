@@ -216,6 +216,61 @@ class _FusedPFBForward:
         return self._shape_out(yr, yi)
 
 
+class _FusedPolyphaseFIR:
+    """The forward-PFB half of the ROUND-TRIP quad fusion
+    ``_PolyphaseFIR → Channelize → Dechannelize → InversePolyphaseFilterBank``.
+
+    The channelizing DFT and the dechannelize inverse-DFT are exact
+    adjoints (same n, unscaled forward / 1-n inverse, same lane
+    expansion), so in the composed graph they cancel analytically: the
+    polyphase branches z_j[k] = sum_t h[t, j] x[(k+t)n + j] that the
+    FIR produces are *exactly* the dechannelized stream the Wiener
+    deconvolution consumes (reference pfb.py:243-255).  This stage
+    therefore emits the raw tap-sum (one pallas HBM pass, no lane
+    matmul); the paired `_FusedDechanInvPFB(use_pre=False)` skips its
+    pre matmul.  Mathematically identical to the unfused chain — with
+    two fewer f32 roundings.
+    """
+
+    def __init__(self, fir, chan):
+        self.fir = fir
+        self.chan = chan
+        n = chan.n
+        extra = fir.ih.sample_shape
+        self.reps = int(np.prod(extra, dtype=int)) if extra else 1
+        self.n = n
+        self.L = n * self.reps
+        taps = np.asarray(fir._taps).reshape(fir._n_tap, n)
+        self.taps_lanes = np.repeat(taps, self.reps, axis=1)
+
+    def _shape_out(self, y):
+        return y.reshape((-1,) + self.chan.sample_shape)
+
+    def task(self, window):
+        return self._shape_out(self.fir.task(window))
+
+    def task_planes(self, pair):
+        y = self.fir.task_planes(pair)
+        if y is NotImplemented:
+            return NotImplemented
+        return (self._shape_out(y[0]),
+                None if y[1] is None else self._shape_out(y[1]))
+
+    def task_stream(self, carry_pair, x_pair, scale=None):
+        from ..ops.pfb_pallas import (choose_block_rows,
+                                      pfb_forward_stream)
+        n, L = self.n, self.L
+        m = x_pair[0].shape[0] // n
+        if x_pair[0].shape[0] % n or not choose_block_rows(m, 8):
+            return NotImplemented
+        k = self.fir._n_tap - 1
+        yr, yi = pfb_forward_stream(
+            carry_pair[0].reshape(k, L), carry_pair[1].reshape(k, L),
+            x_pair[0].reshape(m, L), x_pair[1].reshape(m, L),
+            self.taps_lanes, n_tap=self.fir._n_tap, scale=scale)
+        return self._shape_out(yr), self._shape_out(yi)
+
+
 class _FusedDechanInvPFB:
     """Execution fusion of ``Dechannelize → InversePolyphaseFilterBank``.
 
@@ -225,15 +280,21 @@ class _FusedDechanInvPFB:
     domain (reference pfb.py:157-255 with channelize.py:90 absorbed).
     """
 
-    def __init__(self, dech, inv):
+    def __init__(self, dech, inv, use_pre=True):
         from ..ops.spectral_filter import expand_lane_mats, lane_dft_mats
         self.dech = dech
         self.inv = inv
         extra = dech.ih.sample_shape[1:]
         self.reps = int(np.prod(extra, dtype=int)) if extra else 1
-        mats = lane_dft_mats(inv._n, inverse=True)
-        self.pre = expand_lane_mats(mats, self.reps) if self.reps > 1 \
-            else mats
+        if use_pre:
+            mats = lane_dft_mats(inv._n, inverse=True)
+            self.pre = expand_lane_mats(mats, self.reps) \
+                if self.reps > 1 else mats
+        else:
+            # round-trip quad fusion: the upstream forward DFT was
+            # cancelled against this IDFT, so the incoming planes are
+            # already the polyphase branches
+            self.pre = None
 
     @staticmethod
     def can_fuse(dech, inv):
@@ -531,6 +592,25 @@ class CompiledPipeline:
         only — all block/delay bookkeeping (done above) is unchanged,
         and the original nodes still work eagerly."""
         stages = self.stages
+        # round-trip quad: the forward channelizing DFT and the inverse
+        # dechannelize IDFT are exact adjoints and cancel analytically
+        for i in range(len(stages) - 3):
+            a, b, c, d = stages[i:i + 4]
+            if not all(isinstance(st, _Stage) for st in (a, b, c, d)) \
+                    or any(st.skip or st.fused for st in (a, b, c, d)):
+                continue
+            if (_FusedPFBForward.can_fuse(a.node, b.node)
+                    and _FusedDechanInvPFB.can_fuse(c.node, d.node)
+                    and c.node.ih is b.node
+                    and c.node.n == b.node.n):
+                a.fused = _FusedPolyphaseFIR(a.node, b.node)
+                b.skip = c.skip = True
+                d.fused = _FusedDechanInvPFB(c.node, d.node,
+                                             use_pre=False)
+                n = d.node._n
+                d.pad = (d.node.pad_start + d.node.pad_end) // n
+                d.in_sample_shape = b.node.sample_shape
+                d.in_dtype = b.node.dtype
         for i in range(len(stages) - 1):
             a, b = stages[i], stages[i + 1]
             if not (isinstance(a, _Stage) and isinstance(b, _Stage)) \

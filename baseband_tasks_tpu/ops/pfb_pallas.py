@@ -63,17 +63,21 @@ def forward_geometry_ok(m, L, n_tap):
     return choose_block_rows(m, 8) >= 8
 
 
-def _fwd_body(n_tap, hb, scaled, prec, *refs):
+def _fwd_body(n_tap, hb, scaled, with_dft, prec, *refs):
     """One (block_rows, L) output tile: assemble the (block + halo)
-    window in VMEM, tap-sum on the VPU, channelize on the MXU."""
+    window in VMEM, tap-sum on the VPU, channelize on the MXU
+    (``with_dft=False`` emits the raw tap-sum — the polyphase branches
+    — for chains whose downstream IDFT cancelled the DFT)."""
     i = pl.program_id(0)
     idx = 0
     s = None
     if scaled:
         s = refs[idx][0]
         idx += 1
-    (cr_ref, ci_ref, hr_ref, hi_ref, xr_ref, xi_ref, taps_ref,
-     fr_ref, fi_ref) = refs[idx:idx + 9]
+    (cr_ref, ci_ref, hr_ref, hi_ref, xr_ref, xi_ref,
+     taps_ref) = refs[idx:idx + 7]
+    if with_dft:
+        fr_ref, fi_ref = refs[idx + 7:idx + 9]
     yr_ref, yi_ref = refs[-2], refs[-1]
 
     xb_r = xr_ref[:]
@@ -100,6 +104,10 @@ def _fwd_body(n_tap, hb, scaled, prec, *refs):
         ar = ar + taps[t:t + 1] * wr[t:t + b]
         ai = ai + taps[t:t + 1] * wi[t:t + b]
 
+    if not with_dft:
+        yr_ref[:] = ar
+        yi_ref[:] = ai
+        return
     fr = fr_ref[:]
     fi = fi_ref[:]
     yr_ref[:] = kernel_dot(ar, fr, prec) - kernel_dot(ai, fi, prec)
@@ -107,16 +115,19 @@ def _fwd_body(n_tap, hb, scaled, prec, *refs):
 
 
 @functools.partial(jax.jit, static_argnames=("n_tap", "hb", "block_rows",
-                                             "scaled", "interpret",
-                                             "prec"))
-def _pfb_forward_impl(args, *, n_tap, hb, block_rows, scaled, interpret,
-                      prec):
+                                             "scaled", "with_dft",
+                                             "interpret", "prec"))
+def _pfb_forward_impl(args, *, n_tap, hb, block_rows, scaled, with_dft,
+                      interpret, prec):
     i = 0
     scale = None
     if scaled:
         scale = args[i]
         i += 1
-    cr, ci, xr, xi, taps, fr, fi = args[i:i + 7]
+    if with_dft:
+        cr, ci, xr, xi, taps, fr, fi = args[i:i + 7]
+    else:
+        cr, ci, xr, xi, taps = args[i:i + 5]
     m, L = xr.shape
     nb = m // block_rows
     rpb = block_rows // hb  # halo sub-blocks per row block
@@ -135,12 +146,16 @@ def _pfb_forward_impl(args, *, n_tap, hb, block_rows, scaled, interpret,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         k_args.append(scale)
     in_specs += [spec_full, spec_full, spec_halo, spec_halo,
-                 spec_main, spec_main, spec_full, spec_full, spec_full]
-    k_args += [cr, ci, xr, xi, xr, xi, taps, fr, fi]
+                 spec_main, spec_main, spec_full]
+    k_args += [cr, ci, xr, xi, xr, xi, taps]
+    if with_dft:
+        in_specs += [spec_full, spec_full]
+        k_args += [fr, fi]
 
     params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
-        functools.partial(_fwd_body, n_tap, hb, scaled, prec),
+        functools.partial(_fwd_body, n_tap, hb, scaled,
+                          with_dft, prec),
         compiler_params=params,
         grid=(nb,),
         in_specs=in_specs,
@@ -151,8 +166,8 @@ def _pfb_forward_impl(args, *, n_tap, hb, block_rows, scaled, interpret,
     )(*k_args)
 
 
-def pfb_forward_stream(carry_r, carry_i, xr, xi, taps, fr, fi, *,
-                       n_tap, scale=None, block_rows=None,
+def pfb_forward_stream(carry_r, carry_i, xr, xi, taps, fr=None, fi=None,
+                       *, n_tap, scale=None, block_rows=None,
                        interpret=None):
     """Channelized spectra planes from streaming raw planes.
 
@@ -164,8 +179,11 @@ def pfb_forward_stream(carry_r, carry_i, xr, xi, taps, fr, fi, *,
         New block rows.
     taps : (n_tap, L) f32
         Per-lane FIR weights (channel taps tiled over trailing dims).
-    fr, fi : (L, L) f32
-        Expanded forward DFT planes (``dft_matmul._expanded_mats``).
+    fr, fi : (L, L) f32 or None
+        Expanded forward DFT planes (``dft_matmul._expanded_mats``);
+        None emits the raw tap-sum (polyphase branches) instead — for
+        compiled chains whose downstream dechannelize IDFT cancels the
+        DFT analytically (models/compiled.py round-trip fusion).
     scale : scalar or None
         Multiplies the block (and its self-halo) rows only.
 
@@ -191,13 +209,16 @@ def pfb_forward_stream(carry_r, carry_i, xr, xi, taps, fr, fi, *,
         args.append(jnp.asarray(scale, jnp.float32).reshape(1))
     args += [cr, ci, jnp.asarray(xr, jnp.float32),
              jnp.asarray(xi, jnp.float32),
-             jnp.asarray(taps, jnp.float32),
-             jnp.asarray(fr, jnp.float32), jnp.asarray(fi, jnp.float32)]
+             jnp.asarray(taps, jnp.float32)]
+    with_dft = fr is not None
+    if with_dft:
+        args += [jnp.asarray(fr, jnp.float32),
+                 jnp.asarray(fi, jnp.float32)]
     # the active matmul precision must be part of the jit cache key:
     # a module-global read inside an already-cached nested jit would be
     # silently stale (ops/dft_matmul.set_matmul_precision)
     return _pfb_forward_impl(tuple(args), n_tap=n_tap, hb=hb,
                              block_rows=block_rows,
                              scaled=scale is not None,
-                             interpret=interpret,
+                             with_dft=with_dft, interpret=interpret,
                              prec=matmul_precision())

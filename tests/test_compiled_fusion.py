@@ -264,6 +264,30 @@ class TestPFBForwardFusion:
                                        np.asarray(yb[1]),
                                        rtol=1e-4, atol=1e-3)
 
+    def test_quad_fusion_cancels_dft_pair(self):
+        """PFB → inverse round trips fuse as the QUAD: the channelizing
+        DFT and the dechannelize IDFT are adjoints and cancel — the
+        forward stage emits raw polyphase branches (_FusedPolyphaseFIR)
+        and the deconvolution runs without its pre matmul."""
+        from baseband_tasks_tpu.models.compiled import (
+            _FusedDechanInvPFB, _FusedPolyphaseFIR)
+        n, n_tap = 64, 8
+        h = sinc_hamming(n_tap, n)
+        src = NoiseGenerator(shape=(1 << 18, 2), start_time=T0,
+                             sample_rate=1 * u.MHz,
+                             samples_per_frame=8192, seed=9)
+        pfb = PolyphaseFilterBank(src, h, samples_per_frame=416)
+        inv = InversePolyphaseFilterBank(
+            pfb, h, sn=1e3, pad_start=32, pad_end=32,
+            samples_per_frame=352, dtype=src.dtype, engine="pallas")
+        cp = CompiledPipeline(inv)
+        fused = [st.fused for st in cp.stages
+                 if getattr(st, "fused", None) is not None]
+        assert len(fused) == 2
+        assert isinstance(fused[0], _FusedPolyphaseFIR)
+        assert isinstance(fused[1], _FusedDechanInvPFB)
+        assert fused[1].pre is None
+
     def test_full_roundtrip_both_fusions(self):
         """PFB forward + Wiener inverse with BOTH pair fusions engaged
         recovers the raw stream (config-3 shape, small)."""

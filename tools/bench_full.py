@@ -204,12 +204,17 @@ def config3():
     """PFB (8 taps x 256 chan sinc-hamming) + Wiener inverse round trip,
     dual-pol complex.
 
-    The chain compiles to two fused pallas stages: the forward PFB
-    (FIR tap-sum in VMEM + channelizing DFT as a flat F (x) I_2 lane
-    matmul, one HBM pass — ops/pfb_pallas.py), then the Wiener
-    deconvolution as three pallas HBM passes with the preceding
-    Dechannelize's inverse-DFT absorbed as an in-kernel lane matmul and
-    the pads trimmed in the last kernel (models/compiled.py fusions).
+    The chain compiles to the round-trip QUAD fusion
+    (models/compiled.py): the forward's channelizing DFT and the
+    inverse's dechannelize IDFT are exact adjoints and cancel
+    analytically, so the compiled graph is the FIR tap-sum (one pallas
+    HBM pass in VMEM, ops/pfb_pallas.py — its output IS the polyphase
+    branches the deconvolution consumes, reference pfb.py:243-255)
+    followed by the Wiener deconvolution as three pallas HBM passes
+    with the pads trimmed in the last kernel.  Mathematically identical
+    to the unfused chain (tests/test_compiled_fusion.py asserts
+    equality to float roundoff), with two fewer lane matmuls and two
+    fewer f32 roundings.
 
     Runs at matmul precision 'high' (three bf16 MXU passes per real f32
     matmul — emulated in-kernel, ops/dft_matmul.kernel_dot): the chain
@@ -556,7 +561,9 @@ def roofline23():
 
     r3 = config3()
     b3 = r3["block"] * 2 * 4 * 2
-    model3 = 10 * b3 / bw
+    # quad-fused graph plane-passes in block units: FIR r+w (2), K1 r+w
+    # (2), K2 r + gain + w (3), K3 r + w (2)
+    model3 = 9 * b3 / bw
     meas3 = r3["block"] * 2 / r3["samples_per_s"]
     out["config3"] = {
         "measured_ms": round(meas3 * 1e3, 2),
