@@ -6,8 +6,9 @@ from .runner import StreamRunner
 from .correlator import CrossMultiply, fx_correlate
 from .accelsearch import FourierDomainAccelSearch, accel_template
 from .rmsearch import RMSynthesis
+from .beamform import BeamformStations, tied_array_beam
 
 __all__ = ["WidebandPulsarPipeline", "DMTrialSearch", "StreamRunner",
            "CrossMultiply", "fx_correlate",
            "FourierDomainAccelSearch", "accel_template",
-           "RMSynthesis"]
+           "RMSynthesis", "BeamformStations", "tied_array_beam"]

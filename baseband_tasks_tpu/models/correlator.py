@@ -112,49 +112,11 @@ class CrossMultiply(TaskBase):
         return x[:, self._bi] * jnp.conj(x[:, self._bj])
 
 
-def fx_correlate(streams, n_chan, n_avg, *, delays=None, lo=None,
-                 baselines=None, average=True, samples_per_frame=None,
-                 method="sinc"):
-    """Build a lazy FX-correlator chain over ``streams``.
-
-    Parameters
-    ----------
-    streams : list of stream
-        Station voltage streams (complex, equal sample rates).
-    n_chan : int
-        Channels per spectrum (the F stage).
-    n_avg : int
-        Spectra averaged per visibility dump (the integration).
-    delays : list of Quantity or None, optional
-        Known arrival delay per station (see module docstring); each
-        stream is advanced by its delay (with fringe stopping when
-        ``lo`` is given).  None entries are left untouched.
-    lo : Quantity, optional
-        Local-oscillator (sky) frequency used in the downconversion;
-        enables fringe stopping of the delay corrections.
-    baselines : list of (i, j), optional
-        Passed to :class:`CrossMultiply`.
-    average : bool, optional
-        If True (default) visibilities are means; else structured
-        {data, count} sums (reference integration.py:154-160 semantics).
-    method : 'sinc' or 'phase', optional
-        How the fractional part of each delay is applied.  'sinc'
-        (default) resamples in the time domain
-        (:class:`~baseband_tasks_tpu.sampling.ShiftAndResample`) —
-        exact, at the cost of an overlap-save window per station.
-        'phase' is the production FX-correlator scheme: the integer
-        part shifts whole samples before the F stage
-        (:class:`~baseband_tasks_tpu.sampling.ShiftSamples`), the
-        fractional part becomes a per-channel phase slope
-        ``exp(2 pi i f_k tau_frac)`` after it — exact for the
-        cross-spectrum expectation of band-limited channels, with no
-        large FFT windows, so it block-pins cheaply in compiled runs.
-
-    Returns
-    -------
-    stream with samples ``(n_baseline, n_chan) + trailing``, one per
-    ``n_avg`` spectra.
-    """
+def _aligned_spectra(streams, n_chan, *, delays, lo,
+                     samples_per_frame, method):
+    """Delay-align each station, channelize, and stack to a
+    ``(time, station, n_chan, ...)`` stream (shared by
+    :func:`fx_correlate` and :func:`tied_array_beam`)."""
     if len(streams) < 1:
         raise ValueError("need at least one stream")
     if method not in ("sinc", "phase"):
@@ -251,5 +213,54 @@ def fx_correlate(streams, n_chan, n_avg, *, delays=None, lo=None,
         # single station: insert the station axis explicitly
         from ..shaping import Reshape
         stacked = Reshape(stacked, (1,) + stacked.sample_shape)
+    return stacked
+
+
+def fx_correlate(streams, n_chan, n_avg, *, delays=None, lo=None,
+                 baselines=None, average=True, samples_per_frame=None,
+                 method="sinc"):
+    """Build a lazy FX-correlator chain over ``streams``.
+
+    Parameters
+    ----------
+    streams : list of stream
+        Station voltage streams (complex, equal sample rates).
+    n_chan : int
+        Channels per spectrum (the F stage).
+    n_avg : int
+        Spectra averaged per visibility dump (the integration).
+    delays : list of Quantity or None, optional
+        Known arrival delay per station (see module docstring); each
+        stream is advanced by its delay (with fringe stopping when
+        ``lo`` is given).  None entries are left untouched.
+    lo : Quantity, optional
+        Local-oscillator (sky) frequency used in the downconversion;
+        enables fringe stopping of the delay corrections.
+    baselines : list of (i, j), optional
+        Passed to :class:`CrossMultiply`.
+    average : bool, optional
+        If True (default) visibilities are means; else structured
+        {data, count} sums (reference integration.py:154-160 semantics).
+    method : 'sinc' or 'phase', optional
+        How the fractional part of each delay is applied.  'sinc'
+        (default) resamples in the time domain
+        (:class:`~baseband_tasks_tpu.sampling.ShiftAndResample`) —
+        exact, at the cost of an overlap-save window per station.
+        'phase' is the production FX-correlator scheme: the integer
+        part shifts whole samples before the F stage
+        (:class:`~baseband_tasks_tpu.sampling.ShiftSamples`), the
+        fractional part becomes a per-channel phase slope
+        ``exp(2 pi i f_k tau_frac)`` after it — exact for the
+        cross-spectrum expectation of band-limited channels, with no
+        large FFT windows, so it block-pins cheaply in compiled runs.
+
+    Returns
+    -------
+    stream with samples ``(n_baseline, n_chan) + trailing``, one per
+    ``n_avg`` spectra.
+    """
+    stacked = _aligned_spectra(streams, n_chan, delays=delays, lo=lo,
+                               samples_per_frame=samples_per_frame,
+                               method=method)
     prods = CrossMultiply(stacked, baselines=baselines)
     return Integrate(prods, n_avg, average=average)
