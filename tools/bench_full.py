@@ -497,6 +497,63 @@ def correlator():
             "block": block, "backend": jax.default_backend()}
 
 
+def beamform():
+    """Tied-array beamformer throughput: 4 stations x 16 MHz, 256 chan,
+    one fractional delay each, coherent sum, compiled.  Samples =
+    station baseband samples (4 per timestep)."""
+    import jax
+    import jax.numpy as jnp
+    from baseband_tasks_tpu import NoiseGenerator
+    from baseband_tasks_tpu.models import tied_array_beam
+    from baseband_tasks_tpu.models.compiled import CompiledPipeline
+    from baseband_tasks_tpu.fourier import fft_maker
+    from baseband_tasks_tpu.utils import Time, units as u
+
+    n_st = 4
+    n = 1 << 24
+    rate = 16 * u.MHz
+
+    def mk(seed):
+        return NoiseGenerator(shape=(n,),
+                              start_time=Time.from_mjd(58000.0),
+                              sample_rate=rate,
+                              samples_per_frame=1 << 16, seed=seed)
+
+    delays = [None] + [(11.25 + 7 * k) / rate for k in range(1, n_st)]
+    with fft_maker.set("pallas"):
+        beam = tied_array_beam([mk(3 + k) for k in range(n_st)], 256,
+                               delays=delays, method="phase",
+                               samples_per_frame=1 << 21)
+        cp = CompiledPipeline(beam, block_samples=1 << 21)
+    step_c, caches = cp.cached_step()
+    block = cp.block_samples
+
+    @jax.jit
+    def make_blocks(seedf):
+        k = jax.random.key(seedf[0].astype(jnp.int32))
+        return tuple(_complex_noise(jax.random.fold_in(k, i), (block,))
+                     for i in range(n_st))
+
+    x0 = make_blocks(np.ones((1,), np.float32))
+    jax.block_until_ready(x0[0])
+
+    @jax.jit
+    def run(xs, *cs):
+        def s(carry, i):
+            f = 1.0 + 1e-6 * i.astype(jnp.float32)
+            carry, y = step_c(carry, tuple(x * f for x in xs), cs)
+            return carry, jnp.sum(jnp.abs(y) ** 2)
+        carry, ys = jax.lax.scan(s, cp.init_carry(),
+                                 jnp.arange(N_ITER, dtype=jnp.int32))
+        return jnp.sum(ys).reshape(1)
+
+    np.asarray(run(x0, *caches))
+    dt = _best_of(lambda: np.asarray(run(x0, *caches))) / N_ITER
+    return {"config": "beamform", "n_stations": n_st,
+            "station_samples_per_s": round(n_st * block / dt, 1),
+            "block": block, "backend": jax.default_backend()}
+
+
 def roofline():
     """Run tools/profile_kernels.py (real TPU) and pass through its
     per-kernel millisecond table."""
@@ -619,7 +676,7 @@ def main():
             "ingest2": lambda: flagship(ingest_bits=2),
             "stokes": lambda: flagship(detect="stokes"),
             "correlator": correlator, "roofline23": roofline23,
-            "accel": accel}
+            "accel": accel, "beamform": beamform}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     update = "--update" in sys.argv
     which = args or ["all"]
