@@ -58,6 +58,24 @@ class TestRoundTrip:
         assert np.max(np.abs(got - data)) <= 0.5 / scale + 1e-6
         rh.close()
 
+    def test_16bit_quantized(self, tmp_path):
+        fb = make_filterbank_stream()
+        data = np.asarray(fb.read(1024))
+        fb.seek(0)
+        path = str(tmp_path / "x16.fil")
+        scale = 60000.0 / data.max()
+        with sigproc.open(path, "w", template=fb, nbits=16,
+                          scale=scale, offset=0.0) as fw:
+            fw.write(data)
+        rh = sigproc.open(path)
+        assert rh.header["nbits"] == 16
+        got = np.asarray(rh.read(1024)) / scale
+        # half a quantization step plus the f32 ulp near the top of
+        # the 16-bit range (~60000 * eps)
+        tol = (0.5 + 60000 * np.finfo(np.float32).eps) / scale
+        assert np.max(np.abs(got - data)) <= tol
+        rh.close()
+
     def test_registry_open_and_detect(self, tmp_path):
         from baseband_tasks_tpu import open as bopen
         from baseband_tasks_tpu.registry import detect_format
