@@ -172,6 +172,52 @@ class DMTrialSearch:
         snr, bw = _detect(d)
         return np.asarray(snr), np.asarray(bw)
 
+    def candidates(self, power, threshold=8.0,
+                   widths=(1, 2, 4, 8, 16, 32), time_tol=None,
+                   dm_tol=None):
+        """Clustered single-pulse candidates from one block.
+
+        Runs :meth:`detect`, thresholds the (time, trial) S/N map, and
+        clusters the hits greedily by descending S/N (heimdall-style,
+        time-first): each unclaimed peak becomes a candidate and claims
+        every hit within ``time_tol`` samples (default: twice the sum
+        of the two hits' boxcar widths) across ALL trial DMs — a bright
+        pulse crosses the threshold over a wide swath of mismatched
+        trials, so DM is not a clustering axis unless ``dm_tol``
+        (trials) is given.
+
+        Returns a list of dicts, strongest first:
+        ``{'time_sample', 'dm', 'snr', 'width', 'n_hits'}`` with ``dm``
+        in the trial units (pc/cm^3).
+        """
+        snr, bw = self.detect(power, widths)
+        tj = np.argwhere(snr > threshold)
+        if tj.size == 0:
+            return []
+        s = snr[tj[:, 0], tj[:, 1]]
+        w = bw[tj[:, 0], tj[:, 1]]
+        order = np.argsort(-s)
+        t, j = tj[order, 0], tj[order, 1]
+        s, w = s[order], w[order]
+        claimed = np.zeros(t.size, bool)
+        dmv = np.asarray(self.dms.value if hasattr(self.dms, "value")
+                         else self.dms).reshape(-1)
+        out = []
+        for i in range(t.size):
+            if claimed[i]:
+                continue
+            tol = (time_tol if time_tol is not None
+                   else 2 * (max(w[i], 1) + np.maximum(w, 1)))
+            near = ~claimed & (np.abs(t - t[i]) <= tol)
+            if dm_tol is not None:
+                near &= np.abs(j - j[i]) <= dm_tol
+            claimed |= near
+            out.append({"time_sample": int(t[i]),
+                        "dm": float(dmv[j[i]]),
+                        "snr": float(s[i]), "width": int(w[i]),
+                        "n_hits": int(near.sum())})
+        return out
+
     def search_stream(self, ih, count=None):
         """Overlap-save search over a stream of channelized power.
 

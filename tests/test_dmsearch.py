@@ -123,3 +123,37 @@ class TestDMTrialSearch:
         assert abs(t - 700) <= 12          # boxcar start near the pulse
         assert snr[t, j] > 8.0             # strong detection
         assert bw[t, j] >= 4               # picked a matched-width boxcar
+
+    def test_candidates_cluster_two_pulses(self):
+        """Two pulses at different times/DMs come back as exactly two
+        clustered candidates, strongest first, each absorbing its own
+        neighbourhood of threshold crossings."""
+        s = DMTrialSearch(u.Quantity(self.freq, u.MHz),
+                          u.Quantity(self.rate, u.Hz),
+                          self.trials, self.n)
+        rng = np.random.default_rng(5)
+        power = (dispersed_pulse(60.0, self.freq, self.rate, self.n,
+                                 t0=700.0, width=4.0) * 0.8
+                 + dispersed_pulse(20.0, self.freq, self.rate, self.n,
+                                   t0=2000.0, width=2.0) * 0.4)
+        power += rng.standard_normal(power.shape).astype(np.float32) * 0.3
+        cands = s.candidates(power, threshold=8.0)
+        assert len(cands) == 2
+        assert cands[0]["snr"] >= cands[1]["snr"]
+        # the S/N-peak trial can sit a few steps off the true DM
+        # (boxcar widening vs smearing trade); DM *accuracy* is pinned
+        # by test_peak_at_true_dm — here we check the clustering
+        by_dm = sorted(cands, key=lambda c: c["dm"])
+        assert by_dm[0]["dm"] == pytest.approx(20.0, abs=10.0)
+        assert abs(by_dm[0]["time_sample"] - 2000) <= 12
+        assert by_dm[1]["dm"] == pytest.approx(60.0, abs=10.0)
+        assert abs(by_dm[1]["time_sample"] - 700) <= 12
+        assert all(c["n_hits"] >= 1 for c in cands)
+
+    def test_candidates_empty_below_threshold(self):
+        s = DMTrialSearch(u.Quantity(self.freq, u.MHz),
+                          u.Quantity(self.rate, u.Hz),
+                          self.trials, self.n)
+        rng = np.random.default_rng(6)
+        noise = rng.standard_normal((self.n, 64)).astype(np.float32)
+        assert s.candidates(noise, threshold=12.0) == []

@@ -21,3 +21,9 @@ def test_compiled_fold_example(capsys):
     runpy.run_path("examples/compiled_fold.py", run_name="__main__")
     out = capsys.readouterr().out
     assert "ok" in out and "folded" in out
+
+
+def test_tied_array_example(capsys):
+    runpy.run_path("examples/tied_array.py", run_name="__main__")
+    out = capsys.readouterr().out
+    assert "calibration loop closed" in out
