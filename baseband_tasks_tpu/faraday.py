@@ -79,22 +79,24 @@ class FaradayRotate(TaskBase):
                              "(rotate before detection).")
         polarization = getattr_if_none(ih, "polarization", polarization,
                                        required=False)
+        # component order along the pol axis: index of the X/H/L-like
+        # component, then the Y/V/R-like one.  Without labels the
+        # (X, Y) / (L, R) order is assumed.
+        order = (0, 1)
         if pol_axis is None or basis is None:
             if polarization is None:
                 raise ValueError("need polarization labels (or explicit "
                                  "pol_axis= and basis=)")
             pols = np.broadcast_to(np.asarray(polarization),
-                                   ih.sample_shape[-np.asarray(
-                                       polarization).ndim:])
+                                   ih.sample_shape[len(ih.sample_shape)
+                                                   - np.ndim(polarization):])
             found = None
-            full = np.broadcast_to(pols, ih.sample_shape[
-                len(ih.sample_shape) - pols.ndim:])
-            for axis in range(full.ndim):
-                index = [0] * full.ndim
+            for axis in range(pols.ndim):
+                index = [0] * pols.ndim
                 index[axis] = slice(None)
-                line = {str(p).upper() for p in full[tuple(index)]}
-                if len(line) == 2:
-                    found = (axis + len(ih.sample_shape) - full.ndim,
+                line = [str(p).upper() for p in pols[tuple(index)]]
+                if len(set(line)) == 2:
+                    found = (axis + len(ih.sample_shape) - pols.ndim,
                              line)
                     break
             if found is None:
@@ -103,17 +105,23 @@ class FaradayRotate(TaskBase):
             inferred_axis, line = found
             if pol_axis is None:
                 pol_axis = inferred_axis
+            pair = set(line)
             if basis is None:
-                if line in _LINEAR_PAIRS:
+                if pair in _LINEAR_PAIRS:
                     basis = "linear"
-                elif line in _CIRCULAR_PAIRS:
+                elif pair in _CIRCULAR_PAIRS:
                     basis = "circular"
                 else:
                     raise ValueError(
-                        f"cannot infer feed basis from labels {line}; "
+                        f"cannot infer feed basis from labels {pair}; "
                         f"pass basis='linear' or 'circular'")
+            # honor the label ORDER: streams labeled ['Y','X'] or
+            # ['R','L'] must not get the opposite rotation sign
+            if line[0] in ("Y", "V", "R"):
+                order = (1, 0)
         if basis not in ("linear", "circular"):
             raise ValueError(f"unknown basis {basis!r}")
+        pol_axis = int(pol_axis) % len(ih.sample_shape)
         if ih.sample_shape[pol_axis] != 2:
             raise ValueError("polarization axis must have length 2")
         frequency = getattr(ih, "frequency", None)
@@ -122,7 +130,8 @@ class FaradayRotate(TaskBase):
 
         self._rm = _rm_to_value(rm)
         self._basis = basis
-        self._pol_axis = int(pol_axis)
+        self._pol_axis = pol_axis
+        self._order = order
         # psi per sample-shape element, frequency-independent of pol
         freq_hz = np.broadcast_to(
             np.asarray(frequency.to_value(u.Hz), dtype=np.float64),
@@ -165,16 +174,19 @@ class FaradayRotate(TaskBase):
         import jax.numpy as jnp
         c, s = self._trig()
         axis = self._pol_axis + 1
-        a = jnp.take(data, 0, axis=axis)
-        b = jnp.take(data, 1, axis=axis)
+        ix, iy = self._order
+        a = jnp.take(data, ix, axis=axis)     # X / H / L component
+        b = jnp.take(data, iy, axis=axis)     # Y / V / R component
         if self._basis == "linear":
-            out = (c * a - s * b, s * a + c * b)
+            xo, yo = c * a - s * b, s * a + c * b
         else:
             # l' = l e^{+i psi}, r' = r e^{-i psi}
             rot = jnp.asarray(c, data.dtype) + 1j * jnp.asarray(
                 s, data.dtype)
-            out = (a * rot, b * jnp.conj(rot))
-        return jnp.stack(out, axis=axis)
+            xo, yo = a * rot, b * jnp.conj(rot)
+        comps = [None, None]
+        comps[ix], comps[iy] = xo, yo
+        return jnp.stack(comps, axis=axis)
 
     def task_planes(self, pair):
         """Planes form: the rotation has real coefficients on each
@@ -185,26 +197,27 @@ class FaradayRotate(TaskBase):
             return NotImplemented
         c, s = self._trig()
         axis = self._pol_axis + 1
+        ix, iy = self._order
 
-        def rot(x):
-            a = jnp.take(x, 0, axis=axis)
-            b = jnp.take(x, 1, axis=axis)
-            return a, b
+        def split(x):
+            return (jnp.take(x, ix, axis=axis),
+                    jnp.take(x, iy, axis=axis))
 
-        ar, br = rot(xr)
-        ai, bi = rot(xi)
+        ar, br = split(xr)
+        ai, bi = split(xi)
         if self._basis == "linear":
-            yr = jnp.stack([c * ar - s * br, s * ar + c * br],
-                           axis=axis)
-            yi = jnp.stack([c * ai - s * bi, s * ai + c * bi],
-                           axis=axis)
+            xo = (c * ar - s * br, c * ai - s * bi)
+            yo = (s * ar + c * br, s * ai + c * bi)
         else:
-            # (a_r + i a_i)(c + i s); conj for the second pol
-            yr = jnp.stack([c * ar - s * ai, c * br + s * bi],
-                           axis=axis)
-            yi = jnp.stack([c * ai + s * ar, c * bi - s * br],
-                           axis=axis)
-        return yr, yi
+            # (a_r + i a_i)(c + i s); conj for the R-like component
+            xo = (c * ar - s * ai, c * ai + s * ar)
+            yo = (c * br + s * bi, c * bi - s * br)
+        comps_r = [None, None]
+        comps_i = [None, None]
+        comps_r[ix], comps_i[ix] = xo
+        comps_r[iy], comps_i[iy] = yo
+        return (jnp.stack(comps_r, axis=axis),
+                jnp.stack(comps_i, axis=axis))
 
 
 class DeFaraday(FaradayRotate):

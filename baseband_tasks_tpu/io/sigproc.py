@@ -45,6 +45,11 @@ def _read_string(fh):
 
 def _write_string(fh, s):
     b = s.encode("ascii")
+    if not 0 < len(b) < 128:
+        # the reader (and other sigproc implementations) use the
+        # length-prefix range as the header sanity check
+        raise ValueError(f"sigproc header string {s!r} must be 1-127 "
+                         f"ASCII characters")
     fh.write(struct.pack("<i", len(b)) + b)
 
 
@@ -202,19 +207,30 @@ class SigprocStreamWriter:
                "nbits": int(nbits), "nchans": int(nchan),
                "nifs": int(nifs), "fch1": float(fv[0]), "foff": foff}
         hdr.update(extra)
-        self._fh = builtins.open(name, "wb")
-        _write_string(self._fh, "HEADER_START")
+        # validate everything BEFORE creating the output file, so a bad
+        # keyword cannot leave a truncated file (and a leaked handle)
         for key, val in hdr.items():
-            _write_string(self._fh, key)
-            if key in _INT_KEYS:
-                self._fh.write(struct.pack("<i", int(val)))
-            elif key in _DBL_KEYS:
-                self._fh.write(struct.pack("<d", float(val)))
-            elif key in _STR_KEYS:
-                _write_string(self._fh, str(val))
-            else:
+            if key not in _INT_KEYS | _DBL_KEYS | _STR_KEYS:
                 raise ValueError(f"unknown sigproc header key {key!r}")
-        _write_string(self._fh, "HEADER_END")
+            if key in _STR_KEYS and not 0 < len(str(val)) < 128:
+                raise ValueError(f"sigproc header string {key}={val!r} "
+                                 f"must be 1-127 ASCII characters")
+        self._fh = builtins.open(name, "wb")
+        try:
+            _write_string(self._fh, "HEADER_START")
+            for key, val in hdr.items():
+                _write_string(self._fh, key)
+                if key in _INT_KEYS:
+                    self._fh.write(struct.pack("<i", int(val)))
+                elif key in _DBL_KEYS:
+                    self._fh.write(struct.pack("<d", float(val)))
+                else:
+                    _write_string(self._fh, str(val))
+            _write_string(self._fh, "HEADER_END")
+        except Exception:
+            self._fh.close()
+            self._fh = None
+            raise
 
     def write(self, data):
         data = np.asarray(data, dtype=np.float32)

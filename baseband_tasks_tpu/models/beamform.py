@@ -57,7 +57,7 @@ class BeamformStations(TaskBase):
         if weights is None:
             weights = np.full(n_st, 1.0 / n_st)
         weights = np.asarray(weights)
-        if weights.shape[0] != n_st or weights.ndim > 2:
+        if weights.ndim not in (1, 2) or weights.shape[0] != n_st:
             raise ValueError(f"weights shape {weights.shape} does not "
                              f"lead with the {n_st} stations")
         if mode == "incoherent" and np.iscomplexobj(weights):

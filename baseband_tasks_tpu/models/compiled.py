@@ -155,12 +155,17 @@ class _FusedPFBForward:
     around the channelizing DFT's middle-axis matmuls; the kernel does
     the tap-sum in VMEM and the DFT as a flat F ⊗ I_reps lane matmul on
     the otherwise-idle MXU.
+
+    ``with_dft=False`` (see :class:`_FusedPolyphaseFIR`) emits the raw
+    tap-sum instead, for round-trip graphs whose downstream IDFT
+    cancelled the DFT.
     """
 
-    def __init__(self, fir, chan):
+    def __init__(self, fir, chan, with_dft=True):
         from ..ops.dft_matmul import _expanded_mats
         self.fir = fir
         self.chan = chan
+        self.with_dft = with_dft
         n = chan.n
         extra = fir.ih.sample_shape
         self.reps = int(np.prod(extra, dtype=int)) if extra else 1
@@ -168,7 +173,8 @@ class _FusedPFBForward:
         self.L = n * self.reps
         taps = np.asarray(fir._taps).reshape(fir._n_tap, n)
         self.taps_lanes = np.repeat(taps, self.reps, axis=1)
-        self.mats = _expanded_mats(n, self.reps, "forward")
+        self.mats = (_expanded_mats(n, self.reps, "forward")
+                     if with_dft else (None, None))
 
     @staticmethod
     def can_fuse(fir, chan):
@@ -187,18 +193,21 @@ class _FusedPFBForward:
         m = fir.samples_per_frame // fir._n
         return forward_geometry_ok(m, fir._n * reps, fir._n_tap)
 
+    def _shape_out(self, y):
+        return y.reshape((-1,) + self.chan.sample_shape)
+
     def task(self, window):
-        return self.chan.task(self.fir.task(window))
+        y = self.fir.task(window)
+        return self.chan.task(y) if self.with_dft else self._shape_out(y)
 
     def task_planes(self, pair):
         y = self.fir.task_planes(pair)
         if y is NotImplemented:
             return NotImplemented
-        return self.chan.task_planes(y)
-
-    def _shape_out(self, yr, yi):
-        shape = (-1,) + self.chan.sample_shape
-        return yr.reshape(shape), yi.reshape(shape)
+        if self.with_dft:
+            return self.chan.task_planes(y)
+        return (self._shape_out(y[0]),
+                None if y[1] is None else self._shape_out(y[1]))
 
     def task_stream(self, carry_pair, x_pair, scale=None):
         from ..ops.pfb_pallas import (choose_block_rows,
@@ -213,10 +222,10 @@ class _FusedPFBForward:
             x_pair[0].reshape(m, L), x_pair[1].reshape(m, L),
             self.taps_lanes, self.mats[0], self.mats[1],
             n_tap=self.fir._n_tap, scale=scale)
-        return self._shape_out(yr, yi)
+        return self._shape_out(yr), self._shape_out(yi)
 
 
-class _FusedPolyphaseFIR:
+class _FusedPolyphaseFIR(_FusedPFBForward):
     """The forward-PFB half of the ROUND-TRIP quad fusion
     ``_PolyphaseFIR → Channelize → Dechannelize → InversePolyphaseFilterBank``.
 
@@ -233,42 +242,7 @@ class _FusedPolyphaseFIR:
     """
 
     def __init__(self, fir, chan):
-        self.fir = fir
-        self.chan = chan
-        n = chan.n
-        extra = fir.ih.sample_shape
-        self.reps = int(np.prod(extra, dtype=int)) if extra else 1
-        self.n = n
-        self.L = n * self.reps
-        taps = np.asarray(fir._taps).reshape(fir._n_tap, n)
-        self.taps_lanes = np.repeat(taps, self.reps, axis=1)
-
-    def _shape_out(self, y):
-        return y.reshape((-1,) + self.chan.sample_shape)
-
-    def task(self, window):
-        return self._shape_out(self.fir.task(window))
-
-    def task_planes(self, pair):
-        y = self.fir.task_planes(pair)
-        if y is NotImplemented:
-            return NotImplemented
-        return (self._shape_out(y[0]),
-                None if y[1] is None else self._shape_out(y[1]))
-
-    def task_stream(self, carry_pair, x_pair, scale=None):
-        from ..ops.pfb_pallas import (choose_block_rows,
-                                      pfb_forward_stream)
-        n, L = self.n, self.L
-        m = x_pair[0].shape[0] // n
-        if x_pair[0].shape[0] % n or not choose_block_rows(m, 8):
-            return NotImplemented
-        k = self.fir._n_tap - 1
-        yr, yi = pfb_forward_stream(
-            carry_pair[0].reshape(k, L), carry_pair[1].reshape(k, L),
-            x_pair[0].reshape(m, L), x_pair[1].reshape(m, L),
-            self.taps_lanes, n_tap=self.fir._n_tap, scale=scale)
-        return self._shape_out(yr), self._shape_out(yi)
+        super().__init__(fir, chan, with_dft=False)
 
 
 class _FusedDechanInvPFB:

@@ -108,6 +108,8 @@ class TestBeamformStations:
         with pytest.raises(ValueError, match="stations"):
             tied_array_beam([sky(), sky()], N_CHAN,
                             weights=np.ones(3))
+        with pytest.raises(ValueError, match="stations"):
+            tied_array_beam([sky(), sky()], N_CHAN, weights=0.25)
         with pytest.raises(ValueError, match="real"):
             tied_array_beam([sky(), sky()], N_CHAN,
                             weights=np.ones(2, np.complex64),

@@ -103,6 +103,60 @@ class TestFaradayRotate:
             z[..., 1], ref[..., 1] * np.exp(-1j * psi)[None, :],
             rtol=1e-4, atol=1e-4)
 
+    def test_reversed_label_order(self):
+        """['Y','X'] streams must get the same physics as ['X','Y'] —
+        the rotation follows the labels, not the component index
+        (round-3 review regression)."""
+        fb_xy = channelized(make_xpol_stream())
+        fb_yx = channelized(SetAttribute(make_xpol_stream(),
+                                         polarization=["Y", "X"]))
+        z_xy = np.asarray(FaradayRotate(fb_xy, RM).read(64))
+        z_yx = np.asarray(FaradayRotate(fb_yx, RM).read(64))
+        # the same underlying data: component 0 is X in the first
+        # stream but Y in the second, so outputs swap accordingly;
+        # but here component 0 carries the signal in BOTH streams, so
+        # under the labels the signal is X in one and Y in the other:
+        # X-signal rotated -> (X cos, Y=+sin); Y-signal -> (X=-sin*sig
+        # at index 1... check via the explicit law instead
+        fb_yx.seek(0)
+        ref = np.asarray(fb_yx.read(64))
+        freq = np.asarray(fb_yx.frequency.to_value(u.Hz)).reshape(-1)
+        psi = RM * (C_M_PER_S / freq) ** 2
+        # labels ['Y','X']: component 1 is X-like, component 0 Y-like;
+        # input has Y-like (comp 0) = signal, X-like (comp 1) = 0:
+        # x' = -sin psi * y_sig, y' = cos psi * y_sig
+        np.testing.assert_allclose(z_yx[..., 1],
+                                   -np.sin(psi) * ref[..., 0],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(z_yx[..., 0],
+                                   np.cos(psi) * ref[..., 0],
+                                   rtol=1e-4, atol=1e-4)
+        # and the planes path agrees with the complex path
+        rot = FaradayRotate(fb_yx, RM)
+        yr, yi = rot.task_planes((jnp.asarray(ref.real),
+                                  jnp.asarray(ref.imag)))
+        np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi),
+                                   z_yx, rtol=1e-5, atol=1e-5)
+        # circular: ['R','L'] gives component 0 the R phases
+        fb_rl = channelized(SetAttribute(make_xpol_stream(),
+                                         polarization=["R", "L"]))
+        z_rl = np.asarray(FaradayRotate(fb_rl, RM).read(64))
+        fb_rl.seek(0)
+        ref = np.asarray(fb_rl.read(64))
+        np.testing.assert_allclose(
+            z_rl[..., 0], ref[..., 0] * np.exp(-1j * psi)[None, :],
+            rtol=1e-4, atol=1e-4)
+        assert z_xy.shape == z_yx.shape
+
+    def test_negative_pol_axis_normalized(self):
+        fb = channelized(make_xpol_stream())
+        rot_neg = FaradayRotate(fb, RM, basis="linear", pol_axis=-1)
+        rot_pos = FaradayRotate(fb, RM, basis="linear", pol_axis=1)
+        a = np.asarray(rot_neg.read(32))
+        fb.seek(0)
+        b = np.asarray(rot_pos.read(32))
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
     def test_planes_path_matches_complex(self):
         fb = channelized(make_xpol_stream())
         for basis in ("linear", "circular"):

@@ -98,6 +98,20 @@ class TestRoundTrip:
         assert rh.tell() == 100
         rh.close()
 
+    def test_writer_validates_before_creating_file(self, tmp_path):
+        """Bad keywords/strings must fail BEFORE the output file exists
+        (no truncated files, no leaked handles — round-3 review)."""
+        import os
+        fb = make_filterbank_stream()
+        bad = str(tmp_path / "bad.fil")
+        with pytest.raises(ValueError, match="unknown sigproc"):
+            sigproc.open(bad, "w", template=fb, bogus_key=3)
+        assert not os.path.exists(bad)
+        with pytest.raises(ValueError, match="1-127"):
+            sigproc.open(bad, "w", template=fb,
+                         source_name="J" + "x" * 130)
+        assert not os.path.exists(bad)
+
     def test_rejects_complex_and_bad_nbits(self, tmp_path):
         src = NoiseGenerator(shape=(256, 4), start_time=T0,
                              sample_rate=1 * u.kHz,
