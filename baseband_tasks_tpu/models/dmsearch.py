@@ -180,10 +180,12 @@ class DMTrialSearch:
         Runs :meth:`detect`, thresholds the (time, trial) S/N map, and
         clusters the hits greedily by descending S/N (heimdall-style,
         time-first): each unclaimed peak becomes a candidate and claims
-        every hit within ``time_tol`` samples (default: twice the sum
-        of the two hits' boxcar widths) across ALL trial DMs — a bright
-        pulse crosses the threshold over a wide swath of mismatched
-        trials, so DM is not a clustering axis unless ``dm_tol``
+        every hit within ``time_tol`` samples across ALL trial DMs — a
+        bright pulse crosses the threshold over a wide swath of
+        mismatched trials whose peaks drift in time (the DM-time
+        "bowtie"), so the default tolerance is the search's own
+        ``max_delay_samples`` (or twice the summed boxcar widths if
+        larger), and DM is not a clustering axis unless ``dm_tol``
         (trials) is given.
 
         Returns a list of dicts, strongest first:
@@ -207,7 +209,8 @@ class DMTrialSearch:
             if claimed[i]:
                 continue
             tol = (time_tol if time_tol is not None
-                   else 2 * (max(w[i], 1) + np.maximum(w, 1)))
+                   else np.maximum(2 * (max(w[i], 1) + np.maximum(w, 1)),
+                                   self.max_delay_samples))
             near = ~claimed & (np.abs(t - t[i]) <= tol)
             if dm_tol is not None:
                 near &= np.abs(j - j[i]) <= dm_tol
