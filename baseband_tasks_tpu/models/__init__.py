@@ -3,12 +3,14 @@
 from .wideband import WidebandPulsarPipeline
 from .dmsearch import DMTrialSearch
 from .runner import StreamRunner
+from .sharded import ShardedPipeline
 from .correlator import CrossMultiply, fx_correlate
 from .accelsearch import FourierDomainAccelSearch, accel_template
 from .rmsearch import RMSynthesis
 from .beamform import BeamformStations, tied_array_beam
 
 __all__ = ["WidebandPulsarPipeline", "DMTrialSearch", "StreamRunner",
+           "ShardedPipeline",
            "CrossMultiply", "fx_correlate",
            "FourierDomainAccelSearch", "accel_template",
            "RMSynthesis", "BeamformStations", "tied_array_beam"]

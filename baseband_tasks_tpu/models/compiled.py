@@ -741,16 +741,28 @@ class CompiledPipeline:
 
         return step_c, leaves
 
-    def step_fn(self):
+    def step_fn(self, pad_hook=None):
         """(carry, blocks) -> (carry, out_block), jittable.
 
         ``blocks`` is a single source block for single-source graphs, or
         a tuple of blocks (program input order) for multi-source graphs.
+
+        ``pad_hook(stage, carry_entry, x) -> (window, new_carry_entry)``
+        overrides how a padded stage assembles its overlap-save window
+        from the carried history and the new block — the sharded
+        executor (models/sharded.py) substitutes a ppermute halo
+        exchange here; the default is the single-device concatenate.
         """
         self._prepare_caches()
         stages = self.stages
         program = self.program
         multi = len(self.sources) > 1
+
+        def default_hook(st, c, x):
+            window = jnp.concatenate([c, x], axis=0)
+            return window, (window[-st.pad:] if st.pad else window[:0])
+
+        hook = pad_hook if pad_hook is not None else default_hook
 
         def step(carry, xs):
             inputs = xs if multi else (xs,)
@@ -774,9 +786,8 @@ class CompiledPipeline:
                 fn = st.fused if st.fused is not None else st.node
                 x = stack.pop()
                 if st.padded:
-                    window = jnp.concatenate([carry[ci], x], axis=0)
-                    new_carry.append(window[-st.pad:] if st.pad else
-                                     window[:0])
+                    window, nc = hook(st, carry[ci], x)
+                    new_carry.append(nc)
                     ci += 1
                     x = fn.task(window)
                 else:
