@@ -95,7 +95,7 @@ class DADAStreamReader(Base):
         parts = hdr["UTC_START"].split("-")
         iso = "-".join(parts[:3]) + "T" + parts[3] if len(parts) == 4 \
             else hdr["UTC_START"]
-        start = Time(iso)
+        start = Time(iso, scale="utc")  # DADA UTC_START is UTC by name
         # PSRDADA convention: UTC_START holds whole seconds; fractional
         # starts ride in PICOSECONDS (psrdada dbdisk et al.)
         pico = float(hdr.get("PICOSECONDS", 0))

@@ -116,7 +116,7 @@ class GUPPIStreamReader(Base):
         imjd = int(float(h0.get("STT_IMJD", 55000)))
         smjd = float(h0.get("STT_SMJD", 0))
         offs = float(h0.get("STT_OFFS", 0))
-        start = Time(float(imjd), 0.0, format="mjd") \
+        start = Time(float(imjd), 0.0, format="mjd", scale="utc") \
             + u.Quantity(smjd + offs, u.s)
 
         freq = None

@@ -277,7 +277,7 @@ class Mark5BStreamReader(Base):
         self._frame_locs = {int(t): k for k, t in enumerate(time_idx)}
         n_times = int(time_idx.max()) + 1
 
-        start = Time.from_mjd(mjd0) + u.Quantity(float(sec0), u.s) \
+        start = Time.from_mjd(mjd0, scale="utc") + u.Quantity(float(sec0), u.s) \
             + u.Quantity(fnr0 * spf / sample_rate.to_value(u.Hz), u.s)
         sample_shape = (nchan,) if nchan > 1 else ()
         super().__init__(

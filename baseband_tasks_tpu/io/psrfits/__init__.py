@@ -35,6 +35,24 @@ def _float_card(header, key, default=0.0):
         return float(default)
 
 
+def _timesys_scale(primary_header):
+    """Timescale of the STT_* epoch, from the file's TIMESYS card.
+
+    PSRFITS STT_IMJD/SMJD/OFFS are in the scale named by TIMESYS
+    (almost always UTC; the reference gets this from astropy Time,
+    reference io/psrfits/hdu.py:104-124).  Unknown/unsupported values
+    (e.g. TDB, which stream bookkeeping never needs) fall back to UTC
+    with a warning rather than failing the read.
+    """
+    value = str(primary_header.get("TIMESYS", "UTC")).strip().lower()
+    if value in ("", "utc", "tai", "tt"):
+        return value or "utc"
+    import warnings
+    warnings.warn(f"PSRFITS TIMESYS={value!r} not supported; "
+                  "treating STT_* epoch as UTC")
+    return "utc"
+
+
 _POL_LABELS = {
     "AA,BB": ["AA", "BB"],
     "AABB": ["AA", "BB"],
@@ -69,7 +87,8 @@ class PSRFITSReader(Base):
         # start time: STT_IMJD/SMJD/OFFS plus first-subint centring
         # (reference hdu.py:104-124, 521-554)
         p = primary.header
-        stt = Time(float(p["STT_IMJD"]), 0.0, format="mjd") \
+        stt = Time(float(p["STT_IMJD"]), 0.0, format="mjd",
+                   scale=_timesys_scale(p)) \
             + u.Quantity(float(p["STT_SMJD"]) + float(p.get("STT_OFFS", 0.0)),
                          u.s)
         rows = subint.data

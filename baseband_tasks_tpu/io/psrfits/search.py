@@ -59,7 +59,9 @@ class SearchReader(Base):
         self._nbits = hdr.get("NBITS", 8)
         tbin = float(hdr["TBIN"])
         p = self._primary.header
-        stt = Time(float(p["STT_IMJD"]), 0.0, format="mjd") \
+        from . import _timesys_scale
+        stt = Time(float(p["STT_IMJD"]), 0.0, format="mjd",
+                   scale=_timesys_scale(p)) \
             + u.Quantity(float(p["STT_SMJD"])
                          + float(p.get("STT_OFFS", 0.0)), u.s)
         rows = subint.data

@@ -120,7 +120,7 @@ class SigprocStreamReader(Base):
         sample_rate = u.Quantity(1.0 / float(hdr["tsamp"]), u.Hz)
         start = Time(float(int(hdr["tstart"])),
                      float(hdr["tstart"]) - int(hdr["tstart"]),
-                     format="mjd")
+                     format="mjd", scale="utc")
         sample_shape = (nifs, nchan) if nifs > 1 else (nchan,)
         chans = float(hdr["fch1"]) + np.arange(nchan) * float(hdr["foff"])
         freq = u.Quantity(np.broadcast_to(chans, sample_shape).copy(),

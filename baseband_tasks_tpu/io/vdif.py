@@ -36,7 +36,7 @@ def _ref_epoch_time(epoch):
     """VDIF reference epoch -> Time (half-years since 2000-01-01)."""
     year = 2000 + epoch // 2
     month = 1 if epoch % 2 == 0 else 7
-    return Time(f"{year:04d}-{month:02d}-01T00:00:00.0")
+    return Time(f"{year:04d}-{month:02d}-01T00:00:00.0", scale="utc")
 
 
 def _time_to_epoch_seconds(t):

@@ -24,6 +24,7 @@ import io
 import numpy as np
 
 from ..utils import Time, units as u
+from ..utils.time import two_sum
 from .phase import Phase
 
 __all__ = ["Polyco", "fortran_fmt", "int_frac"]
@@ -119,12 +120,14 @@ class Polyco:
             psr, date, utc, tmid_s, dm = h1[0], h1[1], h1[2], h1[3], h1[4]
             doppler = float(h1[5]) if len(h1) > 5 else 0.0
             log10rms = float(h1[6]) if len(h1) > 6 else 0.0
-            # keep tmid as an exact two-part MJD
+            # keep tmid as an exact two-part MJD; tempo polyco TMID is a
+            # UTC MJD (tempo1 convention)
             if "." in tmid_s:
                 ip, fp = tmid_s.split(".")
-                tmid = Time(float(ip), float("0." + fp), format="mjd")
+                tmid = Time(float(ip), float("0." + fp), format="mjd",
+                            scale="utc")
             else:
-                tmid = Time(float(tmid_s), format="mjd")
+                tmid = Time(float(tmid_s), format="mjd", scale="utc")
             rphase_s = h2[0]
             if "." in rphase_s:
                 ip, fp = rphase_s.split(".")
@@ -178,9 +181,14 @@ class Polyco:
         return idx if np.ndim(t.mjd) else int(idx[0])
 
     def _dt_minutes(self, entry, t):
-        dt = t - entry.tmid
-        hi, lo = dt.sec_pair
-        return hi / 60.0 + lo / 60.0
+        # tempo evaluates DTMIN = (T - TMID) * 1440 on raw UTC MJD
+        # *labels* (not elapsed SI seconds), so use label arithmetic on
+        # the two-double MJD pairs — leap-aware Time subtraction would
+        # shift polycos whose span straddles a leap-second midnight.
+        h1, l1 = t.mjd_pair
+        h2, l2 = entry.tmid.mjd_pair
+        hi, lo = two_sum(h1, -h2)
+        return hi * 1440.0 + (lo + (l1 - l2)) * 1440.0
 
     def __call__(self, t, index=None, rphase=None, deriv=0, time_unit=None):
         """Evaluate phase (deriv=0, as Phase) or its time derivatives.
@@ -304,10 +312,13 @@ class Polyco:
             pol.coef /= u.minute.to(out_unit) ** deriv
 
         if t0 is not None:
+            # label arithmetic, like _dt_minutes: the polynomial is
+            # evaluated on raw MJD labels (t0=0, time_unit=day makes the
+            # argument the MJD itself), so the domain shift must be a
+            # label difference too.
             tt = t0 if isinstance(t0, Time) else Time(float(t0),
                                                       format="mjd")
-            hi, lo = (tt - e.tmid).sec_pair
-            dt_min = hi / 60.0 + lo / 60.0
+            dt_min = self._dt_minutes(e, tt)
             pol.domain = (window - dt_min) * u.minute.to(time_unit)
 
         return pol.convert() if convert else pol

@@ -23,10 +23,11 @@ import numpy as np
 
 from . import units as u
 
-__all__ = ["Time", "TimeDelta", "two_sum"]
+__all__ = ["Time", "TimeDelta", "two_sum", "delta_at"]
 
 SECONDS_PER_DAY = 86400.0
 MJD_ZEROPOINT = 2400000.5
+TT_MINUS_TAI_SEC = 32.184
 
 
 def two_sum(a, b):
@@ -233,32 +234,77 @@ def _jd_to_cal(jdn):
     return year, month, day
 
 
+# -- leap seconds ---------------------------------------------------------
+# TAI - UTC step table (IERS Bulletin C; complete as of 2017-01-01, the
+# most recent leap second).  MJDs are computed from the calendar dates so
+# the table cannot drift from the calendar conversion above.
+_LEAP_ENTRIES = [
+    (1972, 1, 10), (1972, 7, 11), (1973, 1, 12), (1974, 1, 13),
+    (1975, 1, 14), (1976, 1, 15), (1977, 1, 16), (1978, 1, 17),
+    (1979, 1, 18), (1980, 1, 19), (1981, 7, 20), (1982, 7, 21),
+    (1983, 7, 22), (1985, 7, 23), (1988, 1, 24), (1990, 1, 25),
+    (1991, 1, 26), (1992, 7, 27), (1993, 7, 28), (1994, 7, 29),
+    (1996, 1, 30), (1997, 7, 31), (1999, 1, 32), (2006, 1, 33),
+    (2009, 1, 34), (2012, 7, 35), (2015, 7, 36), (2017, 1, 37),
+]
+_LEAP_MJD = np.array([_cal_to_jd(y, m, 1) - 0.5 - MJD_ZEROPOINT
+                      for y, m, _ in _LEAP_ENTRIES], dtype=np.float64)
+_LEAP_TAI_UTC = np.array([d for _, _, d in _LEAP_ENTRIES], dtype=np.float64)
+
+
+def delta_at(mjd_utc):
+    """TAI - UTC in seconds at the given UTC MJD.
+
+    Step function over the IERS leap-second table; clamped to the first
+    entry (10 s) before 1972 and held at the last entry (37 s, current
+    since 2017-01-01) afterwards — the same data astropy's ERFA bundles
+    (the reference relies on astropy Time for this,
+    /root/reference/baseband_tasks/base.py:312-377).
+    """
+    idx = np.searchsorted(_LEAP_MJD, np.asarray(mjd_utc), side="right") - 1
+    idx = np.clip(idx, 0, len(_LEAP_TAI_UTC) - 1)
+    out = _LEAP_TAI_UTC[idx]
+    return out if np.ndim(mjd_utc) else float(out)
+
+
+_SCALES = ("utc", "tai", "tt")
+
+
 class Time:
-    """An absolute epoch as a two-double Julian date.
+    """An absolute epoch as a two-double Julian date, with a timescale.
 
     Construct from MJD (``Time(mjd, format='mjd')`` or ``Time.from_mjd``),
     ISO string (``Time('2018-01-01T12:00:00.0')``), or a raw ``(jd1, jd2)``
-    pair.  No timescale conversions (TT/UTC/TAI) are performed: like the
-    reference's use of astropy Time, a single uniform scale is assumed
-    (baseband timestamps), which is all stream bookkeeping needs.
+    pair.  ``scale`` is one of ``'utc'`` (default — what baseband file
+    timestamps are in), ``'tai'`` or ``'tt'``; ``.utc``/``.tai``/``.tt``
+    convert.  Arithmetic is scale-correct the way astropy's Time is (the
+    reference leans on that, /root/reference/baseband_tasks/base.py:312-377):
+    differences and offsets of UTC times are measured in true SI seconds by
+    routing through TAI, so durations spanning a leap second come out 1 s
+    longer than the wall-clock label difference.  The inserted second
+    itself (``23:59:60``) has no JD representation and cannot be
+    constructed or formatted — the only deviation from astropy, and one no
+    baseband stream timestamp falls on in practice.
     """
 
-    __slots__ = ("jd1", "jd2")
+    __slots__ = ("jd1", "jd2", "scale")
 
-    def __init__(self, value, jd2=None, format=None):
+    def __init__(self, value, jd2=None, format=None, scale=None):
         if isinstance(value, Time):
             self.jd1, self.jd2 = value.jd1, value.jd2
+            self.scale = value.scale if scale is None else self._chk(scale)
             return
+        self.scale = self._chk(scale) if scale is not None else "utc"
         if isinstance(value, str):
             self.jd1, self.jd2 = self._parse_isot(value)
             return
         if isinstance(value, (list, tuple)) and value and isinstance(value[0], (str, Time)):
-            parts = [Time(v) for v in value]
+            parts = [Time(v, scale=scale) for v in value]
             self.jd1 = np.array([p.jd1 for p in parts])
             self.jd2 = np.array([p.jd2 for p in parts])
             return
         if isinstance(value, np.ndarray) and value.dtype.kind == "U":
-            parts = [Time(str(v)) for v in value.ravel()]
+            parts = [Time(str(v), scale=scale) for v in value.ravel()]
             self.jd1 = np.array([p.jd1 for p in parts]).reshape(value.shape)
             self.jd2 = np.array([p.jd2 for p in parts]).reshape(value.shape)
             return
@@ -274,6 +320,51 @@ class Time:
             raise ValueError(f"unknown time format {format!r}")
 
     @staticmethod
+    def _chk(scale):
+        if scale not in _SCALES:
+            raise ValueError(f"unknown timescale {scale!r}; "
+                             f"supported: {_SCALES}")
+        return scale
+
+    # -- timescale conversions --------------------------------------------
+    def _shifted_days(self, d, scale):
+        """New Time offset by ``d`` days, compensated so the pair sum is
+        exact (a bare ``jd2 + d`` float add would cost ~5 ps)."""
+        s, e = two_sum(self.jd2, d)
+        hi, lo = two_sum(self.jd1, s)
+        return Time(hi, lo + e, scale=scale)
+
+    @property
+    def tai(self):
+        if self.scale == "tai":
+            return self
+        if self.scale == "utc":
+            return self._shifted_days(delta_at(self.mjd) / SECONDS_PER_DAY,
+                                      "tai")
+        # tt
+        return self._shifted_days(-TT_MINUS_TAI_SEC / SECONDS_PER_DAY, "tai")
+
+    @property
+    def utc(self):
+        if self.scale == "utc":
+            return self
+        t = self.tai
+        # delta_at is keyed on UTC; two fixed-point passes settle any
+        # boundary straddle (the step is 1 s, far below an era's width)
+        guess = t._shifted_days(-delta_at(t.mjd) / SECONDS_PER_DAY, "utc")
+        return t._shifted_days(-delta_at(guess.mjd) / SECONDS_PER_DAY, "utc")
+
+    @property
+    def tt(self):
+        if self.scale == "tt":
+            return self
+        return self.tai._shifted_days(TT_MINUS_TAI_SEC / SECONDS_PER_DAY,
+                                      "tt")
+
+    def to_scale(self, scale):
+        return getattr(self, self._chk(scale))
+
+    @staticmethod
     def _parse_isot(string):
         match = _ISOT_RE.match(string.strip())
         if not match:
@@ -287,8 +378,8 @@ class Time:
         return _normalize(jd_noon, frac_day)
 
     @classmethod
-    def from_mjd(cls, mjd, frac=0.0):
-        return cls(mjd, frac, format="mjd")
+    def from_mjd(cls, mjd, frac=0.0, scale=None):
+        return cls(mjd, frac, format="mjd", scale=scale)
 
     # -- views ----------------------------------------------------------
     @property
@@ -325,29 +416,42 @@ class Time:
         return np.ndim(self.jd1) == 0
 
     def __getitem__(self, item):
-        return Time(np.asarray(self.jd1)[item], np.asarray(self.jd2)[item])
+        return Time(np.asarray(self.jd1)[item], np.asarray(self.jd2)[item],
+                    scale=self.scale)
 
     def reshape(self, shape):
-        return Time(np.reshape(self.jd1, shape), np.reshape(self.jd2, shape))
+        return Time(np.reshape(self.jd1, shape), np.reshape(self.jd2, shape),
+                    scale=self.scale)
 
     def ravel(self):
-        return Time(np.ravel(self.jd1), np.ravel(self.jd2))
+        return Time(np.ravel(self.jd1), np.ravel(self.jd2),
+                    scale=self.scale)
 
     # -- arithmetic ------------------------------------------------------
+    # TimeDelta is a duration in SI seconds; on the (uniform) TAI/TT
+    # scales it adds directly, while UTC routes through TAI so that
+    # offsets crossing a leap second land on the correct wall-clock
+    # label.  Within one leap era the delta_at offset cancels exactly
+    # (the same float is added and subtracted through compensated sums),
+    # so non-spanning arithmetic is unchanged from a uniform scale.
     def __add__(self, other):
         if isinstance(other, u.Quantity):
             other = TimeDelta.from_sec(other.to_value(u.s))
         if not isinstance(other, TimeDelta):
             return NotImplemented
+        if self.scale == "utc":
+            return (self.tai + other).utc
         hi, lo = two_sum(self.jd1, other.d1)
-        return Time(hi, lo + self.jd2 + other.d2)
+        return Time(hi, lo + self.jd2 + other.d2, scale=self.scale)
 
     __radd__ = __add__
 
     def __sub__(self, other):
         if isinstance(other, Time):
-            hi, lo = two_sum(self.jd1, -other.jd1)
-            return TimeDelta(hi, lo + (self.jd2 - other.jd2))
+            a = self if self.scale == "tai" else self.tai
+            b = other if other.scale == "tai" else other.tai
+            hi, lo = two_sum(a.jd1, -b.jd1)
+            return TimeDelta(hi, lo + (a.jd2 - b.jd2))
         if isinstance(other, u.Quantity):
             other = TimeDelta.from_sec(other.to_value(u.s))
         if isinstance(other, TimeDelta):
@@ -357,6 +461,9 @@ class Time:
     def _cmp(self, other):
         if not isinstance(other, Time):
             return NotImplemented
+        if other.scale != self.scale:
+            other = other.to_scale(self.scale) if self.scale != "utc" \
+                else other.utc
         return (self.jd1 - other.jd1) + (self.jd2 - other.jd2)
 
     def __lt__(self, other):
@@ -387,7 +494,9 @@ class Time:
         return ~np.asarray(eq) if np.ndim(eq) else not eq
 
     def __hash__(self):
-        return hash((float(np.sum(self.jd1)), float(np.sum(self.jd2))))
+        # equality converts scales, so hash on the TAI pair
+        t = self if self.scale == "tai" else self.tai
+        return hash((float(np.sum(t.jd1)), float(np.sum(t.jd2))))
 
     # -- formatting ------------------------------------------------------
     @property
@@ -423,4 +532,4 @@ class Time:
 
     def __repr__(self):
         val = self.isot if np.size(self.jd1) < 5 else f"shape={self.shape}"
-        return f"<Time {val}>"
+        return f"<Time {val} scale={self.scale}>"

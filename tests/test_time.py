@@ -113,3 +113,120 @@ class TestDateOnlyStrings:
             Time("2010-01-01T12")
         with pytest.raises(ValueError):
             Time("2010-01")
+
+
+class TestTimescales:
+    """UTC/TAI/TT with the IERS leap-second table (VERDICT round-3
+    item 7; the reference gets scale-correct arithmetic from astropy,
+    reference base.py:312-377)."""
+
+    def test_delta_at_table(self):
+        from baseband_tasks_tpu.utils.time import delta_at
+        assert delta_at(41316.0) == 10.0   # clamped before 1972
+        assert delta_at(41317.0) == 10.0   # 1972-01-01
+        assert delta_at(57753.0) == 36.0   # 2016-12-31
+        assert delta_at(57754.0) == 37.0   # 2017-01-01
+        assert delta_at(60000.0) == 37.0   # current era
+        np.testing.assert_array_equal(
+            delta_at(np.array([41317.0, 57754.0])), [10.0, 37.0])
+
+    def test_leap_spanning_duration(self):
+        # 2016-12-31T23:59:60 was inserted: two minutes of wall-clock
+        # labels around that midnight span 121 SI seconds.
+        t1 = Time("2016-12-31T23:59:00")
+        t2 = Time("2017-01-01T00:01:00")
+        assert (t2 - t1).sec == pytest.approx(121.0, abs=1e-9)
+        # and in TAI the same two instants differ by the same amount
+        assert (t2.tai - t1.tai).sec == pytest.approx(121.0, abs=1e-9)
+
+    def test_non_spanning_unchanged(self):
+        t1 = Time("2020-06-01T00:00:00")
+        t2 = Time("2020-06-01T00:02:00")
+        assert (t2 - t1).sec == pytest.approx(120.0, abs=1e-9)
+
+    def test_scale_roundtrip_exact(self):
+        t = Time("2020-01-01T12:34:56.789")
+        rt = t.tai.utc
+        assert rt.scale == "utc"
+        assert (rt - t).sec == 0.0
+        rt2 = t.tt.utc
+        assert abs((rt2 - t).sec) < 1e-12
+
+    def test_known_offsets(self):
+        t = Time("2020-01-01T00:00:00")
+        def pair_diff_sec(a, b):
+            return ((a.jd1 - b.jd1) + (a.jd2 - b.jd2)) * 86400
+        assert pair_diff_sec(t.tai, t) == pytest.approx(37.0, abs=1e-9)
+        assert pair_diff_sec(t.tt, t.tai) == pytest.approx(32.184,
+                                                           abs=1e-9)
+        # tt/tai label formatting reflects the scale offset
+        assert t.tai.isot.startswith("2020-01-01T00:00:37")
+
+    def test_add_across_leap(self):
+        # 23:59:30 UTC + 60 SI seconds lands on 00:00:29, not 00:00:30
+        t = Time("2016-12-31T23:59:30") + u.Quantity(60.0, u.s)
+        assert t.isot.startswith("2017-01-01T00:00:29")
+        # and round-trips: subtracting the duration returns the start
+        back = t - u.Quantity(60.0, u.s)
+        assert back.isot.startswith("2016-12-31T23:59:30")
+
+    def test_add_sub_exact_within_era(self):
+        t = Time("2020-01-01T00:00:00")
+        dt = TimeDelta.from_sec(12345.678901234567)
+        assert abs(((t + dt) - t - dt).sec) < 1e-15
+
+    def test_cross_scale_compare(self):
+        t = Time("2020-01-01T00:00:00")
+        assert t.tai == t and t.tt == t
+        assert not (t.tai != t)
+        assert hash(t.tai) == hash(t)
+
+    def test_unknown_scale_rejected(self):
+        with pytest.raises(ValueError, match="timescale"):
+            Time("2020-01-01T00:00:00", scale="tdb")
+
+    def test_scale_propagates(self):
+        t = Time(np.array([58000.0, 58001.0]), format="mjd", scale="tai")
+        assert t.scale == "tai"
+        assert t[0].scale == "tai"
+        assert t.reshape((2, 1)).scale == "tai"
+        assert (t + u.Quantity(1.0, u.s)).scale == "tai"
+        assert Time(t).scale == "tai"
+
+
+class TestReaderEpochScales:
+    """File epochs are scale-tagged at every I/O boundary (VDIF ref
+    epoch, polyco TMID = UTC; PSRFITS STT_* per its TIMESYS)."""
+
+    def test_vdif_ref_epoch_utc(self):
+        from baseband_tasks_tpu.io.vdif import _ref_epoch_time
+        assert _ref_epoch_time(0).scale == "utc"
+
+    def test_polyco_tmid_utc(self):
+        import os
+        path = "/root/reference/baseband_tasks/tests/data/B1937_polyco.dat"
+        if not os.path.exists(path):
+            pytest.skip("golden polyco not present")
+        from baseband_tasks_tpu.phases.predictor import Polyco
+        p = Polyco(path)
+        assert p.entries[0].tmid.scale == "utc"
+
+    def test_polyco_label_arithmetic(self):
+        """Polyco dt is tempo's raw UTC MJD label difference: building
+        the t0=0 polynomial (argument = the MJD itself) is consistent
+        with direct evaluation even though MJD 0 sits in a different
+        leap era."""
+        import os
+        path = "/root/reference/baseband_tasks/tests/data/B1937_polyco.dat"
+        if not os.path.exists(path):
+            pytest.skip("golden polyco not present")
+        from baseband_tasks_tpu.phases.predictor import Polyco
+        p = Polyco(path)
+        tmid = p.entries[0].tmid
+        pol = p.polynomial(0, t0=0.0, time_unit=u.day)
+        direct = p(tmid, index=0)
+        def val(x):
+            return float(x.to_value(u.cycle)) if hasattr(x, "to_value") \
+                else float(x)
+        expected = val(direct.count) + val(direct.frac)
+        assert float(pol(tmid.mjd)) == pytest.approx(expected, abs=1e-4)
