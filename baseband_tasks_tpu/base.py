@@ -316,9 +316,8 @@ class Base:
         warnings.warn(
             f"eager read of {count} samples spans "
             f"{count // self._samples_per_frame} frames, each a separate "
-            f"host->TPU dispatch; for production throughput compile the "
-            f"chain once with "
-            f"baseband_tasks_tpu.models.compiled.CompiledPipeline "
+            f"host->TPU dispatch; call .compile() on the chain head for "
+            f"a read-compatible view backed by the compiled device scan "
             f"(measured ~10^4x faster on this path, BASELINE.md config "
             f"1). This hint is shown once.", PerformanceHint)
 
@@ -338,6 +337,24 @@ class Base:
 
     def _read_frame(self, frame_index):  # pragma: no cover - abstract
         raise NotImplementedError
+
+    def compile(self, *, block_samples=None, fuse=True):
+        """A read-compatible view backed by the compiled device scan.
+
+        Same filehandle protocol (``seek``/``read``/``tell``/meta), but
+        frames come from a :class:`~.models.compiled.CompiledPipeline`
+        streamed on device — ~10^4x faster than eager frame-at-a-time
+        reads on a TPU backend (BASELINE.md config 1).  Warmup and the
+        streaming delay are handled internally, so
+        ``stream.compile().read(n) == stream.read(n)`` over the whole
+        stream (head/tail edges are served eagerly; the midsection
+        matches to the streaming-exactness contract,
+        models/compiled.py:35-47).  Trailing ``Integrate``/``Fold``
+        reductions keep their host bin bookkeeping over a compiled view
+        of their input chain.
+        """
+        from .models.view import compile_stream
+        return compile_stream(self, block_samples=block_samples, fuse=fuse)
 
     # -- conversions / niceties ------------------------------------------
     def __getitem__(self, item):

@@ -4,13 +4,14 @@ from .wideband import WidebandPulsarPipeline
 from .dmsearch import DMTrialSearch
 from .runner import StreamRunner
 from .sharded import ShardedPipeline
+from .view import CompiledStreamView, compile_stream
 from .correlator import CrossMultiply, fx_correlate
 from .accelsearch import FourierDomainAccelSearch, accel_template
 from .rmsearch import RMSynthesis
 from .beamform import BeamformStations, tied_array_beam
 
 __all__ = ["WidebandPulsarPipeline", "DMTrialSearch", "StreamRunner",
-           "ShardedPipeline",
+           "ShardedPipeline", "CompiledStreamView", "compile_stream",
            "CrossMultiply", "fx_correlate",
            "FourierDomainAccelSearch", "accel_template",
            "RMSynthesis", "BeamformStations", "tied_array_beam"]

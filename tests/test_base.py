@@ -577,7 +577,7 @@ class TestPerformanceHint:
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         monkeypatch.setattr(Base, "_hinted_compiled", False)
         sq = self._chain()
-        with pytest.warns(PerformanceHint, match="CompiledPipeline"):
+        with pytest.warns(PerformanceHint, match=r"\.compile\(\)"):
             sq.read(1 << 14)
         # once per process only
         sq.seek(0)
