@@ -152,6 +152,58 @@ class DADAStreamReader(Base):
         return data.reshape((count,) + self.sample_shape).astype(
             self._dtype)
 
+    # -- packed-payload ingest (device-side decode; see io/vdif.py) -------
+    @property
+    def packed_alignment(self):
+        """Samples per packed unit: the smallest run whose payload is a
+        whole number of 32-bit carrier words."""
+        import math
+        return 4 // math.gcd(self._bytes_per_sample, 4)
+
+    def read_packed(self, offset, count):
+        """Raw payload bytes for [offset, offset+count) as a float32
+        bit-carrier of shape (count*bytes_per_sample//4,).  DADA files
+        are contiguous (no frame drops), so no mask is needed."""
+        align = self.packed_alignment
+        if offset % align or count % align:
+            raise ValueError(
+                f"packed reads must be word-aligned: offset {offset} and "
+                f"count {count} must be multiples of {align}")
+        bps_bytes = self._bytes_per_sample
+        self._fh.seek(self._hdr_size + offset * bps_bytes)
+        raw = self._fh.read(count * bps_bytes)
+        return np.frombuffer(raw, "<u4").view(np.float32)
+
+    def packed_decode_fn(self):
+        """Jittable ``decode(carrier) -> samples``, bit-exact against
+        :meth:`_read_frame`'s host decode."""
+        from ..ops import unpack_device as ud
+
+        nbit = {1: 8, 2: 16, 4: 32}[self._raw_dtype.itemsize]
+        if self._raw_dtype.kind == "f":
+            unpack = ud.f32_payload_device
+        elif nbit == 8:
+            unpack = ud.unpack_8bit_signed_device
+        else:
+            unpack = ud.unpack_16bit_signed_device
+        npol, nchan, ndim = self._npol, self._nchan, self._ndim
+        per_sample = npol * nchan * ndim
+        keep = tuple(slice(None) if s > 1 else 0 for s in (npol, nchan))
+        cplx = ndim == 2
+
+        def decode(carrier):
+            import jax
+            comp = unpack(carrier)
+            count = comp.shape[0] // per_sample
+            x = comp.reshape(count, npol, nchan, ndim)
+            if cplx:
+                x = jax.lax.complex(x[..., 0], x[..., 1])
+            else:
+                x = x[..., 0]
+            return x[(slice(None),) + keep]
+
+        return decode
+
     def close(self):
         super().close()
         if getattr(self, "_fh", None) is not None:

@@ -165,6 +165,66 @@ class GUPPIStreamReader(Base):
             z = z[..., 0]
         return z.astype(np.complex64)
 
+    # -- packed-payload ingest (device-side decode; see io/vdif.py) -------
+    @property
+    def packed_alignment(self):
+        """Samples per packed unit: one raw block's unique rows."""
+        return self._samples_per_frame
+
+    def read_packed(self, offset, count):
+        """Raw block payloads covering [offset, offset+count) as a
+        float32 bit-carrier of shape (n_blocks, BLOCSIZE//4).
+
+        Covers the uniform region [0, nblocks*step); the final
+        overlap-tail rows (when OVERLAP > 0) stay on the eager path.
+        """
+        step = self._samples_per_frame
+        if offset % step or count % step:
+            raise ValueError(
+                f"packed reads must be frame-aligned: offset {offset} "
+                f"and count {count} must be multiples of {step}")
+        b0, n_blocks = offset // step, count // step
+        if b0 + n_blocks > len(self._blocks):
+            raise ValueError(
+                "packed reads cover only whole raw blocks "
+                f"(samples [0, {len(self._blocks) * step}))")
+        blocsize = int(self._blocks[b0][0]["BLOCSIZE"])
+        if blocsize % 4:
+            raise ValueError("BLOCSIZE not a multiple of 4 bytes")
+        carrier = np.empty((n_blocks, blocsize // 4), np.float32)
+        for k in range(n_blocks):
+            hdr, payload = self._blocks[b0 + k]
+            if int(hdr["BLOCSIZE"]) != blocsize:
+                raise ValueError("BLOCSIZE varies between blocks")
+            self._fh.seek(payload)
+            carrier[k] = np.frombuffer(self._fh.read(blocsize),
+                                       "<u4").view(np.float32)
+        return carrier
+
+    def packed_decode_fn(self):
+        """Jittable ``decode(carrier) -> samples``, bit-exact against
+        :meth:`_read_frame`'s host decode (signed int8 components,
+        channel-major payload, leading OVERLAP rows dropped)."""
+        from ..ops import unpack_device as ud
+
+        nchan, npol, ntime = self._nchan, self._npol, self._ntime
+        step = self._samples_per_frame
+
+        def decode(carrier):
+            import jax
+            import jax.numpy as jnp
+
+            comp = ud.unpack_8bit_signed_device(carrier)
+            n_blocks = comp.shape[0]
+            x = comp.reshape(n_blocks, nchan, ntime, npol, 2)
+            z = jax.lax.complex(x[..., 0], x[..., 1])
+            z = jnp.moveaxis(z, 1, 2)            # (B, ntime, nchan, npol)
+            z = z[:, :step]
+            z = z.reshape((n_blocks * step, nchan, npol))
+            return z if npol > 1 else z[..., 0]
+
+        return decode
+
     def close(self):
         super().close()
         if getattr(self, "_fh", None) is not None:

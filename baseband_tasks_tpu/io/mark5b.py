@@ -295,6 +295,64 @@ class Mark5BStreamReader(Base):
                                spf * self._nchan)
         return comp.reshape((spf,) + self.sample_shape)
 
+    # -- packed-payload ingest (device-side decode; see io/vdif.py) -------
+    @property
+    def packed_alignment(self):
+        """Samples per packed unit: reads must be frame-aligned."""
+        return self._samples_per_frame_file
+
+    def read_packed(self, offset, count):
+        """Raw payloads for [offset, offset+count) as ``(carrier, mask)``:
+        carrier (n_frames, 2500) float32 bit-carriers of the 10000-byte
+        payloads, mask (n_frames,) float32 presence flags (dropped frames
+        decode to 0, exactly like the host path's zero fill)."""
+        spf = self._samples_per_frame_file
+        if offset % spf or count % spf:
+            raise ValueError(
+                f"packed reads must be frame-aligned: offset {offset} "
+                f"and count {count} must be multiples of {spf}")
+        f0, n_frames = offset // spf, count // spf
+        carrier = np.zeros((n_frames, PAYLOAD_BYTES // 4), np.float32)
+        mask = np.zeros((n_frames,), np.float32)
+        for fi in range(n_frames):
+            loc = self._frame_locs.get(f0 + fi)
+            if loc is None:
+                continue
+            self._fh.seek(loc * FRAME_BYTES + HEADER_BYTES)
+            carrier[fi] = np.frombuffer(self._fh.read(PAYLOAD_BYTES),
+                                        "<u4").view(np.float32)
+            mask[fi] = 1.0
+        return carrier, mask
+
+    def packed_decode_fn(self):
+        """Jittable ``decode((carrier, mask)) -> samples``, bit-exact
+        against :meth:`_read_frame`'s host LUT decode."""
+        from ..ops import unpack_device as ud
+
+        spf = self._samples_per_frame_file
+        nchan = self._nchan
+        bps = self._bps
+        if bps == 8:
+            unpack = ud.unpack_8bit_device
+        elif bps == 4:
+            unpack = ud.unpack_4bit_device
+        elif bps == 2:
+            def unpack(x):
+                return ud.unpack_2bit_device(x, M5B_2BIT_LEVELS)
+        elif bps == 1:
+            unpack = ud.unpack_1bit_device
+        else:
+            raise ValueError(f"unsupported bits-per-sample {bps}")
+        out_shape = (nchan,) if nchan > 1 else ()
+
+        def decode(packed):
+            carrier, mask = packed
+            comp = unpack(carrier)               # (F, 80000/bps)
+            comp = comp * mask[:, None]
+            return comp.reshape((carrier.shape[0] * spf,) + out_shape)
+
+        return decode
+
     def close(self):
         super().close()
         if getattr(self, "_fh", None) is not None:

@@ -342,7 +342,8 @@ class CompiledPipeline:
         reduction (see module docstring).
     """
 
-    def __init__(self, tail, *, block_samples=None, fuse=True):
+    def __init__(self, tail, *, block_samples=None, fuse=True,
+                 packed=False):
         self._run_cache = {}  # n_blocks -> compiled run closure
         # Split off a trailing reduction (Integrate and subclasses).
         self.reduction = None
@@ -557,6 +558,34 @@ class CompiledPipeline:
         self.delay = delay  # exact, in tail samples (may be fractional if
         #                     a rate change follows a padded stage)
         self.warmup = int(np.ceil(warmup))
+
+        # -- packed-payload ingest ----------------------------------------
+        # With packed=True, sources that expose read_packed /
+        # packed_decode_fn (e.g. io/vdif.py) ship raw payload bits as f32
+        # carriers and are decoded *inside* the compiled step
+        # (ops/unpack_device.py) — 4-16x fewer boundary bytes and no host
+        # decode, matching the reference's decode-inside-the-pipeline
+        # design (reference io/hdf5/payload.py:164-178).
+        self.packed = bool(packed)
+        self._decoders = [None] * len(sources)
+        if packed:
+            for i, (src, extra) in enumerate(zip(sources, source_offsets)):
+                make = getattr(src, "packed_decode_fn", None)
+                if make is None:
+                    continue  # this source stays on the float path
+                align = src.packed_alignment
+                if self.block_samples % align or extra % align:
+                    raise ValueError(
+                        f"packed ingest needs frame-aligned blocks: "
+                        f"block_samples {self.block_samples} and source "
+                        f"offset {extra} must be multiples of the file's "
+                        f"{align} samples/frame")
+                self._decoders[i] = make()
+            if not any(d is not None for d in self._decoders):
+                raise ValueError(
+                    "packed=True but no source supports packed reads "
+                    "(needs read_packed/packed_decode_fn)")
+
         if fuse:
             self._apply_fusions()
 
@@ -764,6 +793,8 @@ class CompiledPipeline:
 
         hook = pad_hook if pad_hook is not None else default_hook
 
+        decoders = self._decoders
+
         def step(carry, xs):
             inputs = xs if multi else (xs,)
             stack = []
@@ -772,7 +803,9 @@ class CompiledPipeline:
             si = 0
             for kind, *rest in program:
                 if kind == "input":
-                    stack.append(inputs[rest[0]])
+                    x = inputs[rest[0]]
+                    dec = decoders[rest[0]]
+                    stack.append(dec(x) if dec is not None else x)
                     continue
                 st = stages[si]
                 si += 1
@@ -819,6 +852,11 @@ class CompiledPipeline:
         the kernel as a separate buffer.
         """
         self._prepare_caches()
+        if any(d is not None for d in self._decoders):
+            raise NotImplementedError(
+                "packed ingest is not wired into the planes-interchange "
+                "step; use the normal step (packed carriers are already "
+                "float32 on the boundary)")
         stages = self.stages
         program = self.program
         multi = len(self.sources) > 1
@@ -1087,31 +1125,58 @@ class CompiledPipeline:
         ``average=False`` semantics are wanted, use :meth:`run_fn`)."""
         if self.reduction is None:
             raise ValueError("no reduction to run")
-        blocks = jnp.asarray(blocks) if len(self.sources) == 1 else \
-            tuple(jnp.asarray(b) for b in blocks)
-        n_blocks = (blocks.shape[0] if len(self.sources) == 1
-                    else blocks[0].shape[0])
+        if len(self.sources) == 1:
+            blocks = self._prep_blocks(blocks, 0)
+            n_blocks = self._stack_len(blocks)
+        else:
+            blocks = tuple(self._prep_blocks(b, i)
+                           for i, b in enumerate(blocks))
+            n_blocks = self._stack_len(blocks[0])
         sums, counts = self.run_fn(n_blocks)(blocks)
         shaped = counts[(...,) + (None,) * (sums.ndim - counts.ndim)]
         return sums / jnp.maximum(shaped, 1), counts
 
+    def _prep_blocks(self, blocks, i):
+        """Normalize one source's block stack (packed pytree or array)."""
+        if self._decoders[i] is not None:
+            return jax.tree.map(jnp.asarray, blocks)
+        return jnp.asarray(blocks)
+
+    @staticmethod
+    def _stack_len(prepped):
+        return jax.tree.leaves(prepped)[0].shape[0]
+
     def run_blocks(self, blocks):
         """Convenience: run the compiled graph over stacked source blocks
-        (a tuple of stacks for multi-source graphs)."""
+        (a tuple of stacks for multi-source graphs; packed sources take
+        ``(carrier, mask)`` stacks from :meth:`read_source_blocks`)."""
         if len(self.sources) > 1:
-            blocks = tuple(jnp.asarray(b) for b in blocks)
-            return self.run_fn(blocks[0].shape[0])(blocks)
-        return self.run_fn(len(blocks))(jnp.asarray(blocks))
+            blocks = tuple(self._prep_blocks(b, i)
+                           for i, b in enumerate(blocks))
+            return self.run_fn(self._stack_len(blocks[0]))(blocks)
+        blocks = self._prep_blocks(blocks, 0)
+        return self.run_fn(self._stack_len(blocks))(blocks)
 
     def read_source_blocks(self, n_blocks, offset=0):
         """Read ``n_blocks`` blocks from the graph's source stream(s),
-        stacked for :meth:`run_blocks` (a tuple for multi-source)."""
+        stacked for :meth:`run_blocks` (a tuple for multi-source).
+
+        Packed sources (``packed=True``) come back as ``(carrier, mask)``
+        stacks of raw payload carriers — no host decode happens here.
+        """
+        B = self.block_samples
         stacks = []
-        for src, extra in zip(self.sources, self.source_offsets):
+        for i, (src, extra) in enumerate(zip(self.sources,
+                                             self.source_offsets)):
+            if self._decoders[i] is not None:
+                packs = [src.read_packed(extra + offset + k * B, B)
+                         for k in range(n_blocks)]
+                stacks.append(jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *packs))
+                continue
             src.seek(extra + offset)
             stacks.append(jnp.stack(
-                [jnp.asarray(src.read(self.block_samples))
-                 for _ in range(n_blocks)]))
+                [jnp.asarray(src.read(B)) for _ in range(n_blocks)]))
         return tuple(stacks) if len(stacks) > 1 else stacks[0]
 
 

@@ -59,6 +59,11 @@ class StreamRunner:
         self.cp = cp
         self.prefetch = max(int(prefetch), 1)
         self.planes = bool(planes)
+        self.packed = cp._decoders[0] is not None
+        if self.packed and self.planes:
+            raise ValueError("packed ingest and planes interchange are "
+                             "mutually exclusive (carriers are already "
+                             "float32 on the boundary)")
         if self.planes:
             step_p, caches = cp.cached_planes_step()
             self._caches = caches
@@ -108,7 +113,24 @@ class StreamRunner:
         block = self.cp.block_samples
         try:
             # source_offsets folds any compiled GetSlice time shift in
-            src.seek(self.cp.source_offsets[0] + offset)
+            base = self.cp.source_offsets[0] + offset
+            if self.packed:
+                # raw payload bits only: host work is file I/O, the
+                # decode runs inside the compiled step on device
+                for k in range(n_blocks):
+                    shipped = jax.tree.map(
+                        jax.device_put,
+                        src.read_packed(base + k * block, block))
+                    while not stop.is_set():
+                        try:
+                            q.put(shipped, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                return
+            src.seek(base)
             for _ in range(n_blocks):
                 data = np.asarray(src.read(block))
                 if self.planes:

@@ -75,6 +75,10 @@ class ShardedPipeline:
         if axis_name not in mesh.shape:
             raise ValueError(f"mesh has no axis {axis_name!r}; "
                              f"axes are {tuple(mesh.shape)}")
+        if any(d is not None for d in cp._decoders):
+            raise NotImplementedError(
+                "packed ingest is not yet wired into the sharded "
+                "executor; build the CompiledPipeline with packed=False")
         self.cp = cp
         self.mesh = mesh
         self.axis_name = axis_name

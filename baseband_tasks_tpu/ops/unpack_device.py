@@ -36,7 +36,9 @@ __all__ = ["pack_bytes_to_f32", "pack_time_quarters",
            "pack_time_planes", "plane_edges_device",
            "quarter_edges_device", "words_from_f32", "unpack_8bit_device",
            "unpack_4bit_device", "unpack_2bit_device",
-           "unpack_1bit_device", "VDIF_2BIT_LEVELS"]
+           "unpack_1bit_device", "unpack_16bit_device",
+           "unpack_8bit_signed_device", "unpack_16bit_signed_device",
+           "f32_payload_device", "VDIF_2BIT_LEVELS"]
 
 # standard VDIF 2-bit reconstruction levels (domain constant; also used
 # by the host decoder and io/vdif.py)
@@ -80,6 +82,32 @@ def unpack_4bit_device(x, offset=7.5):
     """f32 carrier (..., n) -> (..., 8n) float32 samples, nibble - offset
     (low nibble of each byte first)."""
     return _fields(x, 4).astype(jnp.float32) - jnp.float32(offset)
+
+
+def unpack_16bit_device(x, offset=32767.5):
+    """f32 carrier (..., n) -> (..., 2n) float32 samples, little-endian
+    u16 - offset (matches the host ``'<u2'`` decode in io/vdif.py)."""
+    return _fields(x, 16).astype(jnp.float32) - jnp.float32(offset)
+
+
+def unpack_8bit_signed_device(x):
+    """f32 carrier (..., n) -> (..., 4n) float32 from two's-complement
+    int8 bytes (GUPPI/DADA payloads use signed samples)."""
+    f = _fields(x, 8)
+    return jnp.where(f >= 128, f - 256, f).astype(jnp.float32)
+
+
+def unpack_16bit_signed_device(x):
+    """f32 carrier (..., n) -> (..., 2n) float32 from little-endian
+    two's-complement int16 (DADA NBIT=16)."""
+    f = _fields(x, 16)
+    return jnp.where(f >= 32768, f - 65536, f).astype(jnp.float32)
+
+
+def f32_payload_device(x):
+    """Identity view: the payload bytes already are little-endian
+    float32 samples (DADA NBIT=±32, VDIF 32-bit)."""
+    return x
 
 
 def unpack_2bit_device(x, levels=None):
