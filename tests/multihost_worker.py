@@ -1,13 +1,23 @@
-"""Worker process for the two-process multihost test (not a pytest file).
+"""Worker process for the two-process multihost tests (not a pytest file).
 
 Launched by tests/test_multihost.py as:
-    python multihost_worker.py <process_id> <num_processes> <port>
+    python multihost_worker.py <process_id> <num_processes> <port> \
+        [outfile] [mode]
 
-Each process owns 2 virtual CPU devices; the global (time=2, chan=2)
-mesh spans both processes, so the time-axis halo exchange and the fold
-psum cross the process boundary through the gloo collectives backend —
-exercising the same code path a multi-host TPU pod uses over DCN
-(parallel/multihost.py).
+``mode`` selects the configuration:
+
+- ``small`` (default): 2 virtual CPU devices per process, a
+  (time=2, chan=2) mesh, toy shapes — the fast gate that the gloo
+  backend computes what single-process XLA collectives do.
+- ``production``: 4 virtual CPU devices per process, a
+  (time=4, chan=2) mesh at production shapes (n_chan=128, 2^16-sample
+  time shards, n_phase=64) — VERDICT round-3 item 3: one full sharded
+  flagship step across OS processes at the shapes the flagship ships
+  with.
+
+Either way the time-axis halo exchange and the fold psum cross the
+process boundary through the gloo collectives backend — the same code
+path a multi-host TPU pod uses over DCN (parallel/multihost.py).
 """
 
 import os
@@ -16,14 +26,26 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))          # repo root, for the package
 
+MODE = sys.argv[5] if len(sys.argv) > 5 else "small"
+LOCAL_DEVICES = 4 if MODE == "production" else 2
+
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["XLA_FLAGS"] = \
+    f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
 
 import jax                                                  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 import numpy as np                                          # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+CONFIGS = {
+    "small": dict(n_chan=8, n_pol=2, dm=0.5, period_samples=(512, 1),
+                  n_phase=8, block_samples=1024, chan_shards=2),
+    "production": dict(n_chan=128, n_pol=2, dm=50.0,
+                       period_samples=(16000, 3), n_phase=64,
+                       block_samples=1 << 16, chan_shards=2),
+}
 
 
 def main():
@@ -35,7 +57,8 @@ def main():
     except Exception as exc:          # pragma: no cover
         print(f"INIT_FAIL: {exc}")
         return 2
-    if jax.process_count() != nproc or jax.device_count() != 2 * nproc:
+    if jax.process_count() != nproc \
+            or jax.device_count() != LOCAL_DEVICES * nproc:
         print(f"INIT_FAIL: processes={jax.process_count()} "
               f"devices={jax.device_count()}")
         return 2
@@ -43,18 +66,19 @@ def main():
     from baseband_tasks_tpu.models import WidebandPulsarPipeline
     from baseband_tasks_tpu.utils import units as u
 
-    def make_pipe(mesh, block_samples=1024):
-        return WidebandPulsarPipeline(
-            n_chan=8, n_pol=2, dm=0.5, freq_center=600 * u.MHz,
-            chan_rate=250 * u.kHz, period_samples=(512, 1), n_phase=8,
-            block_samples=block_samples, mesh=mesh)
-
-    mesh = multihost.pod_mesh(chan=2)        # (time=2, chan=2), 2 hosts
-    assert mesh.shape == {"time": 2, "chan": 2}
-    pipe = make_pipe(mesh)
+    cfg = CONFIGS[MODE]
+    mesh = multihost.pod_mesh(chan=cfg["chan_shards"])
+    n_time = LOCAL_DEVICES * nproc // cfg["chan_shards"]
+    assert mesh.shape == {"time": n_time, "chan": cfg["chan_shards"]}
+    pipe = WidebandPulsarPipeline(
+        n_chan=cfg["n_chan"], n_pol=cfg["n_pol"], dm=cfg["dm"],
+        freq_center=600 * u.MHz, chan_rate=250 * u.kHz,
+        period_samples=cfg["period_samples"], n_phase=cfg["n_phase"],
+        block_samples=cfg["block_samples"], mesh=mesh)
     T = pipe.global_block
     rng = np.random.default_rng(0)           # same data in every process
-    xf_global = rng.standard_normal((T, 8, 2, 2)).astype(np.float32)
+    xf_global = rng.standard_normal(
+        (T, cfg["n_chan"], cfg["n_pol"], 2)).astype(np.float32)
 
     # every process hands over only ITS time shard of the global block
     sharding = NamedSharding(mesh, P("time", "chan"))
