@@ -124,6 +124,45 @@ class DMTrialSearch:
                 f"{len(self.frequency)}), got {power.shape}")
         return self._jsearch(power, self._phase_r, self._phase_i)
 
+    def search_sharded(self, power, mesh, *, axis_name="dm"):
+        """Trial-dedisperse one block with the DM trials sharded across
+        a device mesh axis (SURVEY §7 step 10's "config 5" ambition for
+        the search models).
+
+        Each device holds ``n_dm / shards`` trial chirps and computes
+        its own slice of the trial bank — the input block and its time
+        FFT are replicated (they are shared work at 1/n_dm of the matmul
+        cost), the (n_freq, n_chan, n_dm) phase tables and the
+        (n_time, n_dm) output are sharded on the trial axis, so the
+        bank's memory and MXU work scale down per chip.  Returns the
+        same (n_time, n_dm) array as :meth:`search` (sharded on its
+        last axis).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if axis_name not in mesh.shape:
+            raise ValueError(f"mesh has no axis {axis_name!r}; "
+                             f"axes are {tuple(mesh.shape)}")
+        n_shards = int(mesh.shape[axis_name])
+        n_dm = len(self.dms)
+        if n_dm % n_shards:
+            raise ValueError(f"n_dm {n_dm} must divide over the "
+                             f"{n_shards} {axis_name!r} shards")
+        power = jnp.asarray(power)
+        if power.shape != (self.n_time, len(self.frequency)):
+            raise ValueError(
+                f"expected block shape ({self.n_time}, "
+                f"{len(self.frequency)}), got {power.shape}")
+        trial_spec = NamedSharding(mesh, P(None, None, axis_name))
+        pr = jax.device_put(self._phase_r, trial_spec)
+        pi = jax.device_put(self._phase_i, trial_spec)
+        power = jax.device_put(
+            power, NamedSharding(mesh, P()))      # replicated
+
+        fn = jax.jit(self._search_impl,
+                     out_shardings=NamedSharding(mesh, P(None, axis_name)))
+        return fn(power, pr, pi)
+
     def detect(self, power, widths=(1, 2, 4, 8, 16, 32)):
         """Matched-filter the trial bank with boxcars and return S/N.
 

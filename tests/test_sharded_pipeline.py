@@ -211,3 +211,71 @@ class TestDeviceLayout:
                 mesh, jax.sharding.PartitionSpec("time")))
         _, y = jax.jit(step)(carry, xs, leaves)
         assert len(y.sharding.device_set) == 8
+
+
+class TestBeyondReferenceModels:
+    """VERDICT round-3 item 8: the beyond-reference models ride the same
+    sharding layer, with 8-device CPU equality tests."""
+
+    def test_fx_correlator_sharded(self):
+        """The full FX chain (fractional-delay resample, channelize,
+        stack, cross-multiply, absorbed Integrate) time-sharded over 8
+        devices == single-device compiled run — stations' branches are
+        multi-source inputs, the visibility integration rides the
+        sharded segment sums."""
+        from baseband_tasks_tpu.models.correlator import fx_correlate
+        rate = 1 * u.MHz
+        t0 = Time("2018-01-01T00:00:00.0")
+
+        def sky(seed=4):
+            return NoiseGenerator(shape=(1 << 15,), start_time=t0,
+                                  sample_rate=rate,
+                                  samples_per_frame=4096, seed=seed,
+                                  dtype=np.complex64)
+
+        tau = u.Quantity(2.0 / 1e6, u.s)
+        s1 = sky()
+        s2 = SetAttribute(sky(), start_time=t0 + tau)
+        vis = fx_correlate([s1, s2], 32, 64, delays=[None, tau])
+        cp = CompiledPipeline(vis)
+        mesh = make_mesh(time=8)
+        blocks = cp.read_source_blocks(16)
+        ref = cp.run_blocks(blocks)
+        got = ShardedPipeline(cp, mesh).run_blocks(blocks)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got[1]),
+                                      np.asarray(ref[1]))
+
+    def test_dm_trial_search_sharded(self):
+        """DMTrialSearch with trials sharded across the 8-device mesh ==
+        the single-device bank."""
+        import jax
+        from jax.sharding import Mesh
+        from baseband_tasks_tpu.models import DMTrialSearch
+
+        freq = (600 + np.arange(128) * 0.25) * u.MHz
+        dms = np.linspace(0.0, 30.0, 64)
+        bank = DMTrialSearch(freq, 1 * u.kHz, dms, n_time=1024)
+        rng = np.random.default_rng(3)
+        power = rng.standard_normal((1024, 128)).astype(np.float32)
+        ref = np.asarray(bank.search(power))
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("dm",))
+        got = bank.search_sharded(power, mesh)
+        assert len(got.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5,
+                                   atol=1e-4)
+
+    def test_dm_shard_validation(self):
+        import jax
+        from jax.sharding import Mesh
+        from baseband_tasks_tpu.models import DMTrialSearch
+        freq = (600 + np.arange(16) * 0.25) * u.MHz
+        bank = DMTrialSearch(freq, 1 * u.kHz, np.linspace(0, 5, 12),
+                             n_time=256)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("dm",))
+        power = np.zeros((256, 16), np.float32)
+        with pytest.raises(ValueError, match="must divide"):
+            bank.search_sharded(power, mesh)  # 12 trials over 8 shards
+        with pytest.raises(ValueError, match="no axis"):
+            bank.search_sharded(power, mesh, axis_name="bogus")
