@@ -12,11 +12,15 @@ otherwise idle; at n ≤ 256 the matmul meets the HBM read bound, so this
 is speed-of-light for the op.
 
 Works for *any* n (no power-of-two or smoothness requirement).  By
-default all matmuls run at ``Precision.HIGHEST`` (full f32, six bf16
-MXU passes): relative error is ~√n·ε ≈ 2e-6 at n=256, far inside the
-60 dB correctness bar; the default TPU matmul precision (single bf16
-pass) would not be.  :class:`set_matmul_precision` selects the
-three-pass 'high' mode for matmul-bound chains.
+default all matmuls run at ``Precision.HIGH`` (three bf16 MXU passes
+per real f32 matmul): ~2^-16 relative error, measured at 104.2 dB SNR
+against the full-f32 'highest' output on the config-3 chain
+(BASELINE.md round 3) — 44 dB above the 60 dB correctness bar at half
+the MXU cost, so matmul-bound chains run ~1.4x faster.  The default
+TPU matmul precision (single bf16 pass, ~40 dB) would NOT clear the
+bar, which is why the setting exists at all.  Use
+:class:`set_matmul_precision('highest')` to restore full f32 where the
+extra 30 dB matters more than throughput.
 
 Used by the 'pallas' performance FFT engine (fourier/pallas.py) for
 transforms too short for the four-step kernels.
@@ -41,7 +45,10 @@ MAX_MATMUL_N = 256
 _PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
                "high": jax.lax.Precision.HIGH,
                "default": jax.lax.Precision.DEFAULT}
-_precision = jax.lax.Precision.HIGHEST
+# 'high' by default: measured 104.2 dB SNR vs 'highest' on the config-3
+# chain (44 dB above the 60 dB bar) at half the MXU passes — the
+# data-driven round-4 decision (BASELINE.md round 3 addendum)
+_precision = jax.lax.Precision.HIGH
 
 
 def matmul_precision():
@@ -79,12 +86,13 @@ def kernel_dot(a, b, prec):
 class set_matmul_precision:
     """Set the DFT-matmul precision ('highest', 'high', 'default').
 
-    'highest' (the default) is full f32 — six bf16 MXU passes per real
-    matmul.  'high' is three passes: ~1e-6 relative error on a
-    length-256 DFT (config-3 chain output measured at 104 dB SNR
-    against 'highest', BASELINE.md round 3) at half the MXU cost — the
-    right trade when a compiled chain is matmul-bound rather than
-    HBM-bound.  Usable as a context manager; affects traces, so apply
+    'high' (the default) is three bf16 MXU passes per real f32 matmul:
+    ~1e-6 relative error on a length-256 DFT (config-3 chain output
+    measured at 104 dB SNR against 'highest', BASELINE.md round 3) —
+    44 dB above the 60 dB correctness bar at half the MXU cost of
+    'highest' (full f32, six passes), so matmul-bound chains run ~1.4x
+    faster.  Select 'highest' where the last ~30 dB matter more than
+    throughput.  Usable as a context manager; affects traces, so apply
     before building/compiling a pipeline (pallas kernels key their jit
     caches on it; see :func:`kernel_dot` for the in-kernel emulation).
     """

@@ -35,6 +35,16 @@ def _ref_forward(win_r, win_i, taps, n, reps, m):
 class TestForwardKernel:
     n, reps, n_tap, m = 16, 2, 8, 48
 
+    @pytest.fixture(autouse=True)
+    def _full_precision(self):
+        # these tests pin streaming-carry MECHANICS against an exact
+        # f32 numpy reference at tight tolerances; run them at
+        # 'highest' so the default three-pass bf16 emulation's ~1e-4
+        # absolute error (validated separately in TestPrecisionKnob)
+        # doesn't blur the comparison
+        with set_matmul_precision("highest"):
+            yield
+
     def setup_method(self):
         self.L = self.n * self.reps
         h = RNG.standard_normal((self.n_tap, self.n)).astype(np.float32)
@@ -117,14 +127,19 @@ class TestForwardKernel:
 
 
 class TestPrecisionKnob:
+    def test_default_is_high(self):
+        # the round-4 data-driven default: 104.2 dB measured vs
+        # 'highest' (BASELINE.md), 44 dB above the 60 dB bar, at half
+        # the MXU passes
+        assert matmul_precision() == jax.lax.Precision.HIGH
+
     def test_context_restores(self):
-        assert matmul_precision() == jax.lax.Precision.HIGHEST
-        with set_matmul_precision("high"):
-            assert matmul_precision() == jax.lax.Precision.HIGH
+        with set_matmul_precision("highest"):
+            assert matmul_precision() == jax.lax.Precision.HIGHEST
             with set_matmul_precision("default"):
                 assert matmul_precision() == jax.lax.Precision.DEFAULT
-            assert matmul_precision() == jax.lax.Precision.HIGH
-        assert matmul_precision() == jax.lax.Precision.HIGHEST
+            assert matmul_precision() == jax.lax.Precision.HIGHEST
+        assert matmul_precision() == jax.lax.Precision.HIGH
 
     def test_unknown_name_rejected(self):
         with pytest.raises(KeyError):

@@ -1,0 +1,246 @@
+"""Per-pass decomposition of the config-3 QUAD graph on the TPU
+(VERDICT round-3 item 5).
+
+The round-trip ``PolyphaseFilterBank → InversePolyphaseFilterBank``
+graph compiles to four pallas HBM passes (models/compiled.py quad
+fusion; the forward DFT and dechannelize IDFT cancel analytically):
+
+    FIR   ops/pfb_pallas.pfb_forward_stream with fr=None (tap-sum only)
+    K1    Wiener stage-A: streaming window assembly + Stockham over N1
+          + twiddle + transpose to (N2, N1, L) storage order
+    K2    Wiener stage-B: Stockham over N2 + gain multiply + inverse
+          stage-B (aliased in/out)
+    K3    Wiener inverse stage-A + trim to the valid rows
+
+This tool times each pass INDIVIDUALLY at config 3's production
+geometry (window N=2^15 rows, L=512 lanes, 256-row pads -> 32256 valid
+rows) in the same run as a pure-bandwidth base loop, and compares each
+against its own HBM byte model at the measured bandwidth.  The residual
+(measured - model) per pass is that pass's compute/latency cost the HBM
+stream cannot hide — the decomposition of the chain's "last 22%".
+
+    python tools/profile_quad.py            # real TPU
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from baseband_tasks_tpu.ops.dedisperse_pallas import (_choose_blocks,
+                                                      _split_n, _stage_b)
+from baseband_tasks_tpu.ops.spectral_filter import (_k1_filter_body,
+                                                    _k3_trim_body,
+                                                    spectral_filter_stream)
+from baseband_tasks_tpu.ops.pfb_pallas import pfb_forward_stream
+from baseband_tasks_tpu.ops.dft_matmul import matmul_precision
+
+N_ITER = 16
+N = 1 << 15          # Wiener window rows
+L = 512              # 256 chan x 2 pol on the lanes
+PAD = 256            # pad_start = pad_end = 256 (multiples of N2)
+M = N - 2 * PAD      # valid rows per step = 32256
+N_TAP = 8
+
+N1, N2 = _split_n(N)
+KF = KE = PAD // N2
+PLANE = N * L * 4    # one f32 window plane, bytes
+
+
+def timed(name, make_inputs, fn, bytes_model, bw, n_iter=N_ITER):
+    xs = tuple(jax.block_until_ready(x) for x in make_inputs())
+
+    @jax.jit
+    def run(*xs):
+        def s(carry, i):
+            y = fn(xs, 1.0 + 1e-6 * i.astype(jnp.float32))
+            out = sum(jnp.sum(p[:2, :2] ** 2) for p in y)
+            return carry, out
+        _, ys = jax.lax.scan(s, 0.0, jnp.arange(n_iter, dtype=jnp.int32))
+        return jnp.sum(ys).reshape(1)
+
+    np.asarray(run(*xs))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(*xs))
+        best = min(best, time.perf_counter() - t0)
+    ms = best / n_iter * 1e3
+    model_ms = bytes_model / bw * 1e3
+    row = {"pass": name, "ms": round(ms, 3),
+           "hbm_model_ms": round(model_ms, 3),
+           "of_model": round(model_ms / ms, 2),
+           "residual_ms": round(ms - model_ms, 3)}
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def planes(shape, seed):
+    @jax.jit
+    def mk(sf):
+        k = jax.random.key(sf[0].astype(jnp.int32))
+        return (jax.random.normal(k, shape, jnp.float32),
+                jax.random.normal(jax.random.fold_in(k, 1), shape,
+                                  jnp.float32))
+    return mk(np.full((1,), seed + 1, np.float32))
+
+
+def main():
+    prec = matmul_precision()
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    block_b, block_c = _choose_blocks(N, N1, N2, L, None, None)
+
+    # ---- base loop: y = x * s at one window (2 planes, r+w) ----------
+    xr, xi = planes((N, L), 0)
+
+    @jax.jit
+    def base(xr, xi):
+        def s(carry, i):
+            f = 1.0 + 1e-6 * i.astype(jnp.float32)
+            yr, yi = xr * f, xi * f
+            return carry, yr[0, 0] + yi[-1, -1]
+        _, ys = jax.lax.scan(s, 0.0, jnp.arange(N_ITER, dtype=jnp.int32))
+        return jnp.sum(ys).reshape(1)
+
+    np.asarray(base(xr, xi))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(base(xr, xi))
+        best = min(best, time.perf_counter() - t0)
+    base_dt = best / N_ITER
+    bw = 4 * PLANE / base_dt  # 2 planes read + 2 written
+    print(json.dumps({"pass": "base", "ms": round(base_dt * 1e3, 3),
+                      "GBps": round(bw / 1e9, 1),
+                      "geometry": {"N": N, "N1": N1, "N2": N2, "L": L,
+                                   "pads": PAD, "valid": M},
+                      "precision": str(prec)}), flush=True)
+
+    rows = []
+
+    # ---- FIR pass (quad form: fr=None, tap-sum only) -----------------
+    taps = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (N_TAP, L)).astype(np.float32))
+    cr0 = jnp.zeros((N_TAP - 1, L), jnp.float32)
+
+    def fir(xs, s):
+        return pfb_forward_stream(cr0, cr0, xs[0], xs[1], taps,
+                                  n_tap=N_TAP, scale=s)
+
+    rows.append(timed(
+        "fir", lambda: planes((M, L), 1), fir,
+        # read carry+block twice (re+im), write both output planes
+        bytes_model=4 * M * L * 4, bw=bw))
+
+    # ---- Wiener K1: streaming stage-A (window assembly + FFT_N1) -----
+    gr, gi = planes((N2, N1, L), 2)
+    kc = KF + KE
+    spec_bT = pl.BlockSpec((block_b, N1, L), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def blk(rows_):
+        return pl.BlockSpec((rows_, block_b, L), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def k1(xs, s):
+        crr, cri, xr_, xi_ = xs
+        return pl.pallas_call(
+            functools.partial(_k1_filter_body, N1, N2, N, False, True,
+                              prec),
+            compiler_params=params,
+            grid=(N2 // block_b,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      blk(kc), blk(kc), blk(N1 - kc), blk(N1 - kc)],
+            out_specs=(spec_bT, spec_bT),
+            out_shape=(jax.ShapeDtypeStruct((N2, N1, L), jnp.float32),
+                       jax.ShapeDtypeStruct((N2, N1, L), jnp.float32)),
+        )(s.reshape(1), crr, cri, xr_, xi_)
+
+    def mk_k1():
+        cr_, ci_ = planes((kc, N2, L), 3)
+        xr_, xi_ = planes((N1 - kc, N2, L), 4)
+        return cr_, ci_, xr_, xi_
+
+    rows.append(timed("k1_stageA", mk_k1, k1,
+                      bytes_model=4 * PLANE, bw=bw))
+
+    # ---- Wiener K2: stage-B + gain + inverse stage-B (aliased) -------
+    def k2(xs, s):
+        yr, yi = xs[0] * s, xs[1]
+        return _stage_b(yr, yi, gr, gi, n1=N1, n2=N2, block_c=block_c,
+                        interpret=False, params=params)
+
+    rows.append(timed(
+        "k2_stageB_gain",
+        lambda: planes((N2, N1, L), 5), k2,
+        # r 2 planes + r gain (2 planes) + w 2 planes (aliased storage,
+        # but the bytes still move) + the XLA `yr*s` probe pass (r+w)
+        bytes_model=8 * PLANE, bw=bw))
+
+    # ---- Wiener K3: inverse stage-A + trim ----------------------------
+    n1v = N1 - KF - KE
+    spec_out = pl.BlockSpec((n1v, block_b, L), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def k3(xs, s):
+        zr, zi = xs[0] * s, xs[1]
+        return pl.pallas_call(
+            functools.partial(_k3_trim_body, N1, KF, KE, False, prec),
+            compiler_params=params,
+            grid=(N2 // block_b,),
+            in_specs=[spec_bT, spec_bT],
+            out_specs=(spec_out, spec_out),
+            out_shape=(jax.ShapeDtypeStruct((n1v, N2, L), jnp.float32),
+                       jax.ShapeDtypeStruct((n1v, N2, L), jnp.float32)),
+        )(zr, zi)
+
+    rows.append(timed(
+        "k3_invA_trim",
+        lambda: planes((N2, N1, L), 6), k3,
+        # r 2 planes + w 2 trimmed planes + the `zr*s` probe pass (r+w)
+        bytes_model=(2 + 2 * n1v / N1 + 2) * PLANE, bw=bw))
+
+    # ---- full Wiener (K1+K2+K3 in one call) ---------------------------
+    def wiener(xs, s):
+        cr_, ci_, xr_, xi_ = xs
+        return spectral_filter_stream(cr_, ci_, xr_, xi_, gr, gi,
+                                      pad_start=PAD, pad_end=PAD,
+                                      scale=s)
+
+    def mk_w():
+        cr_, ci_ = planes((2 * PAD, L), 7)
+        xr_, xi_ = planes((M, L), 8)
+        return cr_, ci_, xr_, xi_
+
+    rows.append(timed(
+        "wiener_full", mk_w, wiener,
+        # K1 (4) + K2 (6: r+gain+w) + K3 (2 + trimmed write)
+        bytes_model=(4 + 6 + 2 + 2 * n1v / N1) * PLANE, bw=bw))
+
+    # ---- summary -------------------------------------------------------
+    k123 = sum(r["ms"] for r in rows if r["pass"].startswith("k"))
+    probe_overhead = 2 * (2 * PLANE / bw) * 1e3  # the two `*s` probes
+    print(json.dumps({
+        "pass": "summary",
+        "fir+wiener_ms": round(rows[0]["ms"] + rows[-1]["ms"], 3),
+        "k1+k2+k3_ms": round(k123, 3),
+        "k-probe_overhead_ms": round(probe_overhead, 3),
+        "note": "k2/k3 rows include an XLA `*s` input pass "
+                "(~probe_overhead/2 each) so the per-pass residuals "
+                "are upper bounds; wiener_full has no probe passes"}),
+        flush=True)
+
+
+if __name__ == "__main__":
+    main()
