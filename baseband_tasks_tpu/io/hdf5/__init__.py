@@ -256,6 +256,105 @@ class HDF5StreamReader(Base):
                 out[lo - start:hi - start] = 0
         return out
 
+    # -- packed ingest ----------------------------------------------------
+    # The reference's whole reason for bps-encoded HDF5 payloads is that
+    # decode belongs inside the pipeline (reference io/hdf5/payload.py:
+    # 164-178); here the raw packed bytes cross the host->device boundary
+    # as float32 carriers and decode inside the compiled step
+    # (ops/unpack_device.py), like the VDIF/DADA/GUPPI/Mark5B readers.
+
+    def _packed_coding(self):
+        if self._reference is not None:
+            raise ValueError(
+                "packed reads of reference-layout HDF5 files are not "
+                "supported (their payloads use VDIF word coding); "
+                "re-write with the native writer for packed ingest")
+        if self._encoding != "bps":
+            raise ValueError(
+                f"packed reads need a bit-packed payload; this file is "
+                f"{self._encoding!r}")
+        cps = int(np.prod(self.sample_shape)) \
+            * (2 if self.complex_data else 1)
+        return cps, self._bps
+
+    @property
+    def packed_alignment(self):
+        """Samples per packed unit: packed reads must start and end on
+        32-bit carrier-word boundaries of the coded payload."""
+        import math
+        cps, bps = self._packed_coding()
+        return 32 // math.gcd(cps * bps, 32)
+
+    def read_packed(self, offset, count):
+        """Raw coded payload for samples [offset, offset+count) as a
+        float32 bit-carrier pytree.
+
+        Returns ``(carrier,)`` — or ``(carrier, mask)`` with a per-sample
+        (count,) float32 validity plane when the file has invalid ranges
+        (decoded samples are zero there, exactly like the host path)."""
+        align = self.packed_alignment
+        if offset % align or count % align:
+            raise ValueError(
+                f"packed reads must be carrier-word aligned: offset "
+                f"{offset} and count {count} must be multiples of "
+                f"{align}")
+        cps, bps = self._packed_coding()
+        from ...ops.unpack_device import pack_bytes_to_f32
+        b0 = offset * cps * bps // 8
+        b1 = (offset + count) * cps * bps // 8
+        carrier = pack_bytes_to_f32(self._h5["payload"][b0:b1])
+        if not self._invalid:
+            return (carrier,)
+        mask = np.ones(count, np.float32)
+        for a, b in self._invalid:
+            lo, hi = max(a, offset), min(b, offset + count)
+            if lo < hi:
+                mask[lo - offset:hi - offset] = 0.0
+        return carrier, mask
+
+    def packed_decode_fn(self):
+        """Jittable ``decode(packed) -> samples``, the device counterpart
+        of :meth:`_read_frame`'s host LUT decode, bit-exact against it
+        (tests/test_packed_ingest.py::TestHDF5Packed)."""
+        from ...ops import unpack_device as ud
+
+        cps, bps = self._packed_coding()
+        if bps == 8:
+            unpack = ud.unpack_8bit_device
+        elif bps == 4:
+            unpack = ud.unpack_4bit_device
+        elif bps == 2:
+            levels = _TWO_BIT_LEVELS * np.float32(0.4528)
+
+            def unpack(x):
+                return ud.unpack_2bit_device(x, levels)
+        else:
+            raise ValueError(f"unsupported bits-per-sample {bps}")
+        cplx = self.complex_data
+        sshape = self.sample_shape
+        scale = self._hdr.get("scale")
+        has_mask = bool(self._invalid)
+
+        def decode(packed):
+            import jax
+            import jax.numpy as jnp
+
+            comp = unpack(packed[0])
+            n = comp.shape[0] // cps
+            if cplx:
+                pair = comp.reshape((n,) + sshape + (2,))
+                x = jax.lax.complex(pair[..., 0], pair[..., 1])
+            else:
+                x = comp.reshape((n,) + sshape)
+            if scale:
+                x = x / jnp.float32(scale)
+            if has_mask:
+                mask = packed[1].reshape((n,) + (1,) * len(sshape))
+                x = x * mask
+            return x
+
+        return decode
+
     def _read_frame(self, frame_index):
         spf = self._samples_per_frame
         start = frame_index * spf

@@ -285,3 +285,91 @@ class TestGUPPIPacked:
         with pytest.raises(ValueError, match="whole raw blocks"):
             rh.read_packed(0, (len(rh._blocks) + 1) * step)
         rh.close()
+
+
+class TestHDF5Packed:
+    """Packed ingest of the HDF5 container's bit-packed payloads — the
+    reference's own bps-encoded format (reference io/hdf5/payload.py:
+    164-178), decoded inside the compiled step."""
+
+    def write_h5(self, tmp_path, bps, shape=(8192, 4), invalid=False):
+        pytest.importorskip("h5py")
+        from baseband_tasks_tpu.io import hdf5
+        sh = NoiseGenerator(shape=shape, start_time=START,
+                            sample_rate=RATE, samples_per_frame=2048,
+                            dtype=np.complex64, seed=31)
+        data = np.asarray(sh.read())
+        path = str(tmp_path / f"h{bps}.h5")
+        with hdf5.open(path, "w", template=sh, bps=bps) as fw:
+            fw.write(data[:2048])
+            fw.write(data[2048:4096], valid=not invalid)
+            fw.write(data[4096:])
+        return path
+
+    @pytest.mark.parametrize("bps", [2, 4, 8])
+    def test_bit_exact(self, tmp_path, bps):
+        from baseband_tasks_tpu.io import hdf5
+        path = self.write_h5(tmp_path, bps)
+        with hdf5.open(path) as fr:
+            n = fr.shape[0]
+            assert n % fr.packed_alignment == 0
+            host = np.asarray(fr.read(n))
+            dev = np.asarray(jax.jit(fr.packed_decode_fn())(
+                fr.read_packed(0, n)))
+        assert dev.dtype == host.dtype
+        np.testing.assert_array_equal(dev, host)
+
+    def test_invalid_range_masked(self, tmp_path):
+        from baseband_tasks_tpu.io import hdf5
+        path = self.write_h5(tmp_path, 8, invalid=True)
+        with hdf5.open(path) as fr:
+            host = np.asarray(fr.read(fr.shape[0]))
+            packed = fr.read_packed(0, fr.shape[0])
+            assert len(packed) == 2  # carrier + per-sample mask plane
+            dev = np.asarray(jax.jit(fr.packed_decode_fn())(packed))
+        assert np.all(host[2048:4096] == 0)
+        np.testing.assert_array_equal(dev, host)
+
+    def test_unaligned_rejected(self, tmp_path):
+        from baseband_tasks_tpu.io import hdf5
+        # single real channel at 2 bit: 16 samples per carrier word
+        pytest.importorskip("h5py")
+        sh = NoiseGenerator(shape=(4096,), start_time=START,
+                            sample_rate=RATE, samples_per_frame=1024,
+                            dtype=np.float32, seed=32)
+        path = str(tmp_path / "h1.h5")
+        with hdf5.open(path, "w", template=sh, bps=2) as fw:
+            fw.write(np.asarray(sh.read()))
+        with hdf5.open(path) as fr:
+            assert fr.packed_alignment == 16
+            with pytest.raises(ValueError, match="aligned"):
+                fr.read_packed(8, 16)
+
+    def test_raw_encoding_rejected(self, tmp_path):
+        from baseband_tasks_tpu.io import hdf5
+        pytest.importorskip("h5py")
+        sh = NoiseGenerator(shape=(1024, 2), start_time=START,
+                            sample_rate=RATE, samples_per_frame=512,
+                            dtype=np.complex64, seed=33)
+        path = str(tmp_path / "hraw.h5")
+        with hdf5.open(path, "w", template=sh) as fw:
+            fw.write(np.asarray(sh.read()))
+        with hdf5.open(path) as fr:
+            with pytest.raises(ValueError, match="bit-packed"):
+                fr.read_packed(0, 512)
+
+    def test_compiled_pipeline_packed(self, tmp_path):
+        from baseband_tasks_tpu.io import hdf5
+        path = self.write_h5(tmp_path, 8)
+        with hdf5.open(path) as fr:
+            tail = Integrate(Square(Channelize(fr, 64)), 8)
+            cpf = CompiledPipeline(tail, block_samples=2048)
+            cpp = CompiledPipeline(tail, block_samples=2048, packed=True)
+            assert cpp._decoders[0] is not None
+            ref = cpf.run_reduced(cpf.read_source_blocks(4))
+            got = cpp.run_reduced(cpp.read_source_blocks(4))
+            np.testing.assert_allclose(np.asarray(got[0]),
+                                       np.asarray(ref[0]),
+                                       rtol=1e-6, atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(got[1]),
+                                          np.asarray(ref[1]))

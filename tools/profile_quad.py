@@ -58,7 +58,14 @@ KF = KE = PAD // N2
 PLANE = N * L * 4    # one f32 window plane, bytes
 
 
-def timed(name, make_inputs, fn, bytes_model, bw, n_iter=N_ITER):
+def prepare(name, make_inputs, fn, bytes_model, n_iter=N_ITER):
+    """Compile + warm a pass now; return a (name, measure, bytes) tuple
+    so all passes can be MEASURED back-to-back afterwards.  The tunnel
+    chip's throughput drifts on the timescale of the multi-minute
+    compiles, so measuring each pass right after its own compile (the
+    first version of this tool) compared passes across different drift
+    windows — the base loop and every pass must be timed within
+    seconds of each other."""
     xs = tuple(jax.block_until_ready(x) for x in make_inputs())
 
     @jax.jit
@@ -70,20 +77,17 @@ def timed(name, make_inputs, fn, bytes_model, bw, n_iter=N_ITER):
         _, ys = jax.lax.scan(s, 0.0, jnp.arange(n_iter, dtype=jnp.int32))
         return jnp.sum(ys).reshape(1)
 
-    np.asarray(run(*xs))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(run(*xs))
-        best = min(best, time.perf_counter() - t0)
-    ms = best / n_iter * 1e3
-    model_ms = bytes_model / bw * 1e3
-    row = {"pass": name, "ms": round(ms, 3),
-           "hbm_model_ms": round(model_ms, 3),
-           "of_model": round(model_ms / ms, 2),
-           "residual_ms": round(ms - model_ms, 3)}
-    print(json.dumps(row), flush=True)
-    return row
+    np.asarray(run(*xs))  # compile + warm
+
+    def measure():
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(*xs))
+            best = min(best, time.perf_counter() - t0)
+        return best / n_iter * 1e3
+
+    return name, measure, bytes_model
 
 
 def planes(shape, seed):
@@ -101,33 +105,42 @@ def main():
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     block_b, block_c = _choose_blocks(N, N1, N2, L, None, None)
 
-    # ---- base loop: y = x * s at one window (2 planes, r+w) ----------
-    xr, xi = planes((N, L), 0)
+    passes = []
 
-    @jax.jit
-    def base(xr, xi):
-        def s(carry, i):
-            f = 1.0 + 1e-6 * i.astype(jnp.float32)
-            yr, yi = xr * f, xi * f
-            return carry, yr[0, 0] + yi[-1, -1]
-        _, ys = jax.lax.scan(s, 0.0, jnp.arange(N_ITER, dtype=jnp.int32))
-        return jnp.sum(ys).reshape(1)
+    # ---- base loops: pallas copy-with-scale at three sizes -------------
+    # (read + write, the bandwidth yardstick; a plain XLA y = x * s with
+    # a sliced checksum gets its write dead-code-eliminated).  Three
+    # sizes let a linear fit separate the device's FIXED per-scan-step
+    # cost (measured 0.85-2 ms on this tunnel chip, CLAUDE.md) from the
+    # streaming bandwidth — a single-size base folds the fixed cost into
+    # "bandwidth" and then multi-pass kernels look faster than light.
+    def _copy_body(s_ref, x_ref, o_ref):
+        o_ref[:] = x_ref[:] * s_ref[0]
 
-    np.asarray(base(xr, xi))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(base(xr, xi))
-        best = min(best, time.perf_counter() - t0)
-    base_dt = best / N_ITER
-    bw = 4 * PLANE / base_dt  # 2 planes read + 2 written
-    print(json.dumps({"pass": "base", "ms": round(base_dt * 1e3, 3),
-                      "GBps": round(bw / 1e9, 1),
-                      "geometry": {"N": N, "N1": N1, "N2": N2, "L": L,
-                                   "pads": PAD, "valid": M},
-                      "precision": str(prec)}), flush=True)
+    def base_fn_for(rows):
+        cblk = pl.BlockSpec((1024, L), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
 
-    rows = []
+        def base_fn(xs, s):
+            def one(x):
+                return pl.pallas_call(
+                    _copy_body, grid=(rows // 1024,),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                              cblk],
+                    out_specs=cblk,
+                    out_shape=jax.ShapeDtypeStruct((rows, L),
+                                                   jnp.float32),
+                )(s.reshape(1), x)
+            return one(xs[0]), one(xs[1])
+        return base_fn
+
+    base_sizes = (N // 2, N, 2 * N)
+    for rows in base_sizes:
+        passes.append(prepare(
+            f"base_{rows}",
+            (lambda r: (lambda: planes((r, L), 0)))(rows),
+            base_fn_for(rows),
+            bytes_model=4 * rows * L * 4))
 
     # ---- FIR pass (quad form: fr=None, tap-sum only) -----------------
     taps = jnp.asarray(np.random.default_rng(0).standard_normal(
@@ -138,10 +151,10 @@ def main():
         return pfb_forward_stream(cr0, cr0, xs[0], xs[1], taps,
                                   n_tap=N_TAP, scale=s)
 
-    rows.append(timed(
+    passes.append(prepare(
         "fir", lambda: planes((M, L), 1), fir,
         # read carry+block twice (re+im), write both output planes
-        bytes_model=4 * M * L * 4, bw=bw))
+        bytes_model=4 * M * L * 4))
 
     # ---- Wiener K1: streaming stage-A (window assembly + FFT_N1) -----
     gr, gi = planes((N2, N1, L), 2)
@@ -172,8 +185,8 @@ def main():
         xr_, xi_ = planes((N1 - kc, N2, L), 4)
         return cr_, ci_, xr_, xi_
 
-    rows.append(timed("k1_stageA", mk_k1, k1,
-                      bytes_model=4 * PLANE, bw=bw))
+    passes.append(prepare("k1_stageA", mk_k1, k1,
+                          bytes_model=4 * PLANE))
 
     # ---- Wiener K2: stage-B + gain + inverse stage-B (aliased) -------
     def k2(xs, s):
@@ -181,12 +194,12 @@ def main():
         return _stage_b(yr, yi, gr, gi, n1=N1, n2=N2, block_c=block_c,
                         interpret=False, params=params)
 
-    rows.append(timed(
+    passes.append(prepare(
         "k2_stageB_gain",
         lambda: planes((N2, N1, L), 5), k2,
         # r 2 planes + r gain (2 planes) + w 2 planes (aliased storage,
         # but the bytes still move) + the XLA `yr*s` probe pass (r+w)
-        bytes_model=8 * PLANE, bw=bw))
+        bytes_model=8 * PLANE))
 
     # ---- Wiener K3: inverse stage-A + trim ----------------------------
     n1v = N1 - KF - KE
@@ -205,11 +218,11 @@ def main():
                        jax.ShapeDtypeStruct((n1v, N2, L), jnp.float32)),
         )(zr, zi)
 
-    rows.append(timed(
+    passes.append(prepare(
         "k3_invA_trim",
         lambda: planes((N2, N1, L), 6), k3,
         # r 2 planes + w 2 trimmed planes + the `zr*s` probe pass (r+w)
-        bytes_model=(2 + 2 * n1v / N1 + 2) * PLANE, bw=bw))
+        bytes_model=(2 + 2 * n1v / N1 + 2) * PLANE))
 
     # ---- full Wiener (K1+K2+K3 in one call) ---------------------------
     def wiener(xs, s):
@@ -223,22 +236,58 @@ def main():
         xr_, xi_ = planes((M, L), 8)
         return cr_, ci_, xr_, xi_
 
-    rows.append(timed(
+    passes.append(prepare(
         "wiener_full", mk_w, wiener,
         # K1 (4) + K2 (6: r+gain+w) + K3 (2 + trimmed write)
-        bytes_model=(4 + 6 + 2 + 2 * n1v / N1) * PLANE, bw=bw))
+        bytes_model=(4 + 6 + 2 + 2 * n1v / N1) * PLANE))
 
-    # ---- summary -------------------------------------------------------
+    # ---- measure everything back-to-back (same drift window) ----------
+    # bases first and last: if they disagree by >15% the window was
+    # noisy and the whole run should be repeated
+    ms = {}
+    n_base = len(base_sizes)
+    base_first = [p[1]() for p in passes[:n_base]]
+    for name, measure, _ in passes[n_base:]:
+        ms[name] = measure()
+    base_last = [p[1]() for p in passes[:n_base]]
+    base_ms = np.minimum(base_first, base_last)
+    stable = all(abs(a - b) / max(a, b) < 0.15
+                 for a, b in zip(base_first, base_last))
+    # linear fit t_ms = fixed + bytes / BW across the three base sizes
+    bvec = np.array([p[2] for p in passes[:n_base]], float)
+    coef = np.linalg.lstsq(
+        np.stack([np.ones(n_base), bvec], 1), base_ms, rcond=None)[0]
+    fixed_ms, per_byte_ms = float(coef[0]), float(coef[1])
+    bw = 1e-3 / per_byte_ms if per_byte_ms > 0 else float("inf")
+    print(json.dumps({
+        "pass": "base_fit",
+        "base_ms": [round(float(b), 3) for b in base_ms],
+        "base_MB": [round(b / 1e6, 1) for b in bvec],
+        "fixed_ms_per_step": round(fixed_ms, 3),
+        "GBps": round(bw / 1e9, 1), "stable": stable,
+        "geometry": {"N": N, "N1": N1, "N2": N2, "L": L,
+                     "pads": PAD, "valid": M},
+        "precision": str(prec)}), flush=True)
+    rows = []
+    for name, _, bytes_model in passes[n_base:]:
+        model_ms = fixed_ms + bytes_model / bw * 1e3
+        row = {"pass": name, "ms": round(ms[name], 3),
+               "model_ms": round(model_ms, 3),
+               "of_model": round(model_ms / ms[name], 2),
+               "residual_ms": round(ms[name] - model_ms, 3)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
     k123 = sum(r["ms"] for r in rows if r["pass"].startswith("k"))
-    probe_overhead = 2 * (2 * PLANE / bw) * 1e3  # the two `*s` probes
     print(json.dumps({
         "pass": "summary",
         "fir+wiener_ms": round(rows[0]["ms"] + rows[-1]["ms"], 3),
         "k1+k2+k3_ms": round(k123, 3),
-        "k-probe_overhead_ms": round(probe_overhead, 3),
-        "note": "k2/k3 rows include an XLA `*s` input pass "
-                "(~probe_overhead/2 each) so the per-pass residuals "
-                "are upper bounds; wiener_full has no probe passes"}),
+        "note": "models are fixed_ms + bytes/BW from the base fit; "
+                "k2/k3 rows include an XLA `*s` input pass (2 extra "
+                "plane units, counted in their byte models); "
+                "wiener_full has no probe passes but pays the fixed "
+                "cost once for its three chained kernels"}),
         flush=True)
 
 
