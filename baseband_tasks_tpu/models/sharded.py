@@ -75,10 +75,6 @@ class ShardedPipeline:
         if axis_name not in mesh.shape:
             raise ValueError(f"mesh has no axis {axis_name!r}; "
                              f"axes are {tuple(mesh.shape)}")
-        if any(d is not None for d in cp._decoders):
-            raise NotImplementedError(
-                "packed ingest is not yet wired into the sharded "
-                "executor; build the CompiledPipeline with packed=False")
         self.cp = cp
         self.mesh = mesh
         self.axis_name = axis_name
@@ -152,17 +148,29 @@ class ShardedPipeline:
 
     def _shard_blocks(self, blocks):
         """Host block stack (n_blocks, block, ...) -> device-placed
-        (n_steps, S*block, ...) sharded along the time axis."""
+        (n_steps, S*block, ...) sharded along the time axis.
+
+        Works leaf-wise over pytrees, so packed-source stacks
+        (``(carrier, mask)`` from ``read_source_blocks``) shard the same
+        way: each leaf's per-block leading axis is contiguous in time,
+        so S consecutive blocks concatenate and split evenly across the
+        mesh axis, and each shard decodes exactly its own block inside
+        the compiled step (ops/unpack_device.py)."""
         S = self.n_shards
-        blocks = jnp.asarray(blocks)
-        n_blocks = blocks.shape[0]
-        if n_blocks % S:
-            raise ValueError(f"n_blocks={n_blocks} must be a multiple of "
-                             f"the {S} time shards")
-        stacked = blocks.reshape((n_blocks // S, S * blocks.shape[1])
-                                 + blocks.shape[2:])
         spec = NamedSharding(self.mesh, P(None, self.axis_name))
-        return jax.device_put(stacked, spec)
+
+        def one(leaf):
+            leaf = jnp.asarray(leaf)
+            n_blocks = leaf.shape[0]
+            if n_blocks % S:
+                raise ValueError(
+                    f"n_blocks={n_blocks} must be a multiple of "
+                    f"the {S} time shards")
+            stacked = leaf.reshape((n_blocks // S, S * leaf.shape[1])
+                                   + leaf.shape[2:])
+            return jax.device_put(stacked, spec)
+
+        return jax.tree.map(one, blocks)
 
     def run_fn(self, n_blocks):
         """Jitted sharded scan over ``n_blocks`` source blocks (must be a
@@ -246,12 +254,14 @@ class ShardedPipeline:
 
     def run_blocks(self, blocks):
         """Run the sharded graph over stacked source blocks (tuple of
-        stacks for multi-source graphs); see ``run_fn``."""
+        stacks for multi-source graphs, pytrees for packed sources);
+        see ``run_fn``."""
         if len(self.cp.sources) > 1:
-            blocks = tuple(np.asarray(b) for b in blocks)
-            return self.run_fn(blocks[0].shape[0])(blocks)
-        blocks = np.asarray(blocks)
-        return self.run_fn(blocks.shape[0])(blocks)
+            blocks = tuple(blocks)  # per-source stacks (or pytrees)
+            n_blocks = jax.tree.leaves(blocks[0])[0].shape[0]
+        else:
+            n_blocks = jax.tree.leaves(blocks)[0].shape[0]
+        return self.run_fn(int(n_blocks))(blocks)
 
     def run_reduced(self, blocks):
         """Averaged (sums/counts) result of the absorbed reduction, like

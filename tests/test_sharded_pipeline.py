@@ -279,3 +279,58 @@ class TestBeyondReferenceModels:
             bank.search_sharded(power, mesh)  # 12 trials over 8 shards
         with pytest.raises(ValueError, match="no axis"):
             bank.search_sharded(power, mesh, axis_name="bogus")
+
+
+class TestPackedSharded:
+    """Packed sources through the sharded executor: raw payload carriers
+    shard along the time axis and each shard decodes its own block
+    inside the compiled step (ops/unpack_device.py)."""
+
+    def _vdif(self, tmp_path):
+        from baseband_tasks_tpu.io import vdif
+        rate = u.Quantity(1 << 20, u.Hz)
+        sh = NoiseGenerator(shape=(1 << 16, 2), start_time=T0,
+                            sample_rate=rate, samples_per_frame=8192,
+                            dtype=np.complex64, seed=41)
+        data = np.asarray(sh.read()) * 16
+        path = str(tmp_path / "ps.vdif")
+        with vdif.open(path, "w", template=sh, bps=8) as fw:
+            fw.write(data)
+        return vdif.open(path, sample_rate=rate)
+
+    def test_vdif_packed_sharded(self, tmp_path):
+        mesh = make_mesh(time=8)
+        fr = self._vdif(tmp_path)
+        tail = Integrate(Square(Channelize(fr, 64)), 16)
+        cp_f = CompiledPipeline(tail, block_samples=8192)
+        cp_p = CompiledPipeline(tail, block_samples=8192, packed=True)
+        blocks_p = cp_p.read_source_blocks(8)
+        ref = cp_f.run_blocks(np.asarray(cp_f.read_source_blocks(8)))
+        got = ShardedPipeline(cp_p, mesh).run_blocks(blocks_p)
+        for g, r in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-6, atol=1e-6)
+        fr.close()
+
+    def test_hdf5_packed_sharded_padded_chain(self, tmp_path):
+        pytest.importorskip("h5py")
+        from baseband_tasks_tpu.io import hdf5
+        mesh = make_mesh(time=4)
+        sh = noise(42, shape=(1 << 15, 4), spf=4096)
+        data = np.asarray(sh.read())
+        path = str(tmp_path / "ps.h5")
+        with hdf5.open(path, "w", template=sh, bps=8) as fw:
+            fw.write(data)
+        fr = hdf5.open(path)
+        freq = (400 + 0.25 * np.arange(4)) * u.MHz
+        ded = Dedisperse(SetAttribute(fr, frequency=freq, sideband=1),
+                         5.0, samples_per_frame=4096)
+        tail = Square(ded)
+        cp_f = CompiledPipeline(tail, block_samples=4096)
+        cp_p = CompiledPipeline(tail, block_samples=4096, packed=True)
+        ref = cp_f.run_blocks(np.asarray(cp_f.read_source_blocks(4)))
+        got = ShardedPipeline(cp_p, mesh).run_blocks(
+            cp_p.read_source_blocks(4))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+        fr.close()

@@ -229,14 +229,19 @@ def _timed_planes_chain(cp, shape, n_iter=N_ITER):
     return _best_of(lambda: np.asarray(run(xr, xi, *caches))) / n_iter
 
 
-def config2():
+def config2(spf=1 << 17):
     """Coherent dedispersion DM=29.7 + Dechannelize, 16 MHz band
     (128 x 125 kHz complex channels).
 
     The compiled pipeline fuses the Dechannelize inverse-DFT into the
     pallas dedispersion's last kernel (models/compiled.py peephole), so
     the whole chain is three HBM passes with the pads trimmed in-kernel
-    and the window assembled in VMEM from the streaming carry."""
+    and the window assembled in VMEM from the streaming carry.
+
+    ``spf`` sets the dedispersion frame (the pow2 window is the next
+    power of two above spf + pads): the device charges a FIXED ~1 ms
+    per scan step regardless of size, so doubling the window halves
+    that cost's share (config2big)."""
     import jax
     from baseband_tasks_tpu import (Dechannelize, Dedisperse,
                                     NoiseGenerator, SetAttribute)
@@ -258,7 +263,7 @@ def config2():
     # 2^18-row pow2 windows (~268 MB blocks) amortize the device's
     # fixed per-step cost; engine='pallas' is explicit so the fusion
     # also applies when benchmarked off-TPU
-    ded = Dedisperse(src, 29.7, samples_per_frame=1 << 17,
+    ded = Dedisperse(src, 29.7, samples_per_frame=spf,
                      engine="pallas")
     cp = CompiledPipeline(Dechannelize(ded))
     assert any(getattr(st, "fused", None) is not None for st in cp.stages)
@@ -268,12 +273,16 @@ def config2():
     return _with_base(
         {"config": 2, "samples_per_s": round(rate, 1),
          "backend": jax.default_backend(), "block": cp.block_samples,
+         "ms_per_step": round(dt * 1e3, 2),
          "vs_realtime": round(rate / 16e6, 1)}, "samples_per_s")
 
 
-def config3():
+def config3(spf=32256, pad_start=128, pad_end=128):
     """PFB (8 taps x 256 chan sinc-hamming) + Wiener inverse round trip,
-    dual-pol complex.
+    dual-pol complex.  ``spf``/``pad`` (spectra) set the deconvolution
+    window: spf + 2*pad should be a power of two with pads on the
+    window's N2 grid (32256+256 -> 2^15; config3big uses 130048+1024 ->
+    2^17 to amortize the device's fixed ~1.25 ms per-scan-step cost).
 
     The chain compiles to the round-trip QUAD fusion
     (models/compiled.py): the forward's channelizing DFT and the
@@ -306,7 +315,9 @@ def config3():
 
     n_tap, n_chan = 8, 256
     h = sinc_hamming(n_tap, n_chan).reshape(n_tap, n_chan)
-    src = NoiseGenerator(shape=(1 << 24, 2),
+    # stream long enough that the padded window never clamps
+    n_src = max(1 << 24, 1 << (int(np.ceil(np.log2(spf * 256))) + 1))
+    src = NoiseGenerator(shape=(n_src, 2),
                          start_time=Time.from_mjd(58000.0),
                          sample_rate=4 * u.MHz, samples_per_frame=1 << 16,
                          seed=2)
@@ -314,10 +325,10 @@ def config3():
     # 2^15-row deconvolution window (256-row pads, ~132 MB blocks) —
     # big enough to amortize the fixed per-step cost
     with fft_maker.set("pallas"), set_matmul_precision("high"):
-        pfb = PolyphaseFilterBank(src, h, samples_per_frame=32256)
+        pfb = PolyphaseFilterBank(src, h, samples_per_frame=spf)
         inv = InversePolyphaseFilterBank(
-            pfb, h, sn=30, pad_start=128, pad_end=128,
-            samples_per_frame=32256, dtype=src.dtype, engine="pallas")
+            pfb, h, sn=30, pad_start=pad_start, pad_end=pad_end,
+            samples_per_frame=spf, dtype=src.dtype, engine="pallas")
         cp = CompiledPipeline(inv)
         fused = sum(1 for st in cp.stages
                     if getattr(st, "fused", None) is not None)
@@ -328,6 +339,7 @@ def config3():
     return _with_base(
         {"config": 3, "samples_per_s": round(rate, 1),
          "backend": jax.default_backend(), "block": cp.block_samples,
+         "ms_per_step": round(dt * 1e3, 2),
          "matmul_precision": "high (the library default)"},
         "samples_per_s")
 
@@ -820,6 +832,11 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     cmds = {"config1": config1, "config2": config2, "config3": config3,
+            "config2big": lambda: dict(config2(spf=1 << 18),
+                                       config="config2big"),
+            "config3big": lambda: dict(
+                config3(spf=130048, pad_start=512, pad_end=505),
+                config="config3big"),
             "config4": config4, "config4_packed": config4_packed,
             "scaling": scaling, "roofline": roofline,
             "flagship": flagship,

@@ -134,7 +134,7 @@ def main():
             return one(xs[0]), one(xs[1])
         return base_fn
 
-    base_sizes = (N // 2, N, 2 * N)
+    base_sizes = (N, 2 * N, 4 * N)
     for rows in base_sizes:
         passes.append(prepare(
             f"base_{rows}",
@@ -258,7 +258,8 @@ def main():
     coef = np.linalg.lstsq(
         np.stack([np.ones(n_base), bvec], 1), base_ms, rcond=None)[0]
     fixed_ms, per_byte_ms = float(coef[0]), float(coef[1])
-    bw = 1e-3 / per_byte_ms if per_byte_ms > 0 else float("inf")
+    # per_byte_ms is ms/byte -> bytes/s = (1/per_byte_ms) bytes/ms * 1e3
+    bw = 1e3 / per_byte_ms if per_byte_ms > 0 else float("inf")
     print(json.dumps({
         "pass": "base_fit",
         "base_ms": [round(float(b), 3) for b in base_ms],
