@@ -625,8 +625,14 @@ class WidebandPulsarPipeline:
                           self.n_phase - 1)
         return bins.astype(np.float32)
 
-    def run_fn(self, n_iter, offset0=0, ingest_bits=None):
+    def run_fn(self, n_iter, offset0=0, ingest_bits=None, unroll=4):
         """A jitted on-device loop of ``n_iter`` pipeline steps.
+
+        ``unroll`` places that many pipeline steps inside each device
+        loop iteration: the device charges a FIXED ~1.15 ms per loop
+        step regardless of size (tools/profile_quad.py base fit), so
+        unrolling cuts that cost's per-block share — measured +8-30%
+        on the fused configs (BASELINE.md round 4).
 
         Each iteration generates a fresh noise block on device (counter
         PRNG keyed on the iteration), advances the fold offset, and
@@ -754,7 +760,9 @@ class WidebandPulsarPipeline:
                                else self.n_pol),
                               jnp.float32),
                     jnp.zeros((self.n_phase,), jnp.float32))
-            _, acc, cnt_acc = jax.lax.fori_loop(0, n_iter, body, init)
+            _, acc, cnt_acc = jax.lax.fori_loop(
+                0, n_iter, body, init,
+                unroll=min(int(unroll), int(n_iter)) or 1)
             return acc, cnt_acc
 
         jgen_out = (0, 1) if split_planes else (0,)

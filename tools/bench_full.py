@@ -191,12 +191,19 @@ def config1():
         "compiled_samples_per_s")
 
 
-def _timed_planes_chain(cp, shape, n_iter=N_ITER):
+def _timed_planes_chain(cp, shape, n_iter=N_ITER, blocks_per_step=1):
     """Time the compiled planes-interchange step: complex data travels
     as two flat f32 planes, the per-iteration scale rides into the
     first fused kernel's SMEM, and streaming fused stages assemble
     their overlap-save windows in VMEM (models/compiled.py
-    planes_step) — no XLA plumbing pass touches the blocks."""
+    planes_step) — no XLA plumbing pass touches the blocks.
+
+    ``blocks_per_step`` unrolls that many consecutive blocks inside one
+    scan step (the carry chains through, so it is exactly streaming):
+    the device charges a FIXED ~1.15 ms per scan step (profile_quad
+    base fit), so u blocks per step cut that cost's per-block share by
+    u — the production driver shape when windows cannot grow (VMEM
+    bounds the four-step geometry at L=512 to 2^15-row windows)."""
     import jax
     import jax.numpy as jnp
 
@@ -215,10 +222,13 @@ def _timed_planes_chain(cp, shape, n_iter=N_ITER):
     @jax.jit
     def run(xr, xi, *cs):
         def s(carry, i):
-            scale = 1.0 + 1e-6 * i.astype(jnp.float32)
-            carry, (yr, yi) = step_c(carry, (xr, xi), scale, cs)
-            out = jnp.sum(yr ** 2) + (0.0 if yi is None
-                                      else jnp.sum(yi ** 2))
+            out = 0.0
+            for k in range(blocks_per_step):
+                scale = 1.0 + 1e-6 * (
+                    blocks_per_step * i.astype(jnp.float32) + k)
+                carry, (yr, yi) = step_c(carry, (xr, xi), scale, cs)
+                out = out + jnp.sum(yr ** 2) + (0.0 if yi is None
+                                                else jnp.sum(yi ** 2))
             return carry, out
 
         carry, ys = jax.lax.scan(s, cp.init_carry(planes=True),
@@ -226,10 +236,11 @@ def _timed_planes_chain(cp, shape, n_iter=N_ITER):
         return jnp.sum(ys).reshape(1)
 
     np.asarray(run(xr, xi, *caches))  # compile + warm
-    return _best_of(lambda: np.asarray(run(xr, xi, *caches))) / n_iter
+    return _best_of(lambda: np.asarray(run(xr, xi, *caches))) \
+        / (n_iter * blocks_per_step)
 
 
-def config2(spf=1 << 17):
+def config2(spf=1 << 17, blocks_per_step=4):
     """Coherent dedispersion DM=29.7 + Dechannelize, 16 MHz band
     (128 x 125 kHz complex channels).
 
@@ -268,16 +279,19 @@ def config2(spf=1 << 17):
     cp = CompiledPipeline(Dechannelize(ded))
     assert any(getattr(st, "fused", None) is not None for st in cp.stages)
 
-    dt = _timed_planes_chain(cp, (cp.block_samples, n_chan))
+    dt = _timed_planes_chain(cp, (cp.block_samples, n_chan),
+                             blocks_per_step=blocks_per_step)
     rate = cp.block_samples * n_chan / dt
     return _with_base(
         {"config": 2, "samples_per_s": round(rate, 1),
          "backend": jax.default_backend(), "block": cp.block_samples,
-         "ms_per_step": round(dt * 1e3, 2),
+         "ms_per_block": round(dt * 1e3, 2),
+         "blocks_per_step": blocks_per_step,
          "vs_realtime": round(rate / 16e6, 1)}, "samples_per_s")
 
 
-def config3(spf=32256, pad_start=128, pad_end=128):
+def config3(spf=32256, pad_start=128, pad_end=128,
+            blocks_per_step=4):
     """PFB (8 taps x 256 chan sinc-hamming) + Wiener inverse round trip,
     dual-pol complex.  ``spf``/``pad`` (spectra) set the deconvolution
     window: spf + 2*pad should be a power of two with pads on the
@@ -334,12 +348,14 @@ def config3(spf=32256, pad_start=128, pad_end=128):
                     if getattr(st, "fused", None) is not None)
         assert fused == 2, fused
 
-        dt = _timed_planes_chain(cp, (cp.block_samples, 2))
+        dt = _timed_planes_chain(cp, (cp.block_samples, 2),
+                                 blocks_per_step=blocks_per_step)
     rate = cp.block_samples * 2 / dt
     return _with_base(
         {"config": 3, "samples_per_s": round(rate, 1),
          "backend": jax.default_backend(), "block": cp.block_samples,
-         "ms_per_step": round(dt * 1e3, 2),
+         "ms_per_block": round(dt * 1e3, 2),
+         "blocks_per_step": blocks_per_step,
          "matmul_precision": "high (the library default)"},
         "samples_per_s")
 
@@ -834,6 +850,10 @@ def main():
     cmds = {"config1": config1, "config2": config2, "config3": config3,
             "config2big": lambda: dict(config2(spf=1 << 18),
                                        config="config2big"),
+            "config2u1": lambda: dict(config2(blocks_per_step=1),
+                                      config="config2u1"),
+            "config3u1": lambda: dict(config3(blocks_per_step=1),
+                                      config="config3u1"),
             "config3big": lambda: dict(
                 config3(spf=130048, pad_start=512, pad_end=505),
                 config="config3big"),

@@ -47,15 +47,28 @@ from baseband_tasks_tpu.ops.pfb_pallas import pfb_forward_stream
 from baseband_tasks_tpu.ops.dft_matmul import matmul_precision
 
 N_ITER = 16
-N = 1 << 15          # Wiener window rows
-L = 512              # 256 chan x 2 pol on the lanes
-PAD = 256            # pad_start = pad_end = 256 (multiples of N2)
-M = N - 2 * PAD      # valid rows per step = 32256
 N_TAP = 8
 
-N1, N2 = _split_n(N)
-KF = KE = PAD // N2
-PLANE = N * L * 4    # one f32 window plane, bytes
+#: geometries: config3 = the PFB round-trip quad graph; config2 = the
+#: fused Dedisperse->Dechannelize chain (no FIR, chirp gain, post
+#: IDFT lane matmul in K3)
+MODES = {
+    "config3": dict(N=1 << 15, L=512, PAD=256, fir=True, post=False),
+    "config2": dict(N=1 << 18, L=128, PAD=512, fir=False, post=True),
+}
+MODE = "config3"
+N = L = PAD = M = N1 = N2 = KF = KE = PLANE = None
+
+
+def set_mode(mode):
+    global MODE, N, L, PAD, M, N1, N2, KF, KE, PLANE
+    MODE = mode
+    g = MODES[mode]
+    N, L, PAD = g["N"], g["L"], g["PAD"]
+    M = N - 2 * PAD
+    N1, N2 = _split_n(N)
+    KF = KE = PAD // N2
+    PLANE = N * L * 4    # one f32 window plane, bytes
 
 
 def prepare(name, make_inputs, fn, bytes_model, n_iter=N_ITER):
@@ -142,19 +155,28 @@ def main():
             base_fn_for(rows),
             bytes_model=4 * rows * L * 4))
 
-    # ---- FIR pass (quad form: fr=None, tap-sum only) -----------------
-    taps = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (N_TAP, L)).astype(np.float32))
-    cr0 = jnp.zeros((N_TAP - 1, L), jnp.float32)
+    # ---- FIR pass (quad form: fr=None, tap-sum only; config3 only) ----
+    if MODES[MODE]["fir"]:
+        taps = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (N_TAP, L)).astype(np.float32))
+        cr0 = jnp.zeros((N_TAP - 1, L), jnp.float32)
 
-    def fir(xs, s):
-        return pfb_forward_stream(cr0, cr0, xs[0], xs[1], taps,
-                                  n_tap=N_TAP, scale=s)
+        def fir(xs, s):
+            return pfb_forward_stream(cr0, cr0, xs[0], xs[1], taps,
+                                      n_tap=N_TAP, scale=s)
 
-    passes.append(prepare(
-        "fir", lambda: planes((M, L), 1), fir,
-        # read carry+block twice (re+im), write both output planes
-        bytes_model=4 * M * L * 4))
+        passes.append(prepare(
+            "fir", lambda: planes((M, L), 1), fir,
+            # read carry+block twice (re+im), write both output planes
+            bytes_model=4 * M * L * 4))
+
+    # config2's K3 carries the dechannelize inverse-DFT as a post lane
+    # matmul (the _FusedDisperseDechan fusion)
+    post_mats = None
+    if MODES[MODE]["post"]:
+        from baseband_tasks_tpu.ops.spectral_filter import lane_dft_mats
+        post_mats = tuple(jnp.asarray(m) for m in
+                          lane_dft_mats(L, inverse=True))
 
     # ---- Wiener K1: streaming stage-A (window assembly + FFT_N1) -----
     gr, gi = planes((N2, N1, L), 2)
@@ -206,17 +228,22 @@ def main():
     spec_out = pl.BlockSpec((n1v, block_b, L), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
+    spec_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
     def k3(xs, s):
         zr, zi = xs[0] * s, xs[1]
+        post = post_mats is not None
+        extra_specs = [spec_full, spec_full] if post else []
+        extra_args = list(post_mats) if post else []
         return pl.pallas_call(
-            functools.partial(_k3_trim_body, N1, KF, KE, False, prec),
+            functools.partial(_k3_trim_body, N1, KF, KE, post, prec),
             compiler_params=params,
             grid=(N2 // block_b,),
-            in_specs=[spec_bT, spec_bT],
+            in_specs=extra_specs + [spec_bT, spec_bT],
             out_specs=(spec_out, spec_out),
             out_shape=(jax.ShapeDtypeStruct((n1v, N2, L), jnp.float32),
                        jax.ShapeDtypeStruct((n1v, N2, L), jnp.float32)),
-        )(zr, zi)
+        )(*extra_args, zr, zi)
 
     passes.append(prepare(
         "k3_invA_trim",
@@ -229,7 +256,7 @@ def main():
         cr_, ci_, xr_, xi_ = xs
         return spectral_filter_stream(cr_, ci_, xr_, xi_, gr, gi,
                                       pad_start=PAD, pad_end=PAD,
-                                      scale=s)
+                                      scale=s, post=post_mats)
 
     def mk_w():
         cr_, ci_ = planes((2 * PAD, L), 7)
