@@ -338,7 +338,8 @@ class Base:
     def _read_frame(self, frame_index):  # pragma: no cover - abstract
         raise NotImplementedError
 
-    def compile(self, *, block_samples=None, fuse=True):
+    def compile(self, *, block_samples=None, fuse=True, mesh=None,
+                shard_axis="time"):
         """A read-compatible view backed by the compiled device scan.
 
         Same filehandle protocol (``seek``/``read``/``tell``/meta), but
@@ -352,9 +353,15 @@ class Base:
         models/compiled.py:35-47).  Trailing ``Integrate``/``Fold``
         reductions keep their host bin bookkeeping over a compiled view
         of their input chain.
+
+        Pass ``mesh`` (a `jax.sharding.Mesh`) to run each step
+        time-sharded across its ``shard_axis`` devices
+        (:class:`~.models.sharded.ShardedPipeline` halo exchange) —
+        the same read-compatible API, multi-chip underneath.
         """
         from .models.view import compile_stream
-        return compile_stream(self, block_samples=block_samples, fuse=fuse)
+        return compile_stream(self, block_samples=block_samples, fuse=fuse,
+                              mesh=mesh, shard_axis=shard_axis)
 
     # -- conversions / niceties ------------------------------------------
     def __getitem__(self, item):

@@ -61,7 +61,8 @@ class CompiledStreamView(Base):
     #: source samples per streamed step when nothing pins the block
     _TARGET_BLOCK = 1 << 16
 
-    def __init__(self, tail, *, block_samples=None, fuse=True):
+    def __init__(self, tail, *, block_samples=None, fuse=True,
+                 mesh=None, shard_axis="time"):
         from .compiled import CompiledPipeline
 
         cp = CompiledPipeline(tail, block_samples=block_samples, fuse=fuse)
@@ -94,10 +95,22 @@ class CompiledStreamView(Base):
         self._tail = tail
         self._delay = int(cp.delay)
         self._wu = int(cp.warmup)
+        # mesh=None: one block per device step.  With a mesh, each step
+        # processes S consecutive blocks, one per device along
+        # ``shard_axis`` (ShardedPipeline's super-step: halo exchange
+        # replaces the overlap-save carries between shards).
+        self._S = 1
+        self._in_sharding = None
+        if mesh is not None:
+            from .sharded import ShardedPipeline
+            sp = ShardedPipeline(cp, mesh, axis_name=shard_axis)
+            self._S = sp.n_shards
         # full source blocks available from each source's folded offset
         avail = min((src.shape[0] - extra) // cp.block_samples
                     for src, extra in zip(cp.sources, cp.source_offsets))
-        self._max_blocks = max(int(avail), 0)
+        # with a mesh only whole super-steps run compiled; the remainder
+        # (< S blocks) is served eagerly like any partial tail
+        self._max_blocks = max(int(avail) // self._S * self._S, 0)
         attrs = tail.meta.get("__attributes__", {})
         super().__init__(
             shape=tail.shape, start_time=tail.start_time,
@@ -107,50 +120,64 @@ class CompiledStreamView(Base):
             sideband=attrs.get("sideband"),
             polarization=attrs.get("polarization"))
 
-        step_c, leaves = cp.cached_step()
-        self._caches = leaves
         self._multi = len(cp.sources) > 1
+        if mesh is None:
+            step_c, leaves = cp.cached_step()
 
-        @jax.jit
-        def jstep(carry, xs, *cs):
-            return step_c(carry, xs, cs)
+            @jax.jit
+            def jstep(carry, xs, *cs):
+                return step_c(carry, xs, cs)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+            smapped, leaves = sp.sharded_step()
+            self._in_sharding = NamedSharding(mesh,
+                                              PartitionSpec(shard_axis))
 
+            @jax.jit
+            def jstep(carry, xs, *cs):
+                return smapped(carry, xs, cs)
+
+        self._caches = leaves
         self._jstep = jstep
         self._reset_scan()
 
     # -- streaming state ---------------------------------------------------
     def _reset_scan(self):
         self._carry = self.cp.init_carry()
-        self._next_block = 0
-        self._bufs = []          # per-block outputs, compiled coords
+        self._next_step = 0      # device steps taken (S blocks each)
+        self._bufs = []          # per-step outputs, compiled coords
         self._buf_start = 0      # compiled index of _bufs[0][0]
 
     def _read_next_source_block(self):
         cp = self.cp
+        n = self._S * cp.block_samples
         blocks = []
         for src, extra in zip(cp.sources, cp.source_offsets):
-            src.seek(extra + self._next_block * cp.block_samples)
-            blocks.append(jnp.asarray(src.read(cp.block_samples)))
-        self._next_block += 1
+            src.seek(extra + self._next_step * n)
+            x = jnp.asarray(src.read(n))
+            if self._in_sharding is not None:
+                x = jax.device_put(x, self._in_sharding)
+            blocks.append(x)
+        self._next_step += 1
         return tuple(blocks) if self._multi else blocks[0]
 
     def _compiled_read(self, c0, c1):
         """Compiled outputs [c0, c1) (compiled coordinates)."""
-        tb = self.cp.tail_block
+        tb = self._S * self.cp.tail_block
         if c0 < self._buf_start:
             self._reset_scan()
-        # drop whole retained blocks that precede c0
+        # drop whole retained step outputs that precede c0
         while self._bufs and self._buf_start + tb <= c0:
             self._bufs.pop(0)
             self._buf_start += tb
         if not self._bufs:
             skip = c0 // tb
-            while self._next_block < skip:
+            while self._next_step < skip:
                 xs = self._read_next_source_block()
                 self._carry, _ = self._jstep(self._carry, xs,
                                              *self._caches)
-            self._buf_start = self._next_block * tb
-        while self._next_block * tb < c1:
+            self._buf_start = self._next_step * tb
+        while self._next_step * tb < c1:
             xs = self._read_next_source_block()
             self._carry, y = self._jstep(self._carry, xs, *self._caches)
             self._bufs.append(y)
@@ -190,12 +217,14 @@ class CompiledStreamView(Base):
         super().close()
 
     def __repr__(self):
+        shard = (f", shards={self._S}" if self._S > 1 else "")
         return (f"CompiledStreamView({self._tail!r},\n"
                 f"    block_samples={self.cp.block_samples}, "
-                f"delay={self._delay}, warmup={self._wu})")
+                f"delay={self._delay}, warmup={self._wu}{shard})")
 
 
-def compile_stream(tail, *, block_samples=None, fuse=True):
+def compile_stream(tail, *, block_samples=None, fuse=True, mesh=None,
+                   shard_axis="time"):
     """``tail.compile()`` implementation: a read-compatible compiled view.
 
     Trailing reductions (``Integrate``/``Fold``/``PulseStack``) keep
@@ -203,16 +232,22 @@ def compile_stream(tail, *, block_samples=None, fuse=True):
     input chain — the heavy per-sample work (FFTs, chirps, FIRs,
     detection) runs in the device scan; use
     :meth:`CompiledPipeline.run_reduced` to also fold on device.
+
+    With ``mesh``, each device step runs ``S = mesh.shape[shard_axis]``
+    consecutive blocks, one per device, via
+    :class:`~.sharded.ShardedPipeline` — the one-call path from any
+    library chain to multi-chip execution.
     """
     if isinstance(tail, Integrate):
         import copy
 
         view = compile_stream(tail.ih, block_samples=block_samples,
-                              fuse=fuse)
+                              fuse=fuse, mesh=mesh, shard_axis=shard_axis)
         new = copy.copy(tail)
         new.ih = view
         new._frame = None
         new._frame_index = None
         new._offset = 0
         return new
-    return CompiledStreamView(tail, block_samples=block_samples, fuse=fuse)
+    return CompiledStreamView(tail, block_samples=block_samples, fuse=fuse,
+                              mesh=mesh, shard_axis=shard_axis)

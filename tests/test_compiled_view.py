@@ -125,6 +125,72 @@ class TestReductionTails:
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+class TestShardedView:
+    """``chain.compile(mesh=...)``: the same read-compatible API with
+    each device step time-sharded across the mesh (ShardedPipeline halo
+    exchange under the hood)."""
+
+    def _mesh(self, n=8):
+        import jax
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) < n:
+            pytest.skip(f"need {n} devices")
+        return Mesh(np.asarray(devs[:n]), ("time",))
+
+    def test_padded_chain_matches_single_device(self):
+        tail = dedisperse_chain(19)
+        mesh = self._mesh()
+        view = tail.compile(mesh=mesh)
+        assert view._S == 8
+        got = np.asarray(view.read())
+        single = np.asarray(dedisperse_chain(19).compile().read())
+        # identical per-shard programs; halo == carry contents
+        np.testing.assert_allclose(got, single, rtol=1e-6, atol=1e-6)
+        tail.seek(0)
+        assert_snr(got, np.asarray(tail.read()))
+
+    def test_seek_and_sequential_reads(self):
+        tail = dedisperse_chain(23)
+        view = tail.compile(mesh=self._mesh())
+        ref = dedisperse_chain(23)
+        view.seek(40000)
+        ref.seek(40000)
+        assert_snr(np.asarray(view.read(30000)),
+                   np.asarray(ref.read(30000)))
+        assert_snr(np.asarray(view.read(20000)),
+                   np.asarray(ref.read(20000)))
+
+    def test_reduction_tail_sharded(self):
+        f0 = 123.456
+        phase = lambda t: u.Quantity((t - T0).sec * f0, u.cycle)  # noqa
+        def make():
+            return Fold(Square(Channelize(noise(29), 16)), 8, phase,
+                        u.Quantity(1024 * 16 / 1e6, u.s),
+                        samples_per_frame=1)
+        view = make().compile(mesh=self._mesh())
+        assert isinstance(view.ih, CompiledStreamView)
+        assert view.ih._S == 8
+        got = np.asarray(view.read(4))
+        tail = make()
+        ref = np.asarray(tail.read(4))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def test_time_chan_mesh(self):
+        import jax
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("need 8 devices")
+        mesh = Mesh(np.asarray(devs[:8]).reshape(4, 2), ("time", "chan"))
+        tail = dedisperse_chain(31)
+        view = tail.compile(mesh=mesh)
+        assert view._S == 4
+        got = np.asarray(view.read(60000))
+        single = np.asarray(dedisperse_chain(31).compile().read(60000))
+        np.testing.assert_allclose(got, single, rtol=1e-6, atol=1e-6)
+
+
 class TestViewValidation:
     def test_rejects_fractional_delay(self):
         import warnings

@@ -211,14 +211,18 @@ def main():
                           bytes_model=4 * PLANE))
 
     # ---- Wiener K2: stage-B + gain + inverse stage-B (aliased) -------
+    # the gain planes ride as runtime ARGUMENTS: closed-over device
+    # arrays embed as HLO constants, and at config2 geometry the
+    # 2 x 134 MB constants overflow the axon remote-compile request
+    # body (HTTP 413)
     def k2(xs, s):
         yr, yi = xs[0] * s, xs[1]
-        return _stage_b(yr, yi, gr, gi, n1=N1, n2=N2, block_c=block_c,
-                        interpret=False, params=params)
+        return _stage_b(yr, yi, xs[2], xs[3], n1=N1, n2=N2,
+                        block_c=block_c, interpret=False, params=params)
 
     passes.append(prepare(
         "k2_stageB_gain",
-        lambda: planes((N2, N1, L), 5), k2,
+        lambda: planes((N2, N1, L), 5) + (gr, gi), k2,
         # r 2 planes + r gain (2 planes) + w 2 planes (aliased storage,
         # but the bytes still move) + the XLA `yr*s` probe pass (r+w)
         bytes_model=8 * PLANE))
@@ -253,15 +257,15 @@ def main():
 
     # ---- full Wiener (K1+K2+K3 in one call) ---------------------------
     def wiener(xs, s):
-        cr_, ci_, xr_, xi_ = xs
-        return spectral_filter_stream(cr_, ci_, xr_, xi_, gr, gi,
+        cr_, ci_, xr_, xi_, gr_, gi_ = xs
+        return spectral_filter_stream(cr_, ci_, xr_, xi_, gr_, gi_,
                                       pad_start=PAD, pad_end=PAD,
                                       scale=s, post=post_mats)
 
     def mk_w():
         cr_, ci_ = planes((2 * PAD, L), 7)
         xr_, xi_ = planes((M, L), 8)
-        return cr_, ci_, xr_, xi_
+        return cr_, ci_, xr_, xi_, gr, gi
 
     passes.append(prepare(
         "wiener_full", mk_w, wiener,
@@ -320,4 +324,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    modes = [a for a in sys.argv[1:] if a in MODES] or ["config3"]
+    for m in modes:
+        set_mode(m)
+        print(json.dumps({"mode": m}), flush=True)
+        main()
