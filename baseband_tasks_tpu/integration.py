@@ -90,12 +90,19 @@ class Integrate(BaseTaskBase):
     average : bool
         If True (default) divide sums by counts; else ``read`` returns a
         structured array with ``data`` and ``count`` fields.
+    masked : bool
+        If True, non-finite input cells (NaN from upstream flagging,
+        e.g. ``ExciseSpectralKurtosis(fill=nan)``) are excluded per
+        *cell*: counts gain the sample shape and averages stay unbiased
+        where data was excised.  Beyond the reference (whose counts are
+        per time bin only, integration.py:154-160).
     samples_per_frame : int
         Output bins per frame.
     """
 
     def __init__(self, ih, step=None, phase=None, *, start=0, average=True,
-                 samples_per_frame=1, dtype=None):
+                 masked=False, samples_per_frame=1, dtype=None):
+        self._masked = bool(masked)
         self.ih = ih
         if isinstance(start, Time):
             ih_start = ih.seek(start)
@@ -260,7 +267,8 @@ class Integrate(BaseTaskBase):
         sums = jnp.zeros((n_bins,) + self.ih.sample_shape, self._acc_dtype())
         # device pieces count in int32; the running total accumulates on
         # the host in int64, so bins beyond 2^31 samples cannot wrap
-        counts = np.zeros((n_bins,), np.int64)
+        counts = np.zeros((n_bins,) + (self.ih.sample_shape
+                                       if self._masked else ()), np.int64)
         state = [sums, counts]
 
         def accumulate(first, data):
@@ -269,12 +277,20 @@ class Integrate(BaseTaskBase):
                 np.searchsorted(edges, idx0 + np.arange(len(data)),
                                 side="right") - 1, 0, n_bins - 1)
             piece_bins = jnp.asarray(piece_np.astype(np.int32))
+            d = jnp.asarray(data)
+            if self._masked:
+                valid = jnp.isfinite(d)
+                d = jnp.where(valid, d, 0)
+                state[1] = state[1] + np.asarray(jax.ops.segment_sum(
+                    valid.astype(jnp.int32), piece_bins,
+                    num_segments=n_bins)).astype(np.int64)
+            else:
+                # counts are known on the host: tally there in int64
+                state[1] = state[1] + np.bincount(piece_np,
+                                                  minlength=n_bins)
             state[0] = state[0] + jax.ops.segment_sum(
-                jnp.asarray(data).astype(self._acc_dtype()), piece_bins,
+                d.astype(self._acc_dtype()), piece_bins,
                 num_segments=n_bins)
-            # counts are known on the host: tally there in int64
-            state[1] = state[1] + np.bincount(piece_np,
-                                              minlength=n_bins)
 
         fake = _FakeOutput(accumulate, first_sample=start)
         self.ih.seek(self._ih_start + start)
@@ -282,16 +298,17 @@ class Integrate(BaseTaskBase):
         sums, counts = state
 
         if self._average:
-            shape_count = counts.reshape((n_bins,)
-                                         + (1,) * len(self.ih.sample_shape))
+            shape_count = counts if self._masked else counts.reshape(
+                (n_bins,) + (1,) * len(self.ih.sample_shape))
             # divide on the host: feeding the int64 tally to jnp under
             # x32 would truncate it to int32 (wrapping beyond 2^31)
             out = np.asarray(sums) / np.maximum(shape_count, 1)
             return out.astype(self._sum_dtype)
         result = np.zeros((n_bins,) + self.ih.sample_shape, self._out_dtype)
         result["data"] = np.asarray(sums).astype(self._sum_dtype)
-        result["count"] = np.asarray(counts)[
-            (slice(None),) + (None,) * len(self.ih.sample_shape)]
+        result["count"] = np.asarray(counts) if self._masked else \
+            np.asarray(counts)[
+                (slice(None),) + (None,) * len(self.ih.sample_shape)]
         return result
 
     def _acc_dtype(self):
@@ -314,13 +331,14 @@ class Fold(Integrate):
     """
 
     def __init__(self, ih, n_phase, phase, step=None, *, start=0,
-                 average=True, samples_per_frame=1, dtype=None):
+                 average=True, masked=False, samples_per_frame=1,
+                 dtype=None):
         self._n_phase = operator.index(n_phase)
         if isinstance(step, u.Quantity) and step.unit.is_equivalent(u.cycle):
             raise ValueError("Fold steps in time; use PulseStack for "
                              "phase-stepped profiles.")
         super().__init__(ih, step=step, phase=None,
-                         start=start, average=average,
+                         start=start, average=average, masked=masked,
                          samples_per_frame=samples_per_frame, dtype=dtype)
         # Fold always needs the phase callable for binning, even when
         # stepping in time.
@@ -349,7 +367,8 @@ class Fold(Integrate):
         sums = jnp.zeros((total,) + self.ih.sample_shape, self._acc_dtype())
         # like Integrate: tally counts on the host in int64, so a
         # (time, phase) cell beyond 2^31 samples cannot wrap
-        counts = np.zeros((total,), np.int64)
+        counts = np.zeros((total,) + (self.ih.sample_shape
+                                      if self._masked else ()), np.int64)
         state = [sums, counts]
 
         def accumulate(first, data):
@@ -368,27 +387,38 @@ class Fold(Integrate):
                                     n_phase - 1)
             flat_np = (time_bins * n_phase + phase_bins).astype(np.int64)
             flat = jnp.asarray(flat_np.astype(np.int32))
+            d = jnp.asarray(data)
+            if self._masked:
+                valid = jnp.isfinite(d)
+                d = jnp.where(valid, d, 0)
+                state[1] = state[1] + np.asarray(jax.ops.segment_sum(
+                    valid.astype(jnp.int32), flat,
+                    num_segments=total)).astype(np.int64)
+            else:
+                state[1] = state[1] + np.bincount(flat_np, minlength=total)
             state[0] = state[0] + jax.ops.segment_sum(
-                jnp.asarray(data).astype(self._acc_dtype()), flat,
-                num_segments=total)
-            state[1] = state[1] + np.bincount(flat_np, minlength=total)
+                d.astype(self._acc_dtype()), flat, num_segments=total)
 
         fake = _FakeOutput(accumulate, first_sample=start)
         self.ih.seek(self._ih_start + start)
         self.ih.read(stop - start, out=fake)
         sums = state[0].reshape((n_bins, n_phase) + self.ih.sample_shape)
-        counts = state[1].reshape((n_bins, n_phase))
+        counts = state[1].reshape((n_bins, n_phase)
+                                  + (self.ih.sample_shape
+                                     if self._masked else ()))
 
         if self._average:
-            shaped = counts[(...,) + (None,) * len(self.ih.sample_shape)]
+            shaped = counts if self._masked else counts[
+                (...,) + (None,) * len(self.ih.sample_shape)]
             # host division (int64 counts must not pass through x32 jnp)
             out = np.asarray(sums) / np.maximum(shaped, 1)
             return out.astype(self._sum_dtype)
         result = np.zeros((n_bins, n_phase) + self.ih.sample_shape,
                           self._out_dtype)
         result["data"] = np.asarray(sums).astype(self._sum_dtype)
-        result["count"] = np.asarray(counts)[
-            (...,) + (None,) * len(self.ih.sample_shape)]
+        result["count"] = np.asarray(counts) if self._masked else \
+            np.asarray(counts)[
+                (...,) + (None,) * len(self.ih.sample_shape)]
         return result
 
 
@@ -398,10 +428,11 @@ class PulseStack(Integrate):
     integration.py:398-474)."""
 
     def __init__(self, ih, n_phase, phase, *, start=0, average=True,
-                 samples_per_frame=1, dtype=None):
+                 masked=False, samples_per_frame=1, dtype=None):
         self._n_phase = operator.index(n_phase)
         super().__init__(ih, step=u.Quantity(1.0 / n_phase, u.cycle),
                          phase=phase, start=start, average=average,
+                         masked=masked,
                          samples_per_frame=samples_per_frame * n_phase,
                          dtype=dtype)
         n_pulse = self._shape[0] // n_phase

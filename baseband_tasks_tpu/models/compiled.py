@@ -1073,6 +1073,7 @@ class CompiledPipeline:
         ids_f, n_seg = self.segment_ids_f(n_blocks)
         acc_dtype = red._acc_dtype()
         sample_shape = self._tail.sample_shape
+        masked = bool(getattr(red, "_masked", False))
 
         def red_step(carry, xs, caches):
             data_carry, sums, counts = carry[:-2], carry[-2], carry[-1]
@@ -1082,18 +1083,26 @@ class CompiledPipeline:
                 seg = (idf[..., 0].astype(jnp.int32) << 12)                     | idf[..., 1].astype(jnp.int32)
             else:
                 seg = idf[..., 0].astype(jnp.int32)
+            if masked:
+                # NaN-flagged cells (rfi.py fill=nan) drop out per cell
+                valid = jnp.isfinite(y)
+                y = jnp.where(valid, y, 0)
+                counts = counts + jax.ops.segment_sum(
+                    valid.astype(jnp.int32), seg, num_segments=n_seg + 1)
+            else:
+                counts = counts + jax.ops.segment_sum(
+                    jnp.ones(y.shape[0], jnp.int32), seg,
+                    num_segments=n_seg + 1)
             sums = sums + jax.ops.segment_sum(
                 y.astype(acc_dtype), seg, num_segments=n_seg + 1)
-            counts = counts + jax.ops.segment_sum(
-                jnp.ones(y.shape[0], jnp.int32), seg,
-                num_segments=n_seg + 1)
             return new_carry + (sums, counts), 0
 
         @jax.jit
         def jrun(blocks, ids, *caches):
             carry = self.init_carry() + (
                 jnp.zeros((n_seg + 1,) + sample_shape, acc_dtype),
-                jnp.zeros((n_seg + 1,), jnp.int32))
+                jnp.zeros((n_seg + 1,) + (sample_shape if masked else ()),
+                          jnp.int32))
             carry, _ = jax.lax.scan(
                 lambda c, x: red_step(c, x, caches), carry,
                 (blocks, ids))
@@ -1116,7 +1125,8 @@ class CompiledPipeline:
     def _shape_reduced_counts(self, counts):
         red = self.reduction
         if _fold_like(red) or _pulse_like(red):
-            return counts.reshape(-1, red.n_phase)
+            # masked reductions carry per-cell counts (sample shape)
+            return counts.reshape((-1, red.n_phase) + counts.shape[1:])
         return counts
 
     def run_reduced(self, blocks):

@@ -215,6 +215,7 @@ class ShardedPipeline:
                               + ids_f.shape[2:])
         acc_dtype = red._acc_dtype()
         sample_shape = cp._tail.sample_shape
+        masked = bool(getattr(red, "_masked", False))
 
         def red_step(carry, xs, caches):
             data_carry, sums, counts = carry[:-2], carry[-2], carry[-1]
@@ -225,18 +226,26 @@ class ShardedPipeline:
                     | idf[..., 1].astype(jnp.int32)
             else:
                 seg = idf[..., 0].astype(jnp.int32)
+            if masked:
+                # NaN-flagged cells (rfi.py fill=nan) drop out per cell
+                valid = jnp.isfinite(y)
+                y = jnp.where(valid, y, 0)
+                counts = counts + jax.ops.segment_sum(
+                    valid.astype(jnp.int32), seg, num_segments=n_seg + 1)
+            else:
+                counts = counts + jax.ops.segment_sum(
+                    jnp.ones(y.shape[0], jnp.int32), seg,
+                    num_segments=n_seg + 1)
             sums = sums + jax.ops.segment_sum(
                 y.astype(acc_dtype), seg, num_segments=n_seg + 1)
-            counts = counts + jax.ops.segment_sum(
-                jnp.ones(y.shape[0], jnp.int32), seg,
-                num_segments=n_seg + 1)
             return new_carry + (sums, counts), 0
 
         @jax.jit
         def jrun(stacked, ids, *caches):
             carry = cp.init_carry() + (
                 jnp.zeros((n_seg + 1,) + sample_shape, acc_dtype),
-                jnp.zeros((n_seg + 1,), jnp.int32))
+                jnp.zeros((n_seg + 1,) + (sample_shape if masked else ()),
+                          jnp.int32))
             carry, _ = jax.lax.scan(
                 lambda c, x: red_step(c, x, caches), carry,
                 (stacked, ids))

@@ -141,13 +141,23 @@ class ExciseSpectralKurtosis(TaskBase):
         Flagging threshold in units of the clean-noise sigma.
     d : float, optional
         Gamma shape of one power sample (see module docstring).
+    fill : float, optional
+        Value written into flagged cells (default 0).  Use ``np.nan``
+        together with a downstream ``Integrate``/``Fold`` built with
+        ``masked=True``: flagged cells are then *excluded per cell*
+        from the averages instead of biasing them low.  NaN fill is
+        meant for detection-stage chains (flag → detect → integrate);
+        do not feed NaNs into FFT-based stages (one NaN smears over the
+        whole transform).
     """
 
-    def __init__(self, ih, n, *, threshold=3.0, d=None,
+    def __init__(self, ih, n, *, threshold=3.0, d=None, fill=0.0,
                  samples_per_frame=None):
         if n < 2:
             raise ValueError("need at least 2 samples per SK block")
         self._n = int(n)
+        self._fill = complex(fill) if np.dtype(ih.dtype).kind == "c" \
+            else float(fill)
         self._threshold = float(threshold)
         self._d = _gamma_shape(ih.dtype, d)
         if samples_per_frame is None:
@@ -176,7 +186,12 @@ class ExciseSpectralKurtosis(TaskBase):
             else jnp.asarray(data) ** 2
         keep = self._keep_mask(power, n)             # (k,) + sample_shape
         keep = jnp.repeat(keep, n, axis=0)           # (k*n,) + sample_shape
-        return jnp.asarray(data) * keep.astype(power.dtype)
+        data = jnp.asarray(data)
+        if self._fill == 0:
+            # multiply instead of select: XLA fuses it into whatever
+            # surrounds, and 0 * anything-finite is exact
+            return data * keep.astype(power.dtype)
+        return jnp.where(keep, data, jnp.asarray(self._fill, data.dtype))
 
     def task(self, data):
         n = self._n

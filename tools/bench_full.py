@@ -459,10 +459,29 @@ def config4_packed():
     from baseband_tasks_tpu.utils import Time, units as u
 
     n_thread = 16            # 8 channels x 2 pols as VDIF threads
-    spf = 4096               # file frame size (divides the block)
-    block = 1 << 16
     n_blocks = 6
     rate = u.Quantity(1 << 18, u.Hz)  # pow2 so spf divides the second
+    freq_probe = (1400 + 0.262144 * (np.arange(n_thread) // 2)) * u.MHz
+
+    # the padded stage pins the compiled block to its (window - pads) —
+    # with the pallas engine the window is the next power of two, so
+    # the pinned value need not be "round".  Probe it, then size the
+    # file frames to the largest pow2 that divides it so read_packed
+    # stays frame-aligned.
+    import warnings as _warnings
+    probe_src = NoiseGenerator(shape=(1 << 20, n_thread),
+                               start_time=Time.from_mjd(58000.0),
+                               sample_rate=rate, samples_per_frame=8192,
+                               dtype=np.complex64, seed=11)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        ded_probe = Dedisperse(
+            SetAttribute(probe_src, frequency=freq_probe, sideband=1),
+            29.7, samples_per_frame=1 << 16)
+    block = int(ded_probe.samples_per_frame)
+    spf = min(4096, block & -block)  # largest pow2 divisor, capped
+    assert (1 << 18) % spf == 0 and block % spf == 0
+
     src = NoiseGenerator(shape=(n_blocks * block, n_thread),
                          start_time=Time.from_mjd(58000.0),
                          sample_rate=rate, samples_per_frame=8192,
