@@ -56,6 +56,16 @@ class _FakeOutput:
         self._setitem(self._first + (start or 0), data)
 
 
+def _fetch_counts(dev_counts):
+    """Device int32 piece counts -> host int64.
+
+    The axon TPU boundary transfers float32 only (an int fetch raises
+    UNIMPLEMENTED and poisons the process), so cast on device first;
+    per-piece counts are < 2^24, exact in float32."""
+    f32 = jax.jit(lambda v: v.astype(jnp.float32))
+    return np.asarray(f32(dev_counts)).astype(np.int64)
+
+
 def _phase_to_cycles(ph):
     """Coerce a phase callable's result to float64 cycles (host array)."""
     try:
@@ -281,9 +291,9 @@ class Integrate(BaseTaskBase):
             if self._masked:
                 valid = jnp.isfinite(d)
                 d = jnp.where(valid, d, 0)
-                state[1] = state[1] + np.asarray(jax.ops.segment_sum(
-                    valid.astype(jnp.int32), piece_bins,
-                    num_segments=n_bins)).astype(np.int64)
+                state[1] = state[1] + _fetch_counts(
+                    jax.ops.segment_sum(valid.astype(jnp.int32),
+                                        piece_bins, num_segments=n_bins))
             else:
                 # counts are known on the host: tally there in int64
                 state[1] = state[1] + np.bincount(piece_np,
@@ -391,9 +401,9 @@ class Fold(Integrate):
             if self._masked:
                 valid = jnp.isfinite(d)
                 d = jnp.where(valid, d, 0)
-                state[1] = state[1] + np.asarray(jax.ops.segment_sum(
-                    valid.astype(jnp.int32), flat,
-                    num_segments=total)).astype(np.int64)
+                state[1] = state[1] + _fetch_counts(
+                    jax.ops.segment_sum(valid.astype(jnp.int32), flat,
+                                        num_segments=total))
             else:
                 state[1] = state[1] + np.bincount(flat_np, minlength=total)
             state[0] = state[0] + jax.ops.segment_sum(

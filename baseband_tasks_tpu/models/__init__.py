@@ -9,9 +9,11 @@ from .correlator import CrossMultiply, fx_correlate
 from .accelsearch import FourierDomainAccelSearch, accel_template
 from .rmsearch import RMSynthesis
 from .beamform import BeamformStations, tied_array_beam
+from .ffa import FastFoldingSearch, ffa_fold
 
 __all__ = ["WidebandPulsarPipeline", "DMTrialSearch", "StreamRunner",
            "ShardedPipeline", "CompiledStreamView", "compile_stream",
            "CrossMultiply", "fx_correlate",
            "FourierDomainAccelSearch", "accel_template",
-           "RMSynthesis", "BeamformStations", "tied_array_beam"]
+           "RMSynthesis", "BeamformStations", "tied_array_beam",
+           "FastFoldingSearch", "ffa_fold"]

@@ -31,6 +31,9 @@ import jax.numpy as jnp
 
 __all__ = ["StreamRunner"]
 
+#: jitted complex recombine (module-level so the jit cache is shared)
+_jcomplex = jax.jit(jax.lax.complex)
+
 
 class StreamRunner:
     """Run a compiled pipeline over a source stream with prefetch.
@@ -187,12 +190,16 @@ class StreamRunner:
             sums = jnp.zeros((n_seg + 1,) + self.cp._tail.sample_shape,
                              red._acc_dtype())
             counts = jnp.zeros((n_seg + 1,), jnp.int32)
+        # ALL eager device ops must precede the reader thread: the axon
+        # tunnel client is not thread-safe against a concurrent
+        # device_put (measured: eager op + threaded put raises
+        # UNIMPLEMENTED; jit dispatch + threaded put is fine)
+        carry = self.cp.init_carry(planes=self.planes)
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         t = threading.Thread(target=self._reader,
                              args=(n_blocks, offset, q, stop), daemon=True)
         t.start()
-        carry = self.cp.init_carry(planes=self.planes)
         outs = []
         try:
             for i in range(n_blocks):
@@ -212,9 +219,10 @@ class StreamRunner:
                 if red is not None:
                     if self.planes:
                         # device-side recombine is fine (only boundary
-                        # transfers are restricted to f32)
+                        # transfers are restricted to f32); jitted so it
+                        # cannot race the reader thread's device_put
                         y = y[0] if y[1] is None \
-                            else jax.lax.complex(y[0], y[1])
+                            else _jcomplex(y[0], y[1])
                     sums, counts = self._jreduce(sums, counts, y, ids_f[i])
                 else:
                     outs.append(y)
