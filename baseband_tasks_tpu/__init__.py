@@ -29,6 +29,7 @@ from .pfb import (sinc_hamming, PolyphaseFilterBank,
 from .dispersion import (Disperse, Dedisperse, DisperseSamples,
                          DedisperseSamples)
 from .faraday import FaradayRotate, DeFaraday
+from .polarization import ConvertPolarization, ApplyJones
 from .rfi import SpectralKurtosis, ExciseSpectralKurtosis
 from .timing import ProfileTemplate, fit_phase_shift
 
@@ -45,4 +46,5 @@ __all__ = ["Base", "BaseTaskBase", "TaskBase", "PaddedTaskBase", "Task",
            "PolyphaseFilterBankSamples", "InversePolyphaseFilterBank",
            "SpectralKurtosis", "ExciseSpectralKurtosis",
            "FaradayRotate", "DeFaraday",
+           "ConvertPolarization", "ApplyJones",
            "ProfileTemplate", "fit_phase_shift", "open"]
