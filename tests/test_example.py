@@ -27,3 +27,9 @@ def test_tied_array_example(capsys):
     runpy.run_path("examples/tied_array.py", run_name="__main__")
     out = capsys.readouterr().out
     assert "calibration loop closed" in out
+
+
+def test_calibrated_fold_example(capsys):
+    runpy.run_path("examples/calibrated_fold.py", run_name="__main__")
+    out = capsys.readouterr().out
+    assert "calibrated masked fold ok" in out
