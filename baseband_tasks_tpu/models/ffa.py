@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..utils import units as u
 
-__all__ = ["FastFoldingSearch", "ffa_fold"]
+__all__ = ["FastFoldingSearch", "ffa_fold", "ffa_survey"]
 
 
 def _is_pow2(n):
@@ -179,3 +179,55 @@ class FastFoldingSearch:
                 "snr": float(s[t])} for t in hits]
         out.sort(key=lambda c: -c["snr"])
         return out
+
+
+def ffa_survey(x, p_min, p_max, *, sample_rate=None, threshold=7.0,
+               widths=(1, 2, 4, 8, 16)):
+    """Survey all trial periods in ``[p_min, p_max)`` samples.
+
+    The standard FFA survey loop: one :class:`FastFoldingSearch` per
+    integer base period within an octave, downsampling the series by 2
+    between octaves so the per-octave work stays ~constant (the classic
+    riptide/FFA strategy; time resolution halves per octave, which the
+    trial periods and reported candidate periods account for).
+
+    Returns all candidates across the range, sorted by descending S/N,
+    each ``{period, snr, trial, base_period, octave}`` with ``period``
+    in *original* samples (or a time Quantity with ``sample_rate``).
+    """
+    x = jnp.asarray(x)
+    if x.ndim != 1:
+        raise ValueError("ffa_survey wants a single time series")
+    p_min, p_max = int(p_min), int(p_max)
+    if not 2 <= p_min < p_max:
+        raise ValueError("need 2 <= p_min < p_max")
+    out = []
+    octave = 0
+    scale = 1            # original samples per current sample
+    lo = p_min
+    while lo < p_max:
+        hi = min(2 * p_min, (p_max + scale - 1) // scale)
+        for p in range(lo, hi):
+            if x.shape[-1] < 2 * p:
+                break
+            f = FastFoldingSearch(p, x.shape[-1])
+            s = np.asarray(f.snr(x, widths))
+            for t in np.flatnonzero(s > threshold):
+                period = (p + t / max(f.m - 1, 1)) * scale
+                out.append({"period": period, "snr": float(s[t]),
+                            "trial": int(t), "base_period": p,
+                            "octave": octave})
+        # next octave at half the time resolution
+        n2 = x.shape[-1] // 2 * 2
+        x = x[:n2].reshape(-1, 2).sum(-1)
+        scale *= 2
+        octave += 1
+        lo = p_min  # base periods repeat per octave on the coarser grid
+        if scale * p_min >= p_max:
+            break
+    if sample_rate is not None:
+        rate = sample_rate.to_value(u.Hz)
+        for c in out:
+            c["period"] = u.Quantity(c["period"] / rate, u.s)
+    out.sort(key=lambda c: -c["snr"])
+    return out
