@@ -56,14 +56,22 @@ class _FakeOutput:
         self._setitem(self._first + (start or 0), data)
 
 
+#: module-level jit (a per-call wrapper would retrace every frame)
+_count_split = jax.jit(lambda v: (
+    jax.lax.shift_right_logical(v, 16).astype(jnp.float32),
+    (v & 0xFFFF).astype(jnp.float32)))
+
+
 def _fetch_counts(dev_counts):
     """Device int32 piece counts -> host int64.
 
     The axon TPU boundary transfers float32 only (an int fetch raises
-    UNIMPLEMENTED and poisons the process), so cast on device first;
-    per-piece counts are < 2^24, exact in float32."""
-    f32 = jax.jit(lambda v: v.astype(jnp.float32))
-    return np.asarray(f32(dev_counts)).astype(np.int64)
+    UNIMPLEMENTED and poisons the process), so split each count into
+    16-bit halves on device — both exact in float32 for any int32 —
+    and recombine on the host."""
+    hi, lo = _count_split(dev_counts)
+    return ((np.asarray(hi).astype(np.int64) << 16)
+            + np.asarray(lo).astype(np.int64))
 
 
 def _phase_to_cycles(ph):

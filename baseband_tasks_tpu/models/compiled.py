@@ -81,6 +81,50 @@ class _Stage:
         self.skip = False   # stage absorbed into a neighbor's fusion
 
 
+def decode_segment_ids(idf):
+    """f32 segment-id planes -> int32 segment ids (the axon boundary
+    transfers float32 only; two planes carry (coarse, fine) bins)."""
+    if idf.shape[-1] == 2:
+        return (idf[..., 0].astype(jnp.int32) << 12) \
+            | idf[..., 1].astype(jnp.int32)
+    return idf[..., 0].astype(jnp.int32)
+
+
+def init_reduction_acc(red, sample_shape, n_seg):
+    """Zeroed (sums, counts) accumulators for an absorbed reduction.
+    Masked reductions carry per-cell counts (the sample shape)."""
+    masked = bool(getattr(red, "_masked", False))
+    return (jnp.zeros((n_seg + 1,) + tuple(sample_shape),
+                      red._acc_dtype()),
+            jnp.zeros((n_seg + 1,) + (tuple(sample_shape) if masked
+                                      else ()), jnp.int32))
+
+
+def make_reduction_update(red):
+    """The ONE absorbed-reduction accumulator, shared by
+    CompiledPipeline.run_fn, ShardedPipeline, and StreamRunner —
+    ``update(sums, counts, y, seg) -> (sums, counts)``.  With a masked
+    reduction, NaN-flagged cells (rfi.py fill=nan) drop out per cell."""
+    acc_dtype = red._acc_dtype()
+    masked = bool(getattr(red, "_masked", False))
+
+    def update(sums, counts, y, seg):
+        n = sums.shape[0]
+        if masked:
+            valid = jnp.isfinite(y)
+            y = jnp.where(valid, y, 0)
+            counts = counts + jax.ops.segment_sum(
+                valid.astype(jnp.int32), seg, num_segments=n)
+        else:
+            counts = counts + jax.ops.segment_sum(
+                jnp.ones(y.shape[0], jnp.int32), seg, num_segments=n)
+        sums = sums + jax.ops.segment_sum(
+            y.astype(acc_dtype), seg, num_segments=n)
+        return sums, counts
+
+    return update
+
+
 def _lcm(a, b):
     return int(np.lcm(int(a), int(b)))
 
@@ -1071,38 +1115,21 @@ class CompiledPipeline:
         # device boundary transfers float32 only).  Compiled sample k is
         # eager sample k - delay; warmup samples land in the trash bin.
         ids_f, n_seg = self.segment_ids_f(n_blocks)
-        acc_dtype = red._acc_dtype()
         sample_shape = self._tail.sample_shape
-        masked = bool(getattr(red, "_masked", False))
+        update = make_reduction_update(red)
 
         def red_step(carry, xs, caches):
             data_carry, sums, counts = carry[:-2], carry[-2], carry[-1]
             blocks, idf = xs
             new_carry, y = step_c(data_carry, blocks, caches)
-            if idf.shape[-1] == 2:
-                seg = (idf[..., 0].astype(jnp.int32) << 12)                     | idf[..., 1].astype(jnp.int32)
-            else:
-                seg = idf[..., 0].astype(jnp.int32)
-            if masked:
-                # NaN-flagged cells (rfi.py fill=nan) drop out per cell
-                valid = jnp.isfinite(y)
-                y = jnp.where(valid, y, 0)
-                counts = counts + jax.ops.segment_sum(
-                    valid.astype(jnp.int32), seg, num_segments=n_seg + 1)
-            else:
-                counts = counts + jax.ops.segment_sum(
-                    jnp.ones(y.shape[0], jnp.int32), seg,
-                    num_segments=n_seg + 1)
-            sums = sums + jax.ops.segment_sum(
-                y.astype(acc_dtype), seg, num_segments=n_seg + 1)
+            sums, counts = update(sums, counts, y,
+                                  decode_segment_ids(idf))
             return new_carry + (sums, counts), 0
 
         @jax.jit
         def jrun(blocks, ids, *caches):
-            carry = self.init_carry() + (
-                jnp.zeros((n_seg + 1,) + sample_shape, acc_dtype),
-                jnp.zeros((n_seg + 1,) + (sample_shape if masked else ()),
-                          jnp.int32))
+            carry = self.init_carry() + init_reduction_acc(
+                red, sample_shape, n_seg)
             carry, _ = jax.lax.scan(
                 lambda c, x: red_step(c, x, caches), carry,
                 (blocks, ids))

@@ -153,15 +153,25 @@ class DMTrialSearch:
             raise ValueError(
                 f"expected block shape ({self.n_time}, "
                 f"{len(self.frequency)}), got {power.shape}")
-        trial_spec = NamedSharding(mesh, P(None, None, axis_name))
-        pr = jax.device_put(self._phase_r, trial_spec)
-        pi = jax.device_put(self._phase_i, trial_spec)
-        power = jax.device_put(
-            power, NamedSharding(mesh, P()))      # replicated
-
-        fn = jax.jit(self._search_impl,
-                     out_shardings=NamedSharding(mesh, P(None, axis_name)))
-        return fn(power, pr, pi)
+        # cache the jit wrapper AND the sharded trial tables per mesh:
+        # re-placing the (n_freq, n_chan, n_dm) tables and re-tracing
+        # per block would dominate a survey loop
+        key = (tuple(mesh.shape.items()), tuple(mesh.devices.flat),
+               axis_name)
+        cached = getattr(self, "_sharded_cache", {}).get(key)
+        if cached is None:
+            trial_spec = NamedSharding(mesh, P(None, None, axis_name))
+            pr = jax.device_put(self._phase_r, trial_spec)
+            pi = jax.device_put(self._phase_i, trial_spec)
+            fn = jax.jit(self._search_impl,
+                         out_shardings=NamedSharding(
+                             mesh, P(None, axis_name)))
+            cached = (fn, pr, pi, NamedSharding(mesh, P()))
+            if not hasattr(self, "_sharded_cache"):
+                self._sharded_cache = {}
+            self._sharded_cache[key] = cached
+        fn, pr, pi, rep = cached
+        return fn(jax.device_put(power, rep), pr, pi)
 
     def detect(self, power, widths=(1, 2, 4, 8, 16, 32)):
         """Matched-filter the trial bank with boxcars and return S/N.

@@ -131,6 +131,9 @@ class FastFoldingSearch:
         return ffa_fold(jnp.asarray(x), self.p)
 
     def _snr_fn(self, widths):
+        # a boxcar must stay well under one period: w >= p would wrap
+        # a full turn (w >= p crashes, p/2 < w < p silently truncates)
+        widths = tuple(w for w in widths if w <= self.p // 2) or (1,)
         cached = self._snr_cache.get(widths)
         if cached is not None:
             return cached
@@ -214,6 +217,10 @@ def ffa_survey(x, p_min, p_max, *, sample_rate=None, threshold=7.0,
             s = np.asarray(f.snr(x, widths))
             for t in np.flatnonzero(s > threshold):
                 period = (p + t / max(f.m - 1, 1)) * scale
+                if period >= p_max:
+                    # the last base period's trial bank spans [p, p+1)
+                    # in coarse samples; keep the documented range
+                    continue
                 out.append({"period": period, "snr": float(s[t]),
                             "trial": int(t), "base_period": p,
                             "octave": octave})

@@ -92,22 +92,16 @@ class StreamRunner:
 
         if cp.reduction is not None:
             # absorbed Integrate/Fold: per block, segment-sum the tail
-            # output into the bin accumulators (same device math as
-            # CompiledPipeline.run_fn's reduced scan)
+            # output into the bin accumulators — the SAME accumulator
+            # as CompiledPipeline.run_fn / ShardedPipeline (shared so
+            # masked semantics cannot diverge between executors)
+            from .compiled import (decode_segment_ids,
+                                   make_reduction_update)
+            update = make_reduction_update(cp.reduction)
+
             @jax.jit
             def jreduce(sums, counts, y, idf):
-                if idf.shape[-1] == 2:
-                    seg = (idf[..., 0].astype(jnp.int32) << 12) \
-                        | idf[..., 1].astype(jnp.int32)
-                else:
-                    seg = idf[..., 0].astype(jnp.int32)
-                sums = sums + jax.ops.segment_sum(
-                    y.astype(sums.dtype), seg,
-                    num_segments=sums.shape[0])
-                counts = counts + jax.ops.segment_sum(
-                    jnp.ones(y.shape[0], jnp.int32), seg,
-                    num_segments=counts.shape[0])
-                return sums, counts
+                return update(sums, counts, y, decode_segment_ids(idf))
 
             self._jreduce = jreduce
 
@@ -187,9 +181,9 @@ class StreamRunner:
                     f"multiple of block_samples ({self.cp.block_samples})")
             tail_off = offset // self.cp.block_samples * self.cp.tail_block
             ids_f, n_seg = self.cp.segment_ids_f(n_blocks, tail_off)
-            sums = jnp.zeros((n_seg + 1,) + self.cp._tail.sample_shape,
-                             red._acc_dtype())
-            counts = jnp.zeros((n_seg + 1,), jnp.int32)
+            from .compiled import init_reduction_acc
+            sums, counts = init_reduction_acc(
+                red, self.cp._tail.sample_shape, n_seg)
         # ALL eager device ops must precede the reader thread: the axon
         # tunnel client is not thread-safe against a concurrent
         # device_put (measured: eager op + threaded put raises

@@ -213,39 +213,23 @@ class ShardedPipeline:
         ids_f, n_seg = cp.segment_ids_f(n_blocks)
         ids_f = ids_f.reshape((n_steps, S * cp.tail_block)
                               + ids_f.shape[2:])
-        acc_dtype = red._acc_dtype()
+        from .compiled import (decode_segment_ids, init_reduction_acc,
+                               make_reduction_update)
         sample_shape = cp._tail.sample_shape
-        masked = bool(getattr(red, "_masked", False))
+        update = make_reduction_update(red)
 
         def red_step(carry, xs, caches):
             data_carry, sums, counts = carry[:-2], carry[-2], carry[-1]
             blocks, idf = xs
             new_carry, y = smapped(data_carry, blocks, caches)
-            if idf.shape[-1] == 2:
-                seg = (idf[..., 0].astype(jnp.int32) << 12) \
-                    | idf[..., 1].astype(jnp.int32)
-            else:
-                seg = idf[..., 0].astype(jnp.int32)
-            if masked:
-                # NaN-flagged cells (rfi.py fill=nan) drop out per cell
-                valid = jnp.isfinite(y)
-                y = jnp.where(valid, y, 0)
-                counts = counts + jax.ops.segment_sum(
-                    valid.astype(jnp.int32), seg, num_segments=n_seg + 1)
-            else:
-                counts = counts + jax.ops.segment_sum(
-                    jnp.ones(y.shape[0], jnp.int32), seg,
-                    num_segments=n_seg + 1)
-            sums = sums + jax.ops.segment_sum(
-                y.astype(acc_dtype), seg, num_segments=n_seg + 1)
+            sums, counts = update(sums, counts, y,
+                                  decode_segment_ids(idf))
             return new_carry + (sums, counts), 0
 
         @jax.jit
         def jrun(stacked, ids, *caches):
-            carry = cp.init_carry() + (
-                jnp.zeros((n_seg + 1,) + sample_shape, acc_dtype),
-                jnp.zeros((n_seg + 1,) + (sample_shape if masked else ()),
-                          jnp.int32))
+            carry = cp.init_carry() + init_reduction_acc(
+                red, sample_shape, n_seg)
             carry, _ = jax.lax.scan(
                 lambda c, x: red_step(c, x, caches), carry,
                 (stacked, ids))

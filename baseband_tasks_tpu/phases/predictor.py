@@ -175,6 +175,8 @@ class Polyco:
         """Index of the entry whose TMID is nearest each time
         (predictor.py:306-312)."""
         t = t if isinstance(t, Time) else Time(t, format="mjd")
+        if self.entries and t.scale != self.entries[0].tmid.scale:
+            t = t.to_scale(self.entries[0].tmid.scale)
         tm = np.array([e.tmid.mjd for e in self.entries])
         mjd = np.atleast_1d(np.asarray(t.mjd))
         idx = np.argmin(np.abs(mjd[..., np.newaxis] - tm), axis=-1)
@@ -185,6 +187,11 @@ class Polyco:
         # *labels* (not elapsed SI seconds), so use label arithmetic on
         # the two-double MJD pairs — leap-aware Time subtraction would
         # shift polycos whose span straddles a leap-second midnight.
+        # A differently-scaled Time must first convert to TMID's scale
+        # (a TAI label is 37 s ahead of the same instant's UTC label —
+        # x642 Hz that is tens of thousands of cycles).
+        if t.scale != entry.tmid.scale:
+            t = t.to_scale(entry.tmid.scale)
         h1, l1 = t.mjd_pair
         h2, l2 = entry.tmid.mjd_pair
         hi, lo = two_sum(h1, -h2)

@@ -291,8 +291,12 @@ class Time:
 
     def __init__(self, value, jd2=None, format=None, scale=None):
         if isinstance(value, Time):
+            # astropy semantics: Time(t, scale=...) CONVERTS to the
+            # requested scale (same instant), never relabels the pair
+            if scale is not None and self._chk(scale) != value.scale:
+                value = value.to_scale(scale)
             self.jd1, self.jd2 = value.jd1, value.jd2
-            self.scale = value.scale if scale is None else self._chk(scale)
+            self.scale = value.scale
             return
         self.scale = self._chk(scale) if scale is not None else "utc"
         if isinstance(value, str):

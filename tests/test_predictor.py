@@ -254,3 +254,23 @@ class TestPintGating:
     def test_missing_pint_raises_clearly(self):
         with pytest.raises(ImportError, match="pint"):
             PintPhase("fake.par", "ao", 1400 * u.MHz)
+
+
+class TestScaledTimeEvaluation:
+    """Polyco evaluation must convert differently-scaled Times to the
+    TMID scale (code-review finding: a TAI Time leaked its 37-s label
+    offset straight into DTMIN — 23753 cycles at 642 Hz)."""
+
+    def test_tai_time_equals_utc_time(self):
+        import os
+        from baseband_tasks_tpu.phases import Polyco
+        path = ("/root/reference/baseband_tasks/tests/data/"
+                "B1937_polyco.dat")
+        if not os.path.exists(path):
+            import pytest
+            pytest.skip("reference polyco not available")
+        pc = Polyco(path)
+        t = pc.entries[0].tmid + u.Quantity(17.0, u.s)
+        ph_utc = pc(t)
+        ph_tai = pc(t.tai)
+        assert ph_utc == ph_tai

@@ -327,3 +327,33 @@ class TestMaskedIntegration:
                                       np.asarray(ref[1]))
         np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
                                    rtol=1e-6, atol=1e-6)
+
+    def test_streamrunner_masked_matches_eager(self):
+        """StreamRunner's absorbed reduction must honor masked=True
+        (code-review finding: it summed NaNs and counted per row)."""
+        from baseband_tasks_tpu import Fold, Square
+        from baseband_tasks_tpu.models import StreamRunner
+        from baseband_tasks_tpu.models.compiled import CompiledPipeline
+        from baseband_tasks_tpu.utils import units as u
+        f0 = 123.456
+        phase = lambda t: u.Quantity((t - T0).sec * f0, u.cycle)  # noqa
+
+        def make():
+            src = noise(shape=(1 << 15,), seed=21)
+            chain = Square(ExciseSpectralKurtosis(
+                Channelize(src, 16), 32, threshold=2.5, fill=np.nan))
+            return Fold(chain, 8, phase,
+                        u.Quantity(2048 * 16 / 1e6, u.s),
+                        samples_per_frame=1, masked=True, average=False)
+
+        ref = make().read()
+        cp = CompiledPipeline(make())
+        runner = StreamRunner(cp)
+        sums, counts = runner.run((1 << 15) // cp.block_samples)
+        assert np.asarray(counts).shape == ref["count"].shape
+        np.testing.assert_array_equal(np.asarray(counts)[1:-1],
+                                      ref["count"][1:-1])
+        assert np.isfinite(np.asarray(sums)).all()
+        np.testing.assert_allclose(np.asarray(sums)[1:-1],
+                                   ref["data"][1:-1], rtol=1e-4,
+                                   atol=1e-3)

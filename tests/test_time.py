@@ -230,3 +230,24 @@ class TestReaderEpochScales:
                 else float(x)
         expected = val(direct.count) + val(direct.frac)
         assert float(pol(tmid.mjd)) == pytest.approx(expected, abs=1e-4)
+
+
+class TestScaleConstructorConverts:
+    """Time(t, scale=...) must CONVERT (astropy semantics), not relabel
+    (code-review finding: it silently shifted the instant ~69 s)."""
+
+    def test_convert_not_relabel(self):
+        from baseband_tasks_tpu.utils import Time
+        t = Time("2020-01-01T00:00:00.0", scale="utc")
+        tt = Time(t, scale="tt")
+        assert tt.scale == "tt"
+        assert tt == t                      # same instant
+        np.testing.assert_allclose(tt.jd2 - t.tt.jd2, 0.0, atol=1e-12)
+        assert abs((tt.jd1 - t.jd1) + (tt.jd2 - t.jd2)
+                   - 69.184 / 86400.0) < 1e-12
+
+    def test_same_scale_copy_unchanged(self):
+        from baseband_tasks_tpu.utils import Time
+        t = Time("2020-01-01T00:00:00.0", scale="tai")
+        t2 = Time(t, scale="tai")
+        assert t2.jd1 == t.jd1 and t2.jd2 == t.jd2
