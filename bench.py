@@ -79,6 +79,26 @@ def _measure(use_pallas, ingest_bits=None):
 
 
 def main():
+    # Watchdog: the shared tunnel has been observed to wedge (transfers
+    # hang indefinitely, including trivial f32 fetches).  A hung bench
+    # records nothing; an explicit error row is more honest.  40 min
+    # covers the slowest observed cold compile with a wide margin.
+    import os
+    import signal
+
+    def _expire(signum, frame):
+        print(json.dumps({
+            "metric": "baseband samples/sec/chip (coherent dedisperse+"
+                      "detect+fold, DM=500, 16 MHz x 2 pol)",
+            "value": 0.0, "unit": "samples/s", "vs_baseline": 0.0,
+            "error": "watchdog: no result in 40 min (device/tunnel "
+                     "wedged or unavailable; see BASELINE.md round-4 "
+                     "notes)"}), flush=True)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _expire)
+    signal.alarm(2400)
+
     # The north star reads "from 8-bit baseband": the headline path
     # ingests packed offset-binary bytes and decodes them inside the
     # stage-A kernel (measured FASTER than pre-decoded float32: the
@@ -96,6 +116,7 @@ def main():
             # the pure-XLA path instead of reporting nothing
             kind = "xla path, float32"
             rate = _measure(use_pallas=False)
+    signal.alarm(0)
     realtime_x10 = 10.0 * (64 * 250e3) * 2
     print(json.dumps({
         "metric": "baseband samples/sec/chip (coherent dedisperse+detect"
