@@ -321,6 +321,12 @@ class Integrate(BaseTaskBase):
             # divide on the host: feeding the int64 tally to jnp under
             # x32 would truncate it to int32 (wrapping beyond 2^31)
             out = np.asarray(sums) / np.maximum(shape_count, 1)
+            if self._masked:
+                # a fully-flagged cell has no data at all: NaN, not a
+                # silent 0.0 masquerading as measured zero power (the
+                # NaN also re-flags the cell for downstream masked
+                # consumers)
+                out = np.where(shape_count > 0, out, np.nan)
             return out.astype(self._sum_dtype)
         result = np.zeros((n_bins,) + self.ih.sample_shape, self._out_dtype)
         result["data"] = np.asarray(sums).astype(self._sum_dtype)
@@ -430,6 +436,9 @@ class Fold(Integrate):
                 (...,) + (None,) * len(self.ih.sample_shape)]
             # host division (int64 counts must not pass through x32 jnp)
             out = np.asarray(sums) / np.maximum(shaped, 1)
+            if self._masked:
+                # fully-flagged (time, phase) cells: NaN (see Integrate)
+                out = np.where(shaped > 0, out, np.nan)
             return out.astype(self._sum_dtype)
         result = np.zeros((n_bins, n_phase) + self.ih.sample_shape,
                           self._out_dtype)

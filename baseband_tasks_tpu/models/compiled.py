@@ -1171,7 +1171,12 @@ class CompiledPipeline:
             n_blocks = self._stack_len(blocks[0])
         sums, counts = self.run_fn(n_blocks)(blocks)
         shaped = counts[(...,) + (None,) * (sums.ndim - counts.ndim)]
-        return sums / jnp.maximum(shaped, 1), counts
+        out = sums / jnp.maximum(shaped, 1)
+        if bool(getattr(self.reduction, "_masked", False)):
+            # fully-flagged cells: NaN, matching the eager node (see
+            # integration.py Integrate._read_frame)
+            out = jnp.where(shaped > 0, out, jnp.nan)
+        return out, counts
 
     def _prep_blocks(self, blocks, i):
         """Normalize one source's block stack (packed pytree or array)."""

@@ -126,9 +126,24 @@ class FastFoldingSearch:
             return ps
         return u.Quantity(ps / self.sample_rate.to_value(u.Hz), u.s)
 
+    def _check_block(self, x):
+        """Validate/crop a block so ``ffa_fold`` lands on exactly this
+        instance's ``m`` trials: a shorter block would silently fold at
+        a coarser trial grid than :attr:`trial_periods` reports, a
+        longer one at a finer grid with more trials than reported."""
+        n = x.shape[-1]
+        need = self.m * self.p
+        if n < need:
+            raise ValueError(
+                f"block has {n} samples; this search needs at least "
+                f"m*p = {self.m}*{self.p} = {need} (constructed for "
+                f"n_time={self.n_time}); a shorter block would fold on "
+                f"a different trial-period grid")
+        return x[..., :need]
+
     def fold(self, x):
         """(..., n_time) -> (..., m, p) trial profiles."""
-        return ffa_fold(jnp.asarray(x), self.p)
+        return ffa_fold(self._check_block(jnp.asarray(x)), self.p)
 
     def _snr_fn(self, widths):
         # a boxcar must stay well under one period: w >= p would wrap
@@ -155,8 +170,13 @@ class FastFoldingSearch:
                     jnp.concatenate([d, d[..., :w]], axis=-1), axis=-1)
                 box = c[..., w:] - c[..., :-w] if w > 1 else d
                 # matched-filter normalization: std of a w-bin sum is
-                # sqrt(w) · sigma; the boxcar removes w·base exactly
-                s = box / jnp.maximum(np.sqrt(w) * sigma, 1e-30)
+                # sqrt(w) · sigma; the boxcar removes w·base exactly.
+                # A zero MAD (constant or mostly-zero profile, e.g.
+                # zero-filled excision output) carries no noise
+                # estimate — score those trials 0, not ~1e30
+                s = jnp.where(sigma > 0,
+                              box / jnp.maximum(np.sqrt(w) * sigma,
+                                                1e-30), 0.0)
                 peak = jnp.max(s, axis=-1)
                 best = peak if best is None else jnp.maximum(best, peak)
             return best
@@ -166,7 +186,8 @@ class FastFoldingSearch:
 
     def snr(self, x, widths=(1, 2, 4, 8, 16)):
         """Best boxcar-matched S/N per trial: (..., m)."""
-        return self._snr_fn(tuple(int(w) for w in widths))(jnp.asarray(x))
+        x = self._check_block(jnp.asarray(x))
+        return self._snr_fn(tuple(int(w) for w in widths))(x)
 
     def candidates(self, x, threshold=7.0, widths=(1, 2, 4, 8, 16)):
         """Trials whose best S/N exceeds ``threshold``, as a list of

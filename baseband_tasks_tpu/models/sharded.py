@@ -263,4 +263,9 @@ class ShardedPipeline:
             raise ValueError("no reduction to run")
         sums, counts = self.run_blocks(blocks)
         shaped = counts[(...,) + (None,) * (sums.ndim - counts.ndim)]
-        return sums / jnp.maximum(shaped, 1), counts
+        out = sums / jnp.maximum(shaped, 1)
+        if bool(getattr(self.cp.reduction, "_masked", False)):
+            # fully-flagged cells: NaN, matching the eager node (see
+            # integration.py Integrate._read_frame)
+            out = jnp.where(shaped > 0, out, jnp.nan)
+        return out, counts

@@ -138,12 +138,17 @@ class ConvertPolarization(TaskBase):
                 ih.sample_shape[len(ih.sample_shape)
                                 - np.ndim(polarization):]).copy()
             rel = axis - (len(ih.sample_shape) - pols.ndim)
-            sl = [slice(None)] * pols.ndim
-            new = np.empty(pols.shape, dtype="U2")
-            for k in range(2):
-                sl[rel] = k
-                new[tuple(sl)] = out[k]
-            new_pol = new
+            if 0 <= rel < pols.ndim:
+                sl = [slice(None)] * pols.ndim
+                new = np.empty(pols.shape, dtype="U2")
+                for k in range(2):
+                    sl[rel] = k
+                    new[tuple(sl)] = out[k]
+                new_pol = new
+            # else: explicit pol_axis outside the span of the labels
+            # (they broadcast over it) — the labels cannot name the
+            # converted components, so leave them unset rather than
+            # rewriting the wrong axis
         super().__init__(ih, polarization=new_pol)
 
     def task(self, data):
