@@ -139,7 +139,9 @@ class FourierDomainAccelSearch:
         # (j <= seg_len - m never wraps)
         valid = corr[:, :, :self._valid]
         power = jnp.abs(valid) ** 2
-        zmap = power.transpose(0, 2, 1).reshape(-1, len(self.zs))
+        # bank size from the tables themselves: search_sharded may pad
+        # the bank to a multiple of the shard count
+        zmap = power.transpose(0, 2, 1).reshape(-1, tf_r.shape[0])
         return zmap[:self.n_freq]
 
     def search(self, x):
@@ -150,6 +152,55 @@ class FourierDomainAccelSearch:
             raise ValueError(f"expected shape ({self.n_time},), got "
                              f"{x.shape}")
         return self._jsearch(x, self._tf_r, self._tf_i)
+
+    def search_sharded(self, x, mesh, *, axis_name="z"):
+        """:meth:`search` with the template bank sharded across a mesh
+        axis (SURVEY §7 step 10: blind-search trial banks are the
+        embarrassingly parallel multi-chip workload).
+
+        The z axis is a pure batch axis of the whole computation — each
+        device holds ``n_z / shards`` template transfer functions and
+        correlates the (replicated) spectrum segments against its own
+        slice, ZERO communication — so a ``z_max`` too big for one
+        chip's HBM scales across the mesh.  A bank whose size does not
+        divide the shard count is zero-padded internally (padded
+        templates are all-zero -> zero power) and the pad is trimmed
+        from the returned map.  Returns the same (n_freq, n_z) map as
+        :meth:`search`, sharded on its z axis.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .meshtools import (mesh_cache_key, pad_to_multiple,
+                                require_mesh_axis)
+
+        n_shards = require_mesh_axis(mesh, axis_name)
+        x = jnp.asarray(x)
+        if x.shape != (self.n_time,):
+            raise ValueError(f"expected shape ({self.n_time},), got "
+                             f"{x.shape}")
+        key = mesh_cache_key(mesh, axis_name)
+        cached = getattr(self, "_sharded_cache", {}).get(key)
+        if cached is None:
+            n_z = len(self.zs)
+            pad = pad_to_multiple(n_z, n_shards)
+            tf_r, tf_i = np.asarray(self._tf_r), np.asarray(self._tf_i)
+            if pad:
+                z = np.zeros((pad, self.seg_len), tf_r.dtype)
+                tf_r = np.concatenate([tf_r, z])
+                tf_i = np.concatenate([tf_i, z])
+            bank_spec = NamedSharding(mesh, P(axis_name, None))
+            tr = jax.device_put(jnp.asarray(tf_r), bank_spec)
+            ti = jax.device_put(jnp.asarray(tf_i), bank_spec)
+            fn = jax.jit(self._search_impl,
+                         out_shardings=NamedSharding(
+                             mesh, P(None, axis_name)))
+            cached = (fn, tr, ti, NamedSharding(mesh, P()), n_z)
+            if not hasattr(self, "_sharded_cache"):
+                self._sharded_cache = {}
+            self._sharded_cache[key] = cached
+        fn, tr, ti, rep, n_z = cached
+        zmap = fn(jax.device_put(x, rep), tr, ti)
+        return zmap[:, :n_z] if zmap.shape[1] != n_z else zmap
 
     def harmonic_sum(self, zmap, n_harm=4):
         """Incoherent harmonic summing of a (frequency, z) map.

@@ -189,6 +189,44 @@ class FastFoldingSearch:
         x = self._check_block(jnp.asarray(x))
         return self._snr_fn(tuple(int(w) for w in widths))(x)
 
+    def snr_sharded(self, x, mesh, *, axis_name="batch",
+                    widths=(1, 2, 4, 8, 16)):
+        """:meth:`snr` of a BATCH of series, sharded across a mesh axis.
+
+        The FFA's m-trial axis is *generated* by the pairwise recursion
+        — trials couple across segment halves at every stage, so
+        sharding it would cost an exchange per stage.  The
+        zero-communication axis of an FFA survey is the batch instead:
+        independent series (DM trials from
+        :class:`~.models.dmsearch.DMTrialSearch`, beams, polarizations)
+        spread over the mesh and each device runs the full recursion on
+        its own rows.  ``x`` is ``(n_batch, n_time)``; a batch that
+        does not divide the shard count is zero-padded (zero rows have
+        zero MAD and score S/N 0) and trimmed from the returned
+        ``(n_batch, m)`` map (sharded on its batch axis).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .meshtools import pad_to_multiple, require_mesh_axis
+
+        n_shards = require_mesh_axis(mesh, axis_name)
+        x = self._check_block(jnp.asarray(x))
+        if x.ndim != 2:
+            raise ValueError("snr_sharded wants a (n_batch, n_time) "
+                             "stack of series")
+        n_batch = x.shape[0]
+        pad = pad_to_multiple(n_batch, n_shards)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        # the snr function is jitted and batched on axis 0 throughout:
+        # placing the input sharded makes GSPMD keep every intermediate
+        # (and the output) sharded on that axis, no re-jit needed
+        spec = NamedSharding(mesh, P(axis_name))
+        s = self._snr_fn(tuple(int(w) for w in widths))(
+            jax.device_put(x, spec))
+        return s[:n_batch] if pad else s
+
     def candidates(self, x, threshold=7.0, widths=(1, 2, 4, 8, 16)):
         """Trials whose best S/N exceeds ``threshold``, as a list of
         ``{trial, period, snr}`` dicts sorted by descending S/N (host

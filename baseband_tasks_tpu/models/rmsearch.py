@@ -81,7 +81,8 @@ class RMSynthesis:
     def n_phi(self):
         return self.phis.size
 
-    def _dots(self, q, u_):
+    @staticmethod
+    def _fdf_impl(q, u_, tr, ti):
         from ..ops.dft_matmul import matmul_precision
         prec = matmul_precision()
 
@@ -89,9 +90,9 @@ class RMSynthesis:
             return jax.lax.dot_general(
                 x, m, (((x.ndim - 1,), (0,)), ((), ())), precision=prec)
 
-        fr = dot(q, self._tr) - dot(u_, self._ti)
-        fi = dot(q, self._ti) + dot(u_, self._tr)
-        return fr, fi
+        fr = dot(q, tr) - dot(u_, ti)
+        fi = dot(q, ti) + dot(u_, tr)
+        return jax.lax.complex(fr, fi)
 
     def fdf(self, q, u_):
         """Faraday dispersion function F(phi) of Stokes planes.
@@ -99,9 +100,50 @@ class RMSynthesis:
         ``q``/``u_`` have channels on the LAST axis (any leading axes);
         returns complex (..., n_phi).
         """
-        fr, fi = self._dots(jnp.asarray(q, jnp.float32),
-                            jnp.asarray(u_, jnp.float32))
-        return jax.lax.complex(fr, fi)
+        return self._fdf_impl(jnp.asarray(q, jnp.float32),
+                              jnp.asarray(u_, jnp.float32),
+                              self._tr, self._ti)
+
+    def fdf_sharded(self, q, u_, mesh, *, axis_name="phi"):
+        """:meth:`fdf` with the trial-depth bank sharded across a mesh
+        axis: each device holds ``n_phi / shards`` columns of the
+        (n_chan, n_phi) transfer tables and computes its slice of the
+        Faraday spectrum — the phi axis is a pure output axis of the
+        matmul, so there is ZERO communication and a depth grid too
+        large for one chip scales across the mesh.  A grid that does
+        not divide the shard count is zero-padded internally and
+        trimmed from the returned (..., n_phi) spectrum (sharded on
+        its last axis).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .meshtools import (mesh_cache_key, pad_to_multiple,
+                                require_mesh_axis)
+
+        n_shards = require_mesh_axis(mesh, axis_name)
+        key = mesh_cache_key(mesh, axis_name)
+        cached = getattr(self, "_sharded_cache", {}).get(key)
+        if cached is None:
+            n_phi = self.n_phi
+            pad = pad_to_multiple(n_phi, n_shards)
+            tr, ti = np.asarray(self._tr), np.asarray(self._ti)
+            if pad:
+                z = np.zeros((tr.shape[0], pad), tr.dtype)
+                tr = np.concatenate([tr, z], axis=1)
+                ti = np.concatenate([ti, z], axis=1)
+            bank_spec = NamedSharding(mesh, P(None, axis_name))
+            trd = jax.device_put(jnp.asarray(tr), bank_spec)
+            tid = jax.device_put(jnp.asarray(ti), bank_spec)
+            fn = jax.jit(self._fdf_impl)
+            cached = (fn, trd, tid, NamedSharding(mesh, P()), n_phi)
+            if not hasattr(self, "_sharded_cache"):
+                self._sharded_cache = {}
+            self._sharded_cache[key] = cached
+        fn, trd, tid, rep, n_phi = cached
+        f = fn(jax.device_put(jnp.asarray(q, jnp.float32), rep),
+               jax.device_put(jnp.asarray(u_, jnp.float32), rep),
+               trd, tid)
+        return f[..., :n_phi] if f.shape[-1] != n_phi else f
 
     def rmsf(self, oversample=2):
         """RM spread function (the transform of the weights alone) over

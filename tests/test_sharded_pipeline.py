@@ -298,6 +298,80 @@ class TestBeyondReferenceModels:
         with pytest.raises(ValueError, match="no axis"):
             bank.search_sharded(power, mesh, axis_name="bogus")
 
+    def test_accel_search_sharded(self):
+        """FourierDomainAccelSearch with the z-template bank sharded
+        across 8 devices == single-device; the classic odd bank size
+        (2 z_max / z_step + 1 = 33) exercises the internal padding."""
+        from jax.sharding import Mesh
+        from baseband_tasks_tpu.models import FourierDomainAccelSearch
+
+        n = 1 << 14
+        search = FourierDomainAccelSearch(n, 1 * u.kHz, z_max=32.0,
+                                          z_step=2.0, seg_len=1024)
+        assert len(search.z_values) == 33  # does not divide 8
+        t = np.arange(n) / n
+        x = (np.cos(2 * np.pi * (1500 * t + 0.5 * 12.0 * t ** 2))
+             + np.random.default_rng(5).standard_normal(n) * 0.1
+             ).astype(np.float32)
+        ref = np.asarray(search.search(x))
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("z",))
+        got = search.search_sharded(x, mesh)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4,
+                                   atol=1e-4)
+        # the drifting tone is recovered at the same (f, z) peak
+        i, j = np.unravel_index(np.argmax(np.asarray(got)), got.shape)
+        assert search.z_values[j] == 12.0
+        with pytest.raises(ValueError, match="no axis"):
+            search.search_sharded(x, mesh, axis_name="bogus")
+
+    def test_rm_synthesis_sharded(self):
+        """RMSynthesis with the Faraday-depth bank sharded across 8
+        devices == single-device (61 depths -> internal pad)."""
+        from jax.sharding import Mesh
+        from baseband_tasks_tpu.models import RMSynthesis
+
+        freq = (1200 + np.arange(128) * 2.0) * u.MHz
+        phis = np.linspace(-300, 300, 61)
+        rm = RMSynthesis(freq, phis)
+        rng = np.random.default_rng(7)
+        # Q/U of a source at phi = +100 rad/m^2 + noise, with a
+        # leading (time) batch axis
+        lam2 = rm.lam2 - rm.lam2_0
+        p = np.exp(2j * 100.0 * lam2)[None] * (1 + 0.05 * rng.standard_normal((4, 128)))
+        q = (p.real + 0.02 * rng.standard_normal((4, 128))).astype(np.float32)
+        u_ = (p.imag + 0.02 * rng.standard_normal((4, 128))).astype(np.float32)
+        ref = np.asarray(rm.fdf(q, u_))
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("phi",))
+        got = rm.fdf_sharded(q, u_, mesh)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5,
+                                   atol=1e-5)
+        peak = rm.phis[np.abs(np.asarray(got)).mean(0).argmax()]
+        assert abs(peak - 100.0) < 10.0
+
+    def test_ffa_sharded_batch(self):
+        """FastFoldingSearch over a DM-trial batch sharded across 8
+        devices == single-device (the FFA's zero-communication axis is
+        the batch; 12 rows -> internal pad over 8 shards)."""
+        from jax.sharding import Mesh
+        from baseband_tasks_tpu.models import FastFoldingSearch
+
+        n, p = 4096, 20
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((12, n)).astype(np.float32) * 0.1
+        x[5, ::p] += 5.0  # row 5 carries a period-20 train
+        f = FastFoldingSearch(p, n)
+        ref = np.asarray(f.snr(x))
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("batch",))
+        got = f.snr_sharded(x, mesh)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4,
+                                   atol=1e-4)
+        # the detection lands in the right row, at trial 0 (period=p)
+        i, j = np.unravel_index(np.argmax(np.asarray(got)), got.shape)
+        assert i == 5 and f.trial_periods[j] == p
+
 
 class TestPackedSharded:
     """Packed sources through the sharded executor: raw payload carriers
