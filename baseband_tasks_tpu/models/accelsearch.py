@@ -76,7 +76,7 @@ class FourierDomainAccelSearch:
     """
 
     def __init__(self, n_time, sample_rate, *, z_max=64.0, z_step=2.0,
-                 seg_len=4096):
+                 seg_len=4096, engine="auto"):
         self.n_time = int(n_time)
         self.sample_rate = sample_rate
         self.zs = np.arange(-z_max, z_max + 0.5 * z_step, z_step)
@@ -85,6 +85,15 @@ class FourierDomainAccelSearch:
         if seg_len <= self.m:
             raise ValueError(f"seg_len {seg_len} must exceed the "
                              f"template span {self.m}")
+        if engine not in ("auto", "xla", "pallas"):
+            raise ValueError(f"engine={engine!r}: 'auto', 'xla' or "
+                             f"'pallas'")
+        #: 'pallas' -> the fused in-VMEM bank correlation
+        #: (ops/accel_correlate.py: the z bank rides the 128 lanes, no
+        #: complex intermediate touches HBM); 'xla' -> the plain
+        #: broadcast-multiply + batched IFFT; 'auto' -> pallas on a TPU
+        #: backend (and pow2 seg_len), xla otherwise
+        self.engine = engine
         self.seg_len = int(seg_len)
         self.n_freq = self.n_time // 2 + 1
         # template transfer functions at the segment length: correlation
@@ -98,6 +107,8 @@ class FourierDomainAccelSearch:
         self._valid = self.seg_len - self.m
         self._n_seg = -(-self.n_freq // self._valid)
         self._jsearch = jax.jit(functools.partial(self._search_impl))
+        self._bank_planes = None      # lane-major planes, built lazily
+        self._jsearch_pallas = None
 
     @property
     def freqs(self):
@@ -111,23 +122,11 @@ class FourierDomainAccelSearch:
         return self.zs
 
     def _search_impl(self, x, tf_r, tf_i):
-        # spectrum, normalized so each bin's noise power is ~1
-        # (chi^2_2/2): subtract the mean, scale by the rms
-        x = x.astype(jnp.float32)
-        x = x - jnp.mean(x)
-        spec = jnp.fft.rfft(x)
-        norm = jnp.sqrt(jnp.mean(jnp.abs(spec[1:]) ** 2) + 1e-30)
-        spec = spec / norm
-        # overlap-save segments along frequency; template span m at the
-        # FRONT of each window (correlation trims the first m-1 lags)
-        pad = self.m
-        total = self._n_seg * self._valid + pad
-        specp = jnp.concatenate(
-            [jnp.zeros(pad // 2, spec.dtype), spec,
-             jnp.zeros(total - self.n_freq - pad // 2, spec.dtype)])
-        idx = (jnp.arange(self._n_seg)[:, None] * self._valid
-               + jnp.arange(self.seg_len)[None, :])
-        segs = specp[idx]                          # (n_seg, seg_len)
+        # spectrum normalized so each bin's noise power is ~1
+        # (chi^2_2/2); overlap-save segments along frequency with the
+        # template span m at the FRONT of each window (correlation
+        # trims the first m-1 lags)
+        segs = self._segments(x)                   # (n_seg, seg_len)
         F = jnp.fft.fft(segs, axis=1)
         tf = jax.lax.complex(tf_r, tf_i)           # (n_z, seg_len)
         prod = F[:, None, :] * tf[None, :, :]
@@ -144,6 +143,68 @@ class FourierDomainAccelSearch:
         zmap = power.transpose(0, 2, 1).reshape(-1, tf_r.shape[0])
         return zmap[:self.n_freq]
 
+    def _segments(self, x):
+        """Normalize the spectrum and cut overlap-save segments."""
+        x = x.astype(jnp.float32)
+        x = x - jnp.mean(x)
+        spec = jnp.fft.rfft(x)
+        norm = jnp.sqrt(jnp.mean(jnp.abs(spec[1:]) ** 2) + 1e-30)
+        spec = spec / norm
+        pad = self.m
+        total = self._n_seg * self._valid + pad
+        specp = jnp.concatenate(
+            [jnp.zeros(pad // 2, spec.dtype), spec,
+             jnp.zeros(total - self.n_freq - pad // 2, spec.dtype)])
+        idx = (jnp.arange(self._n_seg)[:, None] * self._valid
+               + jnp.arange(self.seg_len)[None, :])
+        return specp[idx]                          # (n_seg, seg_len)
+
+    def _search_impl_pallas(self, x, banks):
+        """Pallas path: the forward segment FFT is one small shared XLA
+        pass (17 MB at 2^22 samples — every z lane reuses it); the
+        (chunked-to-128-lane) bank product, inverse FFT, power and trim
+        all fuse in VMEM (ops/accel_correlate.py)."""
+        from ..ops.accel_correlate import LANES, accel_correlate_bank
+
+        F = jnp.fft.fft(self._segments(x), axis=1)
+        cols = []
+        for (tr, ti), n_here in banks:
+            pmap = accel_correlate_bank(F, tr, ti, valid=self._valid)
+            cols.append(pmap.reshape(-1, LANES)[:self.n_freq, :n_here])
+        return cols[0] if len(cols) == 1 \
+            else jnp.concatenate(cols, axis=1)
+
+    def _lane_banks(self):
+        """Template planes as lane-major (seg_len, 128) chunks."""
+        from ..ops.accel_correlate import LANES
+
+        if self._bank_planes is None:
+            tf_r = np.asarray(self._tf_r)      # (n_z, seg_len)
+            tf_i = np.asarray(self._tf_i)
+            banks = []
+            for j0 in range(0, len(self.zs), LANES):
+                chunk_r = tf_r[j0:j0 + LANES].T
+                chunk_i = tf_i[j0:j0 + LANES].T
+                n_here = chunk_r.shape[1]
+                pad = LANES - n_here
+                if pad:
+                    z = np.zeros((self.seg_len, pad), np.float32)
+                    chunk_r = np.concatenate([chunk_r, z], axis=1)
+                    chunk_i = np.concatenate([chunk_i, z], axis=1)
+                banks.append(((jnp.asarray(np.ascontiguousarray(chunk_r)),
+                               jnp.asarray(np.ascontiguousarray(chunk_i))),
+                              n_here))
+            self._bank_planes = banks
+        return self._bank_planes
+
+    def _use_pallas(self):
+        if self.engine == "pallas":
+            return True
+        if self.engine == "xla":
+            return False
+        return (jax.default_backend() == "tpu"
+                and self.seg_len & (self.seg_len - 1) == 0)
+
     def search(self, x):
         """(n_freq, n_z) normalized drift-corrected power map of the
         ``(n_time,)`` real time series (noise bins ~ chi²₂/2 ≈ 1)."""
@@ -151,6 +212,12 @@ class FourierDomainAccelSearch:
         if x.shape != (self.n_time,):
             raise ValueError(f"expected shape ({self.n_time},), got "
                              f"{x.shape}")
+        if self._use_pallas():
+            if self._jsearch_pallas is None:
+                banks = self._lane_banks()
+                self._jsearch_pallas = jax.jit(
+                    lambda xx: self._search_impl_pallas(xx, banks))
+            return self._jsearch_pallas(x)
         return self._jsearch(x, self._tf_r, self._tf_i)
 
     def search_sharded(self, x, mesh, *, axis_name="z"):

@@ -124,3 +124,49 @@ class TestHarmonicSum:
                                      z_step=4, seg_len=1024)
         zmap = np.random.default_rng(1).random((s.n_freq, len(s.zs)))
         np.testing.assert_array_equal(s.harmonic_sum(zmap, 1), zmap)
+
+
+class TestPallasEngine:
+    """The fused VMEM bank correlation (ops/accel_correlate.py) must
+    match the XLA formulation bin for bin (interpret mode on CPU)."""
+
+    def test_matches_xla_engine(self):
+        n = 1 << 13
+        t = np.arange(n) / n
+        rng = np.random.default_rng(9)
+        x = (np.cos(2 * np.pi * (700 * t + 0.5 * 10.0 * t ** 2))
+             + rng.standard_normal(n) * 0.3).astype(np.float32)
+        sx = FourierDomainAccelSearch(n, 1 * u.kHz, z_max=24, z_step=2,
+                                      seg_len=512, engine="xla")
+        sp = FourierDomainAccelSearch(n, 1 * u.kHz, z_max=24, z_step=2,
+                                      seg_len=512, engine="pallas")
+        ref = np.asarray(sx.search(x))
+        got = np.asarray(sp.search(x))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+        i, j = np.unravel_index(np.argmax(got), got.shape)
+        assert i == 700 and sp.z_values[j] == 10.0
+
+    def test_bank_wider_than_lanes_chunks(self):
+        """More than 128 z-trials -> multiple lane chunks, same map."""
+        n = 1 << 12
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(n).astype(np.float32)
+        kw = dict(z_max=160, z_step=2.0, seg_len=1024)
+        sx = FourierDomainAccelSearch(n, 1 * u.kHz, engine="xla", **kw)
+        sp = FourierDomainAccelSearch(n, 1 * u.kHz, engine="pallas",
+                                      **kw)
+        assert len(sp.zs) == 161            # two lane chunks
+        np.testing.assert_allclose(np.asarray(sp.search(x)),
+                                   np.asarray(sx.search(x)),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="engine"):
+            FourierDomainAccelSearch(1 << 12, 1 * u.kHz, engine="cuda")
+        from baseband_tasks_tpu.ops.accel_correlate import (
+            LANES, accel_correlate_bank)
+        segs = np.zeros((2, 500), np.complex64)     # not pow2
+        bank = np.zeros((500, LANES), np.float32)
+        with pytest.raises(ValueError, match="power of two"):
+            accel_correlate_bank(segs, bank, bank, valid=100)

@@ -9,6 +9,7 @@ through the auto-detecting reader.
 """
 
 import base64
+import os
 
 import numpy as np
 import pytest
@@ -206,3 +207,72 @@ class TestReferenceStyleRoundTrip:
         assert r.encoding == "c4"
         assert np.allclose(r.read(1000), values, atol=2e-3)
         r.close()
+
+
+class TestGoldenFixtures:
+    """Frozen-bytes reference-layout fixtures (round-4 verdict item 7).
+
+    ``tests/data/golden_ref_{raw,c4,bps4}.h5`` were generated ONCE by
+    ``tools/make_hdf5_golden.py`` and checked in; the expectations npz
+    was computed from the encodings directly, independent of the reader.
+    Unlike the in-process round-trips above, these pin the on-disk
+    contract across time: a drift in either the yaml header grammar or
+    the payload encodings breaks against bytes that do not regenerate.
+    """
+
+    DATA = os.path.join(os.path.dirname(__file__), "data")
+
+    @classmethod
+    def _expected(cls, key):
+        return np.load(os.path.join(
+            cls.DATA, "golden_ref_hdf5_expected.npz"))[key]
+
+    @pytest.mark.parametrize("name,check", [
+        ("golden_ref_raw", "exact"),
+        ("golden_ref_c4", "exact"),
+        ("golden_ref_bps4", "exact")])
+    def test_reader_against_frozen_bytes(self, name, check):
+        r = hdf5.open(os.path.join(self.DATA, name + ".h5"), "r")
+        assert r.shape == (64, 4, 2)
+        back = np.asarray(r.read(64))
+        # expectations encode the lossy steps already -> exact equality
+        np.testing.assert_array_equal(back, self._expected(name))
+        t0 = Time("2018-05-06T12:13:14.5")
+        assert abs((r.start_time - t0).sec) < 1e-12
+        assert r.sample_rate == u.Quantity(250, u.kHz)
+        att = r.meta["__attributes__"]
+        np.testing.assert_allclose(
+            att["frequency"].to_value(u.MHz).ravel(),
+            [311.25, 311.5, 311.75, 312.0])
+        assert list(np.asarray(att["polarization"])) == ["L", "R"]
+        assert int(np.asarray(att["sideband"])) == 1
+        r.close()
+
+    def test_writer_against_frozen_bytes(self, tmp_path):
+        """Writing the same template/data today must reproduce the
+        frozen header text and payload bytes (both datasets are
+        deterministic)."""
+        h5py = pytest.importorskip("h5py")
+        import sys
+        sys.path.insert(0, os.path.join(self.DATA, "..", "..", "tools"))
+        try:
+            from make_hdf5_golden import template_and_data
+        finally:
+            sys.path.pop(0)
+        from baseband_tasks_tpu.io.hdf5.interop import ReferenceHDF5Writer
+        sh, data = template_and_data()
+        for name, kw in [("golden_ref_raw", {}),
+                         ("golden_ref_c4", dict(encoded_dtype="c4")),
+                         ("golden_ref_bps4", dict(bps=4))]:
+            new = str(tmp_path / (name + ".h5"))
+            sh.seek(0)
+            with ReferenceHDF5Writer(new, sh, **kw) as fw:
+                fw.write(data)
+            with h5py.File(new) as fn, h5py.File(
+                    os.path.join(self.DATA, name + ".h5")) as fg:
+                new_hdr, old_hdr = fn["header"][()], fg["header"][()]
+                assert new_hdr == old_hdr, f"{name}: header text drifted"
+                np.testing.assert_array_equal(
+                    np.asarray(fn["payload"][()]).view(np.uint8),
+                    np.asarray(fg["payload"][()]).view(np.uint8),
+                    err_msg=f"{name}: payload bytes drifted")

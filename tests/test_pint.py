@@ -24,6 +24,33 @@ from baseband_tasks_tpu.utils import Time, units as u
 F0 = 641.928123            # Hz, stub model spin frequency
 PEPOCH = 58000.0           # MJD
 
+#: The EXACT pint-pulsar surface the adapter touches, pinned to the
+#: versions the CI pint-optional lane installs (.github/workflows/
+#: ci.yml: pint-pulsar 0.9.8 and 1.0).  The stub modules below provide
+#: ONLY these names, so any new pint usage in the adapter fails the
+#: contract tests with AttributeError until this pin (and the CI lane)
+#: is updated:
+#:
+#: - ``pint.toa.get_TOAs_array((mjd_int, mjd_frac), obs=str,
+#:   freqs=array_MHz, ephem=..., include_bipm=..., bipm_version=...,
+#:   planets=..., tdb_method=..., **flags) -> TOAs``  (PINT >= 0.9.5;
+#:   MJD 2-tuples are PINT's documented high-precision input)
+#: - ``pint.toa.TOA((int, frac), obs=, freq=)`` + ``pint.toa.
+#:   get_TOAs_list(list, **control)`` — the pre-0.9.5 fallback lane
+#:   (the reference's only path, reference phases/pint_toas.py:53-96)
+#: - ``pint.models.get_model(par_file) -> TimingModel``
+#: - ``TimingModel.phase(toas) -> pint.phase.Phase`` with ``.int`` and
+#:   ``.frac`` Quantity-like attributes (two-double cycles)
+#: - ``TimingModel.d_phase_d_toa(toas) -> Quantity`` supporting
+#:   ``.to_value('Hz')``
+PINNED_PINT_API = {
+    "pint.toa": ["get_TOAs_array", "TOA", "get_TOAs_list"],
+    "pint.models": ["get_model"],
+    "TimingModel": ["phase", "d_phase_d_toa"],
+    "Phase": ["int", "frac"],
+    "pinned_versions": ["0.9.8", "1.0"],
+}
+
 
 class _StubTOAs:
     def __init__(self, day, frac, obs, freqs, kwargs):
@@ -89,7 +116,23 @@ def stub_pint(monkeypatch):
         calls.append(("model", par_file))
         return _StubModel()
 
+    class TOA:
+        """Old-PINT per-element TOA (the fallback lane's input)."""
+
+        def __init__(self, mjd_pair, obs=None, freq=None):
+            self.day, self.frac = mjd_pair
+            self.obs, self.freq = obs, freq
+
+    def get_TOAs_list(toa_list, **kwargs):
+        calls.append(("list", len(toa_list)))
+        return _StubTOAs([t.day for t in toa_list],
+                         [t.frac for t in toa_list],
+                         toa_list[0].obs,
+                         [t.freq for t in toa_list], kwargs)
+
     pint_toa.get_TOAs_array = get_TOAs_array
+    pint_toa.TOA = TOA
+    pint_toa.get_TOAs_list = get_TOAs_list
     pint_models.get_model = get_model
     pint.toa = pint_toa
     pint.models = pint_models
@@ -134,6 +177,34 @@ class TestPintToasContract:
         t = Time.from_mjd(58001.0) + u.Quantity(np.arange(8), u.s)
         toas = maker(t)
         assert toas.freqs.shape == (8,)
+
+    def test_pre_array_api_fallback(self, stub_pint, monkeypatch):
+        """PINT versions without get_TOAs_array take the per-TOA lane
+        (pint.toa.TOA + get_TOAs_list — the reference's only path) with
+        the same two-double MJD pairs."""
+        from baseband_tasks_tpu.phases.pint_toas import PintToas
+        monkeypatch.delattr(stub_pint.toa, "get_TOAs_array")
+        maker = PintToas("ao", u.Quantity(1400.0, u.MHz))
+        t = Time.from_mjd(58001.0) + u.Quantity(np.arange(16) * 1e-3,
+                                                u.s)
+        toas = maker(t)
+        assert calls == [("list", 16)]
+        sec = ((np.asarray(toas.day) - 58001.0)
+               + np.asarray(toas.frac)) * 86400.0
+        np.testing.assert_allclose(sec, np.arange(16) * 1e-3, atol=1e-9)
+
+    def test_ci_lane_matches_pinned_versions(self):
+        """The CI pint-optional matrix installs exactly the versions
+        this file pins (the documented pin and the lane cannot drift)."""
+        wf = os.path.join(os.path.dirname(__file__), "..", ".github",
+                          "workflows", "ci.yml")
+        with open(wf) as f:
+            text = f.read()
+        assert "pint-pulsar==${{ matrix.pint-version }}" in text
+        import re
+        m = re.search(r"pint-version:\s*\[([^\]]*)\]", text)
+        versions = [v.strip().strip('"') for v in m.group(1).split(",")]
+        assert versions == PINNED_PINT_API["pinned_versions"]
 
 
 class TestPintPhaseContract:

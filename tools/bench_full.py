@@ -824,17 +824,19 @@ def roofline23():
     return out
 
 
-def accel():
+def accel(engine="auto", n=1 << 22, z_max=64, n_scan=8):
     """Fourier-domain acceleration search throughput: 2^22-sample power
-    series x 65 z-trials (z_max 64, step 2), one jit."""
+    series x 65 z-trials (z_max 64, step 2), one jit.  engine='auto'
+    takes the fused pallas bank correlation on TPU
+    (ops/accel_correlate.py, new round 5); 'xla' forces the round-4
+    broadcast-multiply formulation for comparison."""
     import jax
     import jax.numpy as jnp
     from baseband_tasks_tpu.models import FourierDomainAccelSearch
     from baseband_tasks_tpu.utils import units as u
 
-    n = 1 << 22
-    s = FourierDomainAccelSearch(n, 1 * u.MHz, z_max=64, z_step=2,
-                                 seg_len=8192)
+    s = FourierDomainAccelSearch(n, 1 * u.MHz, z_max=z_max, z_step=2,
+                                 seg_len=8192, engine=engine)
 
     @jax.jit
     def mk(sf):
@@ -843,30 +845,423 @@ def accel():
     x = mk(np.ones((1,), np.float32))
     jax.block_until_ready(x)
 
+    if s._use_pallas():
+        banks = s._lane_banks()
+        impl = lambda xx: s._search_impl_pallas(xx, banks)  # noqa: E731
+    else:
+        impl = lambda xx: s._search_impl(xx, s._tf_r, s._tf_i)  # noqa
+
     @jax.jit
-    def run(x, tr, ti):
+    def run(x):
         def step(carry, i):
-            zmap = s._search_impl(x * (1.0 + 1e-6 * i.astype(jnp.float32)),
-                                  tr, ti)
+            zmap = impl(x * (1.0 + 1e-6 * i.astype(jnp.float32)))
             return carry, jnp.sum(zmap)
-        _, ys = jax.lax.scan(step, 0.0, jnp.arange(8, dtype=jnp.int32))
+        _, ys = jax.lax.scan(step, 0.0,
+                             jnp.arange(n_scan, dtype=jnp.int32))
         return jnp.sum(ys).reshape(1)
 
-    np.asarray(run(x, s._tf_r, s._tf_i))
-    dt = _best_of(lambda: np.asarray(run(x, s._tf_r, s._tf_i))) / 8
+    np.asarray(run(x))
+    dt = _best_of(lambda: np.asarray(run(x))) / n_scan
     return _with_base(
         {"config": "accelsearch",
          "sample_trials_per_s": round(n * len(s.zs) / dt, 1),
-         "n_z": len(s.zs), "backend": jax.default_backend()},
+         "n_z": len(s.zs),
+         "engine": "pallas" if s._use_pallas() else "xla",
+         "backend": jax.default_backend()},
         "sample_trials_per_s")
 
 
-def main():
-    if "--cpu" in sys.argv:
-        # env vars alone do not override the axon sitecustomize hook
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-    cmds = {"config1": config1, "config2": config2, "config3": config3,
+def accel_roofline(n=1 << 22, n_scan=8):
+    """Per-pass HBM byte model for the acceleration search (round-4
+    verdict item 5: the one stagnant row had no roofline).  Times each
+    pass of the pallas path individually in one drift window and
+    compares against byte models at the same-run base bandwidth.
+
+    Byte models (bytes/search, B = bytes of one f32 plane):
+    - forward: read x (4n) + write spec (8·nf) + segment gather
+      read spec / write segs (2 · 8·n_seg·seg_len)
+    - bank kernel (per 128-lane chunk): read segs (8·n_seg·seg_len) +
+      write power map (4·n_seg·valid·128); the bank planes are VMEM-
+      resident (read once, ~8·seg_len·128)
+    - XLA comparison path: ~36 bytes per (sample, trial) for the three
+      materializations of the (n_seg, n_z, seg_len) complex tensor
+    """
+    import jax
+    import jax.numpy as jnp
+    from baseband_tasks_tpu.models import FourierDomainAccelSearch
+    from baseband_tasks_tpu.ops.accel_correlate import (
+        LANES, accel_correlate_bank)
+    from baseband_tasks_tpu.utils import units as u
+
+    probe = base_probe(refresh_s=0.0)
+    bw = probe["base_GBps"] * 1e9
+    s = FourierDomainAccelSearch(n, 1 * u.MHz, z_max=64, z_step=2,
+                                 seg_len=8192, engine="auto")
+    (tr, ti), _ = s._lane_banks()[0]
+
+    @jax.jit
+    def mk(sf):
+        return jax.random.normal(jax.random.key(sf[0].astype(jnp.int32)),
+                                 (n,), jnp.float32)
+    x = mk(np.ones((1,), np.float32))
+    jax.block_until_ready(x)
+
+    def timed(fn):
+        @jax.jit
+        def run(x):
+            def step(carry, i):
+                y = fn(x * (1.0 + 1e-6 * i.astype(jnp.float32)))
+                return carry, jnp.sum(y) if y.dtype != jnp.complex64 \
+                    else jnp.sum(jnp.abs(y))
+            _, ys = jax.lax.scan(step, 0.0,
+                                 jnp.arange(n_scan, dtype=jnp.int32))
+            return jnp.sum(ys).reshape(1)
+        np.asarray(run(x))
+        return _best_of(lambda: np.asarray(run(x))) / n_scan
+
+    seg_bytes = 8 * s._n_seg * s.seg_len
+    out = {"config": "accel_roofline", "base_GBps": probe["base_GBps"],
+           "n_seg": s._n_seg, "seg_len": s.seg_len, "valid": s._valid}
+
+    t_fwd = timed(lambda xx: jnp.fft.fft(s._segments(xx), axis=1))
+    model_fwd = (4 * n + 8 * (n // 2 + 1) + 3 * seg_bytes) / bw
+    out["forward_fft_segment"] = {
+        "measured_ms": round(t_fwd * 1e3, 2),
+        "byte_model_ms": round(model_fwd * 1e3, 2),
+        "of_model": round(model_fwd / t_fwd, 2)}
+
+    F = jax.jit(lambda xx: jnp.fft.fft(s._segments(xx), axis=1))(x)
+    jax.block_until_ready(F)
+
+    def bank_only(F):
+        return accel_correlate_bank(F, tr, ti, valid=s._valid)
+
+    @jax.jit
+    def run_bank(F):
+        def step(carry, i):
+            p = bank_only(F * (1.0 + 1e-6 * i.astype(jnp.float32)))
+            return carry, jnp.sum(p)
+        _, ys = jax.lax.scan(step, 0.0,
+                             jnp.arange(n_scan, dtype=jnp.int32))
+        return jnp.sum(ys).reshape(1)
+
+    np.asarray(run_bank(F))
+    t_bank = _best_of(lambda: np.asarray(run_bank(F))) / n_scan
+    # the scan's perturbation re-reads+writes F once (2 seg_bytes)
+    model_bank = (3 * seg_bytes
+                  + 4 * s._n_seg * s._valid * LANES) / bw
+    out["bank_correlate_kernel"] = {
+        "measured_ms": round(t_bank * 1e3, 2),
+        "byte_model_ms": round(model_bank * 1e3, 2),
+        "of_model": round(model_bank / t_bank, 2)}
+
+    full = accel(n=n, n_scan=n_scan)
+    t_full = n * len(s.zs) / full["sample_trials_per_s"]
+    model_full = model_fwd + (model_bank - 2 * seg_bytes / bw)
+    out["full_search"] = {
+        "measured_ms": round(t_full * 1e3, 2),
+        "byte_model_ms": round(model_full * 1e3, 2),
+        "of_model": round(model_full / t_full, 2),
+        "sample_trials_per_s": full["sample_trials_per_s"],
+        "engine": full["engine"]}
+    out["xla_path_model_ms"] = round(
+        36 * s._n_seg * s.seg_len * len(s.zs) / bw * 1e3, 2)
+    return out
+
+
+def ffa(n=1 << 22, p0=16, n_octave_p=16):
+    """FFA survey rate across one octave of base periods: every p in
+    [p0, 2·p0) folds its full (m, p) trial bank over the same
+    2^22-sample series (the ffa_survey inner loop, distinct compiled
+    shapes per p).  trial·samples/s = sum_p m_p · n / t_total — the
+    standard FFA survey throughput metric (each of m_p trials inspects
+    all n samples; the recursion does it in n·log2(m) work)."""
+    import jax
+    import jax.numpy as jnp
+    from baseband_tasks_tpu.models import FastFoldingSearch
+
+    @jax.jit
+    def mk(sf):
+        return jax.random.normal(jax.random.key(sf[0].astype(jnp.int32)),
+                                 (n,), jnp.float32)
+    x = mk(np.ones((1,), np.float32))
+    jax.block_until_ready(x)
+
+    searches = [FastFoldingSearch(p, n) for p in range(p0, p0 + n_octave_p)]
+    fns = []
+    trial_samples = 0
+    for s in searches:
+        fn = s._snr_fn((1, 2, 4, 8, 16))
+        # warm/compile each distinct (m, p) shape
+        jax.block_until_ready(fn(x[:s.m * s.p]))
+        fns.append((fn, s.m, s.p))
+        trial_samples += s.m * n
+
+    def sweep():
+        outs = [fn(x[:m * p]) for fn, m, p in fns]
+        # one host fetch as the barrier (f32)
+        np.asarray(outs[-1][:1])
+        jax.block_until_ready(outs)
+
+    dt = _best_of(sweep)
+    return _with_base(
+        {"config": "ffa_octave",
+         "trial_samples_per_s": round(trial_samples / dt, 1),
+         "n_series_samples": n, "octave": [p0, 2 * p0],
+         "n_searches": len(fns),
+         "n_trials_total": int(sum(s.m for s in searches)),
+         "backend": jax.default_backend()},
+        "trial_samples_per_s")
+
+
+def rmsearch(batch=4096, n_chan=1024, n_phi=1024, n_scan=16):
+    """RM synthesis throughput: (batch, n_chan) Q/U planes against an
+    n_phi-depth bank — one MXU matmul per Stokes component.
+    trial-samples/s = batch · n_chan · n_phi / t."""
+    import jax
+    import jax.numpy as jnp
+    from baseband_tasks_tpu.models import RMSynthesis
+    from baseband_tasks_tpu.utils import units as u
+
+    freq = (1200 + 0.25 * np.arange(n_chan)) * u.MHz
+    rm = RMSynthesis(freq, np.linspace(-500, 500, n_phi))
+
+    @jax.jit
+    def mk(sf):
+        k = jax.random.key(sf[0].astype(jnp.int32))
+        q = jax.random.normal(k, (2, batch, n_chan), jnp.float32)
+        return q[0], q[1]
+    q, u_ = mk(np.ones((1,), np.float32))
+    jax.block_until_ready((q, u_))
+
+    @jax.jit
+    def run(q, u_, tr, ti):
+        def step(carry, i):
+            f = RMSynthesis._fdf_impl(
+                q * (1.0 + 1e-6 * i.astype(jnp.float32)), u_, tr, ti)
+            return carry, jnp.sum(jnp.abs(f))
+        _, ys = jax.lax.scan(step, 0.0,
+                             jnp.arange(n_scan, dtype=jnp.int32))
+        return jnp.sum(ys).reshape(1)
+
+    np.asarray(run(q, u_, rm._tr, rm._ti))
+    dt = _best_of(lambda: np.asarray(run(q, u_, rm._tr, rm._ti))) / n_scan
+    return _with_base(
+        {"config": "rmsynthesis",
+         "trial_samples_per_s": round(batch * n_chan * n_phi / dt, 1),
+         "batch": batch, "n_chan": n_chan, "n_phi": n_phi,
+         "backend": jax.default_backend()},
+        "trial_samples_per_s")
+
+
+def secondary(n_t=4096, n_f=2048, n_scan=8):
+    """Secondary (delay-Doppler) spectrum of an (n_t, n_f) dynamic
+    spectrum: 2-D FFT + |.|^2 + fftshift (models/scintillation.py)."""
+    import jax
+    import jax.numpy as jnp
+    from baseband_tasks_tpu.models import secondary_spectrum
+
+    @jax.jit
+    def mk(sf):
+        return jax.random.normal(jax.random.key(sf[0].astype(jnp.int32)),
+                                 (n_t, n_f), jnp.float32) + 10.0
+    d = mk(np.ones((1,), np.float32))
+    jax.block_until_ready(d)
+
+    @jax.jit
+    def run(d):
+        def step(carry, i):
+            s, _, _ = secondary_spectrum(
+                d * (1.0 + 1e-6 * i.astype(jnp.float32)))
+            return carry, jnp.sum(s)
+        _, ys = jax.lax.scan(step, 0.0,
+                             jnp.arange(n_scan, dtype=jnp.int32))
+        return jnp.sum(ys).reshape(1)
+
+    np.asarray(run(d))
+    dt = _best_of(lambda: np.asarray(run(d))) / n_scan
+    return _with_base(
+        {"config": "secondary_spectrum",
+         "samples_per_s": round(n_t * n_f / dt, 1),
+         "shape": [n_t, n_f], "backend": jax.default_backend()},
+        "samples_per_s")
+
+
+def _fold_chain_rate(masked, n_blocks=16, block=1 << 14, n_chan=128):
+    """Device-resident masked/unmasked fold-chain rate: float32
+    (block, n_chan) blocks -> Square -> Fold(masked=...) through
+    CompiledPipeline.run_fn (the general executor, not the bespoke
+    flagship), blocks generated on device (f32-only tunnel boundary)."""
+    import jax
+    import jax.numpy as jnp
+    from baseband_tasks_tpu import Fold, Square, StreamGenerator
+    from baseband_tasks_tpu.models.compiled import CompiledPipeline
+    from baseband_tasks_tpu.utils import Time, units as u
+
+    t0 = Time("2020-01-01")
+    n = n_blocks * block
+    src = StreamGenerator(lambda sh: np.zeros((block, n_chan),
+                                              np.float32),
+                          shape=(n, n_chan), start_time=t0,
+                          sample_rate=1 * u.MHz, samples_per_frame=block,
+                          dtype=np.float32)
+    f0 = 12345.6
+    phase = (lambda t: u.Quantity((t - t0).sec * f0, u.cycle))
+    tail = Fold(Square(src), 64, phase, u.Quantity(block / 1e6, u.s),
+                samples_per_frame=1, masked=masked, average=False)
+    cp = CompiledPipeline(tail, block_samples=block)
+    run = cp.run_fn(n_blocks)
+
+    @jax.jit
+    def mk(sf):
+        return jax.random.normal(jax.random.key(sf[0].astype(jnp.int32)),
+                                 (n_blocks, block, n_chan), jnp.float32)
+    blocks = mk(np.ones((1,), np.float32))
+    jax.block_until_ready(blocks)
+
+    sums, counts = run(blocks)
+    np.asarray(jnp.sum(sums).reshape(1))
+    def once():
+        s, c = run(blocks)
+        np.asarray(jnp.sum(s).reshape(1))
+    dt = _best_of(once)
+    return n * n_chan / dt
+
+
+def maskedfold():
+    """Masked-fold overhead: the identical general-executor fold chain
+    with masked=True (per-cell isfinite counts) vs masked=False
+    (host-tallied counts) — the round-4 feature's first published TPU
+    cost."""
+    import jax
+    r_plain = _fold_chain_rate(False)
+    r_masked = _fold_chain_rate(True)
+    return _with_base(
+        {"config": "maskedfold",
+         "samples_per_s": round(r_masked, 1),
+         "unmasked_samples_per_s": round(r_plain, 1),
+         "masked_overhead": round(r_plain / r_masked - 1, 3),
+         "backend": jax.default_backend()},
+        "samples_per_s", "unmasked_samples_per_s")
+
+
+def polarization(n_blocks=8, block=1 << 14, n_chan=128, n_scan=4):
+    """ConvertPolarization + ApplyJones in-chain cost: the same
+    channelize-detect-integrate chain with and without the two
+    polarization stages, device-resident blocks."""
+    import jax
+    import jax.numpy as jnp
+    from baseband_tasks_tpu import (ApplyJones, Channelize,
+                                    ConvertPolarization, Integrate,
+                                    NoiseGenerator, Square)
+    from baseband_tasks_tpu.models.compiled import CompiledPipeline
+    from baseband_tasks_tpu.utils import Time, units as u
+
+    t0 = Time("2020-01-01")
+    n = n_blocks * block
+
+    def make(with_pol):
+        src = NoiseGenerator(shape=(n, 2), start_time=t0,
+                             sample_rate=1 * u.MHz,
+                             samples_per_frame=block,
+                             dtype=np.complex64, seed=3,
+                             polarization=np.array(["X", "Y"]))
+        ch = Channelize(src, n_chan)
+        if with_pol:
+            jones = np.tile(np.array([[1.0, 0.05j], [-0.05j, 1.0]],
+                                     np.complex64), (n_chan, 1, 1))
+            ch = ApplyJones(ConvertPolarization(ch, "circular"), jones,
+                            inverse=True)
+        tail = Integrate(Square(ch), 64, average=False)
+        return CompiledPipeline(tail, block_samples=block)
+
+    rates = {}
+    for key, with_pol in (("plain", False), ("with_pol", True)):
+        cp = make(with_pol)
+        run = cp.run_fn(n_blocks)
+
+        @jax.jit
+        def mk(sf):
+            k = jax.random.key(sf[0].astype(jnp.int32))
+            z = jax.random.normal(k, (2, n_blocks, block, 2),
+                                  jnp.float32)
+            return jax.lax.complex(z[0], z[1])
+        blocks = mk(np.ones((1,), np.float32))
+        jax.block_until_ready(blocks)
+        s, c = run(blocks)
+        np.asarray(jnp.sum(s).reshape(1))
+
+        def once():
+            s, c = run(blocks)
+            np.asarray(jnp.sum(s).reshape(1))
+        rates[key] = n * 2 / _best_of(once)
+    return _with_base(
+        {"config": "polarization_chain",
+         "samples_per_s": round(rates["with_pol"], 1),
+         "plain_samples_per_s": round(rates["plain"], 1),
+         "pol_overhead": round(rates["plain"] / rates["with_pol"] - 1,
+                               3),
+         "backend": jax.default_backend()},
+        "samples_per_s", "plain_samples_per_s")
+
+
+#: where --update publishes (bump per round)
+ROUND = "round5"
+
+#: per-config wall-clock limit for the subprocess sweep (seconds);
+#: covers the slowest observed cold compile with margin (CLAUDE.md)
+CONFIG_TIMEOUT = 2400
+
+
+def probe_tunnel(timeout_s=180):
+    """A trivial f32 fetch in a THROWAWAY subprocess: True if the device
+    answers.  The axon tunnel has been observed to wedge for tens of
+    minutes (every fetch hangs, even in fresh processes; CLAUDE.md) —
+    probing in a subprocess means a hung fetch thread dies with the
+    probe instead of poisoning this process."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, numpy as np;"
+             "print(float(np.asarray(jax.device_put(np.float32(3)))))"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0 and "3.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _run_config_subprocess(name, extra_flags=()):
+    """One config in its own process under a hard wall-clock limit; a
+    wedge kills the child, not the sweep."""
+    import subprocess
+    here = os.path.abspath(__file__)
+    try:
+        r = subprocess.run(
+            [sys.executable, here, name, "--inproc", *extra_flags],
+            capture_output=True, text=True, timeout=CONFIG_TIMEOUT)
+    except subprocess.TimeoutExpired:
+        return {"config": name,
+                "error": f"watchdog: no result in {CONFIG_TIMEOUT} s "
+                         "(device/tunnel wedged; subprocess killed)"}
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return {"config": name,
+            "error": f"no JSON line (rc={r.returncode}); stderr tail: "
+                     + " | ".join(r.stderr.strip().splitlines()[-4:])}
+
+
+CMDS = None
+
+
+def _cmds():
+    global CMDS
+    if CMDS is None:
+        CMDS = {
+            "config1": config1, "config2": config2, "config3": config3,
             "config2big": lambda: dict(config2(spf=1 << 18),
                                        config="config2big"),
             "config2u1": lambda: dict(config2(blocks_per_step=1),
@@ -883,30 +1278,77 @@ def main():
             "ingest2": lambda: flagship(ingest_bits=2),
             "stokes": lambda: flagship(detect="stokes"),
             "correlator": correlator, "roofline23": roofline23,
-            "accel": accel, "beamform": beamform}
+            "accel": accel,
+            "accel_xla": lambda: dict(accel(engine="xla"),
+                                      config="accelsearch_xla"),
+            "accel_roofline": accel_roofline,
+            "beamform": beamform,
+            "ffa": ffa, "rmsearch": rmsearch, "secondary": secondary,
+            "maskedfold": maskedfold, "polarization": polarization}
+    return CMDS
+
+
+def _publish(results):
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BASELINE.json")
+    with open(path) as fh:
+        base = json.load(fh)
+    base.setdefault("published", {}).setdefault(ROUND, {}).update(results)
+    with open(path, "w") as fh:
+        json.dump(base, fh, indent=1)
+        fh.write("\n")
+
+
+def main():
+    if "--cpu" in sys.argv:
+        # env vars alone do not override the axon sitecustomize hook
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    cmds = _cmds()
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     update = "--update" in sys.argv
     which = args or ["all"]
     names = list(cmds) if which == ["all"] else which
+
+    # Subprocess isolation for multi-config sweeps on the tunnel backend
+    # (round-4 lesson: a mid-sweep wedge silently errored two rows and
+    # hung the rest).  Each config runs in its own process under a
+    # watchdog, with a cheap tunnel probe between configs; single
+    # configs and --cpu/--inproc runs stay in-process.
+    isolate = (len(names) > 1 and "--cpu" not in sys.argv
+               and "--inproc" not in sys.argv)
     results = {}
+    wedged = False
     for name in names:
-        try:
-            res = cmds[name]()
-        except Exception as exc:  # keep going; report the failure
-            import traceback
-            res = {"config": name, "error": f"{type(exc).__name__}: {exc}",
-                   "traceback": traceback.format_exc().splitlines()[-12:]}
+        if isolate:
+            if not wedged and not probe_tunnel():
+                # one retry after a cool-down; wedges last tens of min
+                time.sleep(300)
+                wedged = not probe_tunnel()
+            if wedged:
+                res = {"config": name,
+                       "error": "tunnel probe failed twice (device "
+                                "wedged); config skipped"}
+            else:
+                res = _run_config_subprocess(
+                    name, ("--cpu",) if name == "scaling" else ())
+        else:
+            try:
+                res = cmds[name]()
+            except Exception as exc:  # keep going; report the failure
+                import traceback
+                res = {"config": name,
+                       "error": f"{type(exc).__name__}: {exc}",
+                       "traceback":
+                           traceback.format_exc().splitlines()[-12:]}
         results[name] = res
         print(json.dumps(res), flush=True)
+    errors = sorted(n for n, r in results.items() if "error" in r)
+    if errors:
+        print(json.dumps({"config": "_sweep_errors", "failed": errors}),
+              flush=True)
     if update:
-        path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BASELINE.json")
-        with open(path) as fh:
-            base = json.load(fh)
-        base.setdefault("published", {}).setdefault("round4", {}).update(results)
-        with open(path, "w") as fh:
-            json.dump(base, fh, indent=1)
-            fh.write("\n")
+        _publish(results)
 
 
 if __name__ == "__main__":
