@@ -922,6 +922,19 @@ class CompiledPipeline:
                 return pair
             return (pair[0] * s, None if pair[1] is None else pair[1] * s)
 
+        def tail_rows(plane, pad):
+            # overlap-save tail via the FLAT view: slicing the
+            # (samples,) + sample_shape form makes XLA materialize the
+            # whole plane in a lane-padded layout — 64x HBM for a
+            # (n, 2) sample shape (measured: two 15.9 GB copies of
+            # 254 MB planes at the config3big window, OOM on 16 GB)
+            per = int(np.prod(plane.shape[1:], dtype=int)) \
+                if plane.ndim > 1 else 1
+            flat = plane.reshape(-1)
+            cut = flat.shape[0] - pad * per
+            return jax.lax.slice_in_dim(flat, cut, flat.shape[0]) \
+                .reshape((pad,) + plane.shape[1:])
+
         def step(carry, xs, scale=None):
             inputs = xs if multi else (xs,)
             stack = []
@@ -959,8 +972,8 @@ class CompiledPipeline:
                             # the kernel scales the BLOCK rows only, so
                             # the carried tail must be scaled here to
                             # hold its own iteration's values
-                            tail = scaled((x[0][-st.pad:],
-                                           x[1][-st.pad:]),
+                            tail = scaled((tail_rows(x[0], st.pad),
+                                           tail_rows(x[1], st.pad)),
                                           pending_scale)
                             pending_scale = None
                             new_carry.append(tail)

@@ -159,8 +159,11 @@ def _spectral_filter_impl(args, *, n1, n2, kf, ke, block_b, block_c,
     n = n1 * n2
     # 2^19-row windows split as (512, 1024): the stage-B Stockham over
     # n2=1024 rows holds one more radix stage of live intermediates than
-    # the flagship's n2=512 — ~76 MB scoped; v5e has 128 MiB VMEM
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    # the flagship's n2=512 — ~76 MB scoped; and the widest-lane
+    # geometry this library ships (config3big: n=2^17 -> n2=512 at
+    # L=512 lanes) measures 127.8 MB scoped at the minimum legal tile,
+    # so the cap sits just under the v5e's 128 MiB physical VMEM
+    params = pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
     i = 0
     scale = None
     if scaled:

@@ -209,26 +209,46 @@ def _timed_planes_chain(cp, shape, n_iter=N_ITER, blocks_per_step=1):
 
     step_c, caches = cp.cached_planes_step()
 
+    # generate and hold the loop-invariant input planes FLAT: a
+    # (samples, 2)-shaped resident buffer tiles its 2-wide minor axis
+    # to 128 lanes (64x padding — at the config3big window XLA held two
+    # 15.9 GB padded copies of 254 MB of data and OOM'd 16 GB HBM);
+    # the flat form pads one tile tail, and the in-jit reshape lands on
+    # the kernels' dense (rows, lanes) layout
+    flat = (int(np.prod(shape)),)
+
     @jax.jit
     def make_block(seedf):
         k = jax.random.key(seedf[0].astype(jnp.int32))
-        return (jax.random.normal(k, shape, jnp.float32),
-                jax.random.normal(jax.random.fold_in(k, 1), shape,
+        return (jax.random.normal(k, flat, jnp.float32),
+                jax.random.normal(jax.random.fold_in(k, 1), flat,
                                   jnp.float32))
 
     xr, xi = make_block(np.ones((1,), np.float32))
     jax.block_until_ready(xr)
 
     @jax.jit
-    def run(xr, xi, *cs):
+    def run(xr_flat, xi_flat, *cs):
         def s(carry, i):
+            # reshape INSIDE the scan body: the step's own (rows,
+            # lanes) reshapes then collapse with this one in the same
+            # HLO computation, so the (samples, small-minor) form never
+            # materializes (as a loop operand it would be held in the
+            # 64x lane-padded layout)
+            xr = xr_flat.reshape(shape)
+            xi = xi_flat.reshape(shape)
             out = 0.0
             for k in range(blocks_per_step):
                 scale = 1.0 + 1e-6 * (
                     blocks_per_step * i.astype(jnp.float32) + k)
                 carry, (yr, yi) = step_c(carry, (xr, xi), scale, cs)
-                out = out + jnp.sum(yr ** 2) + (0.0 if yi is None
-                                                else jnp.sum(yi ** 2))
+                # checksum via the FLAT view: it collapses with the
+                # library's (rows, lanes) -> (samples, shape) reshape,
+                # so the (samples, small-minor) form never materializes
+                # (64x lane padding; see the input-planes note above)
+                out = out + jnp.sum(yr.reshape(-1) ** 2) \
+                    + (0.0 if yi is None
+                       else jnp.sum(yi.reshape(-1) ** 2))
             return carry, out
 
         carry, ys = jax.lax.scan(s, cp.init_carry(planes=True),
@@ -1246,9 +1266,11 @@ def _run_config_subprocess(name, extra_flags=()):
                          "(device/tunnel wedged; subprocess killed)"}
     for line in reversed(r.stdout.strip().splitlines()):
         try:
-            return json.loads(line)
+            row = json.loads(line)
         except (json.JSONDecodeError, ValueError):
             continue
+        if isinstance(row, dict) and row.get("config") != "_sweep_errors":
+            return row
     return {"config": name,
             "error": f"no JSON line (rc={r.returncode}); stderr tail: "
                      + " | ".join(r.stderr.strip().splitlines()[-4:])}
@@ -1268,8 +1290,17 @@ def _cmds():
                                       config="config2u1"),
             "config3u1": lambda: dict(config3(blocks_per_step=1),
                                       config="config3u1"),
+            # the 2^16-row window (2x config3's) amortizes the fixed
+            # per-step cost by itself, so config3big runs unrolled=1.
+            # A 2^17-row window does NOT fit 16 GB HBM: XLA holds one
+            # (samples, 2)-shaped layout bridge between the two fused
+            # stages in the 64x lane-padded T(8,128) form (15.9 GB at
+            # that window; see the round-5 BASELINE.md note) — the
+            # input-side copies were eliminated (flat generation +
+            # flat-view tail slice), the stage-bridge one is XLA's
+            # layout choice around the pallas custom-call boundary
             "config3big": lambda: dict(
-                config3(spf=130048, pad_start=512, pad_end=505),
+                config3(spf=64512, pad_start=512, pad_end=505),
                 config="config3big"),
             "config4": config4, "config4_packed": config4_packed,
             "scaling": scaling, "roofline": roofline,
@@ -1344,7 +1375,7 @@ def main():
         results[name] = res
         print(json.dumps(res), flush=True)
     errors = sorted(n for n, r in results.items() if "error" in r)
-    if errors:
+    if errors and len(names) > 1:
         print(json.dumps({"config": "_sweep_errors", "failed": errors}),
               flush=True)
     if update:
