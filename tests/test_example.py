@@ -33,3 +33,10 @@ def test_calibrated_fold_example(capsys):
     runpy.run_path("examples/calibrated_fold.py", run_name="__main__")
     out = capsys.readouterr().out
     assert "calibrated masked fold ok" in out
+
+
+def test_binary_search_example(capsys):
+    runpy.run_path("examples/binary_search.py", run_name="__main__")
+    out = capsys.readouterr().out
+    assert "binary search closed OK" in out
+    assert "z = +12 bins" in out
