@@ -88,11 +88,20 @@ class FourierDomainAccelSearch:
         if engine not in ("auto", "xla", "pallas"):
             raise ValueError(f"engine={engine!r}: 'auto', 'xla' or "
                              f"'pallas'")
+        if engine == "pallas":
+            from ..ops.accel_correlate import MAX_SEG_LEN
+            if seg_len & (seg_len - 1) or seg_len > MAX_SEG_LEN:
+                raise ValueError(
+                    f"engine='pallas' needs a power-of-two seg_len <= "
+                    f"{MAX_SEG_LEN} (VMEM budget of the fused kernel); "
+                    f"got {seg_len}. Use engine='xla' or a smaller "
+                    "window.")
         #: 'pallas' -> the fused in-VMEM bank correlation
         #: (ops/accel_correlate.py: the z bank rides the 128 lanes, no
         #: complex intermediate touches HBM); 'xla' -> the plain
         #: broadcast-multiply + batched IFFT; 'auto' -> pallas on a TPU
-        #: backend (and pow2 seg_len), xla otherwise
+        #: backend (pow2 seg_len within the kernel's VMEM cap,
+        #: ops/accel_correlate.MAX_SEG_LEN), xla otherwise
         self.engine = engine
         self.seg_len = int(seg_len)
         self.n_freq = self.n_time // 2 + 1
@@ -202,8 +211,10 @@ class FourierDomainAccelSearch:
             return True
         if self.engine == "xla":
             return False
+        from ..ops.accel_correlate import MAX_SEG_LEN
         return (jax.default_backend() == "tpu"
-                and self.seg_len & (self.seg_len - 1) == 0)
+                and self.seg_len & (self.seg_len - 1) == 0
+                and self.seg_len <= MAX_SEG_LEN)
 
     def search(self, x):
         """(n_freq, n_z) normalized drift-corrected power map of the

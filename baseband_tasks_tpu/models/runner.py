@@ -223,6 +223,16 @@ class StreamRunner:
         finally:
             stop.set()
             t.join(timeout=60)
+            if t.is_alive():
+                # a live reader mid-device_put races any later eager
+                # op on the (thread-unsafe) axon tunnel client —
+                # surface it instead of failing mysteriously later
+                import warnings
+                warnings.warn(
+                    "StreamRunner reader thread still alive after "
+                    "60 s join (device transfer hung?); subsequent "
+                    "eager device ops may race it", RuntimeWarning,
+                    stacklevel=2)
         if red is not None:
             return (self.cp._shape_reduced(sums[:-1]),
                     self.cp._shape_reduced_counts(counts[:-1]))

@@ -42,6 +42,14 @@ __all__ = ["accel_correlate_bank", "LANES"]
 #: power; a 64-wide bank would halve every vector op, CLAUDE.md)
 LANES = 128
 
+#: largest segment the kernel fits in scoped VMEM.  The Stockham stages
+#: hold ~30 live (seg_len, LANES) float32 planes; at 8192 that is a
+#: measured 119.8 MiB kernel stack against the 100 MiB scoped limit
+#: (v5e compile error, round 5) — 4096 needs ~60 MiB and the total HBM
+#: traffic is unchanged (per-segment reads and the trimmed power write
+#: both scale with n_freq, not seg_len).
+MAX_SEG_LEN = 4096
+
 
 def _kernel(seg_len, valid, scale, sr_ref, si_ref, tr_ref, ti_ref,
             out_ref):
@@ -101,6 +109,14 @@ def accel_correlate_bank(segs, tf_r, tf_i, *, valid, interpret=None):
     n_seg, seg_len = segs.shape
     if not _is_pow2(seg_len):
         raise ValueError(f"seg_len {seg_len} must be a power of two")
+    if seg_len > MAX_SEG_LEN:
+        raise ValueError(
+            f"seg_len {seg_len} exceeds the kernel's VMEM budget "
+            f"(max {MAX_SEG_LEN}: the in-VMEM FFT holds ~30 "
+            f"(seg_len, {LANES}) float32 planes; 8192 was measured at "
+            "119.8 MiB against the 100 MiB scoped limit). Use a "
+            f"seg_len <= {MAX_SEG_LEN} window — the trimmed-output HBM "
+            "traffic is the same.")
     if tf_r.shape != (seg_len, LANES):
         raise ValueError(f"bank planes must be ({seg_len}, {LANES}), "
                          f"got {tf_r.shape}")

@@ -534,12 +534,19 @@ def config4_packed():
     planes_bytes = block * n_thread * 8  # two f32 planes of complex64
 
     fetch32 = jax.jit(lambda c: c.astype(jnp.float32))
+    jreal = jax.jit(jnp.real)
+    jimag = jax.jit(jnp.imag)
 
     def run_path(runner):
         sums, counts = runner.run(n_blocks)
-        # int fetch poisons the axon boundary; fetch counts as f32
-        return np.asarray(sums[..., 0] if np.iscomplexobj(sums)
-                          else sums), np.asarray(fetch32(counts))
+        # the axon boundary transfers f32 ONLY: fetch complex as two
+        # f32 planes, counts cast to f32 on device
+        if np.iscomplexobj(sums):
+            s = (np.asarray(jreal(sums))
+                 + 1j * np.asarray(jimag(sums)))
+        else:
+            s = np.asarray(fetch32(sums))
+        return s, np.asarray(fetch32(counts))
 
     runner_p = StreamRunner(cp_p)
     runner_f = StreamRunner(cp_f, planes=True)
@@ -855,8 +862,13 @@ def accel(engine="auto", n=1 << 22, z_max=64, n_scan=8):
     from baseband_tasks_tpu.models import FourierDomainAccelSearch
     from baseband_tasks_tpu.utils import units as u
 
-    s = FourierDomainAccelSearch(n, 1 * u.MHz, z_max=z_max, z_step=2,
-                                 seg_len=8192, engine=engine)
+    # the pallas kernel's VMEM budget caps seg_len at 4096
+    # (ops/accel_correlate.MAX_SEG_LEN); the xla comparison keeps its
+    # round-4 8192 window.  The sample_trials/s metric is window-free
+    # (n x n_z either way) and total HBM traffic is ~unchanged.
+    s = FourierDomainAccelSearch(
+        n, 1 * u.MHz, z_max=z_max, z_step=2,
+        seg_len=8192 if engine == "xla" else 4096, engine=engine)
 
     @jax.jit
     def mk(sf):
@@ -916,7 +928,7 @@ def accel_roofline(n=1 << 22, n_scan=8):
     probe = base_probe(refresh_s=0.0)
     bw = probe["base_GBps"] * 1e9
     s = FourierDomainAccelSearch(n, 1 * u.MHz, z_max=64, z_step=2,
-                                 seg_len=8192, engine="auto")
+                                 seg_len=4096, engine="auto")
     (tr, ti), _ = s._lane_banks()[0]
 
     @jax.jit
