@@ -23,6 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .base import TaskBase, getattr_if_none
+from .utils.device import device_complex
 
 __all__ = ["ConvertPolarization", "ApplyJones"]
 
@@ -126,7 +127,9 @@ class ConvertPolarization(TaskBase):
             # reversed input components AND reversed output rows keep
             # the label order of the stream
             mat = mat[::-1, ::-1]
-        self._mat = jnp.asarray(np.ascontiguousarray(mat))
+        # f32-plane transfer: an eager complex put is rejected by
+        # restricted device boundaries (the axon tunnel)
+        self._mat = device_complex(np.ascontiguousarray(mat))
         self._axis = axis
         new_pol = None
         if polarization is not None:
@@ -209,7 +212,8 @@ class ApplyJones(TaskBase):
                 f"against the non-pol sample shape {rest}")
         # trailing-aligned broadcasting puts the matrix against the
         # value's (..., rest, 2) layout directly
-        self._mat = jnp.asarray(mat)
+        # f32-plane transfer (see ConvertPolarization)
+        self._mat = device_complex(mat)
         self._axis = axis
         super().__init__(ih)
 
