@@ -8,11 +8,18 @@ arXiv:1711.10855) correlates the complex spectrum with a bank of
 constant-``f_dot`` templates — the Fourier response of a linearly
 drifting tone — and searches the resulting (frequency, z) map.
 
-TPU formulation: the correlation along the frequency axis is
-overlap-save convolution, batched over the template bank — segments of
-the spectrum FFT once, multiply by every template's conjugate transfer
-function (bank on its own axis), inverse FFT, trim.  All static shapes
-under one jit; the z axis rides the TPU lanes.
+TPU formulation: the template span is short (m = 256 taps at z_max 64),
+so the per-segment correlation against the whole bank is ONE MXU
+matmul: overlap-save windows of L = 2m spectrum bins (built by two
+shifted reshapes — no gather) contract with the device-resident banded
+operator ``M_z[f, k] = conj(t_z)[f-k]`` (engine='mx', the TPU
+default).  The m-fold im2col duplication lives in that constant, not
+in the data, and the contraction length L = 512 keeps the systolic
+array full.  The round-5 roofline measured the alternatives far off
+the MXU pace: FFT-engine 'xla' ~98 ms per 2^22 x 65-trial search, a
+C_in=2 ``conv_general_dilated`` ~180 ms (1.6% MXU utilization), the
+in-VMEM pallas bank kernel ~151 ms (VPU-FFT-bound).  'xla' and
+'pallas' remain selectable for comparison.
 
 Beyond-reference scope: baseband-tasks has no searching at all; this
 composes with :class:`~baseband_tasks_tpu.models.dmsearch.DMTrialSearch`
@@ -85,9 +92,9 @@ class FourierDomainAccelSearch:
         if seg_len <= self.m:
             raise ValueError(f"seg_len {seg_len} must exceed the "
                              f"template span {self.m}")
-        if engine not in ("auto", "xla", "pallas"):
-            raise ValueError(f"engine={engine!r}: 'auto', 'xla' or "
-                             f"'pallas'")
+        if engine not in ("auto", "mx", "xla", "pallas"):
+            raise ValueError(f"engine={engine!r}: 'auto', 'mx', "
+                             f"'xla' or 'pallas'")
         if engine == "pallas":
             from ..ops.accel_correlate import MAX_SEG_LEN
             if seg_len & (seg_len - 1) or seg_len > MAX_SEG_LEN:
@@ -96,12 +103,13 @@ class FourierDomainAccelSearch:
                     f"{MAX_SEG_LEN} (VMEM budget of the fused kernel); "
                     f"got {seg_len}. Use engine='xla' or a smaller "
                     "window.")
-        #: 'pallas' -> the fused in-VMEM bank correlation
-        #: (ops/accel_correlate.py: the z bank rides the 128 lanes, no
-        #: complex intermediate touches HBM); 'xla' -> the plain
-        #: broadcast-multiply + batched IFFT; 'auto' -> pallas on a TPU
-        #: backend (pow2 seg_len within the kernel's VMEM cap,
-        #: ops/accel_correlate.MAX_SEG_LEN), xla otherwise
+        #: 'mx' -> the banded-operator bank matmul (fastest on TPU:
+        #: the m-tap correlation maps straight onto the systolic
+        #: array, see _search_impl_mx); 'xla' -> overlap-save FFT
+        #: (broadcast-multiply + batched IFFT); 'pallas' -> the fused
+        #: in-VMEM bank correlation (ops/accel_correlate.py —
+        #: VPU-FFT-bound, kept for comparison); 'auto' -> mx on a TPU
+        #: backend, xla otherwise
         self.engine = engine
         self.seg_len = int(seg_len)
         self.n_freq = self.n_time // 2 + 1
@@ -113,11 +121,19 @@ class FourierDomainAccelSearch:
         tf = np.conj(np.fft.fft(padded, axis=1)).astype(np.complex64)
         self._tf_r = jnp.asarray(tf.real)
         self._tf_i = jnp.asarray(tf.imag)
+        # conjugate template taps for the mx engine: (n_z, m) f32
+        # planes, kr + i*ki = conj(t)
+        self._taps_r = jnp.asarray(np.ascontiguousarray(
+            bank.real.astype(np.float32)))
+        self._taps_i = jnp.asarray(np.ascontiguousarray(
+            (-bank.imag).astype(np.float32)))
         self._valid = self.seg_len - self.m
         self._n_seg = -(-self.n_freq // self._valid)
         self._jsearch = jax.jit(functools.partial(self._search_impl))
         self._bank_planes = None      # lane-major planes, built lazily
         self._jsearch_pallas = None
+        self._jsearch_mx = None
+        self._mx_cache = None
 
     @property
     def freqs(self):
@@ -152,13 +168,17 @@ class FourierDomainAccelSearch:
         zmap = power.transpose(0, 2, 1).reshape(-1, tf_r.shape[0])
         return zmap[:self.n_freq]
 
-    def _segments(self, x):
-        """Normalize the spectrum and cut overlap-save segments."""
+    def _spectrum(self, x):
+        """Bin-noise-normalized rfft of the (mean-removed) series."""
         x = x.astype(jnp.float32)
         x = x - jnp.mean(x)
         spec = jnp.fft.rfft(x)
         norm = jnp.sqrt(jnp.mean(jnp.abs(spec[1:]) ** 2) + 1e-30)
-        spec = spec / norm
+        return spec / norm
+
+    def _segments(self, x):
+        """Normalize the spectrum and cut overlap-save segments."""
+        spec = self._spectrum(x)
         pad = self.m
         total = self._n_seg * self._valid + pad
         specp = jnp.concatenate(
@@ -167,6 +187,74 @@ class FourierDomainAccelSearch:
         idx = (jnp.arange(self._n_seg)[:, None] * self._valid
                + jnp.arange(self.seg_len)[None, :])
         return specp[idx]                          # (n_seg, seg_len)
+
+    def _mx_planes(self):
+        """f32 planes of the banded correlation operator
+        ``M_z[f, k] = conj(t_z)[f - k]`` (zero outside ``0 <= f-k < m``)
+        of shape (n_z, L, m), L = 2m — so that
+        ``corr[s, z, k] = sum_f segs[s, f] M_z[f, k]
+                        = sum_j segs[s, k+j] conj(t_z)[j]``
+        IS the correlation lag ``k`` of segment ``s``.  The m-fold
+        "im2col" duplication lives in this device-resident constant
+        (n_z * L * m floats, ~34 MB/plane at z_max 64), not in the
+        data: the spectrum is read once per search.  Built on host,
+        shipped as float32."""
+        if self._mx_cache is None:
+            L = 2 * self.m
+            kr = np.asarray(self._taps_r)      # conj-tap planes (n_z, m)
+            ki = np.asarray(self._taps_i)
+            f = np.arange(L)[:, None]
+            k = np.arange(self.m)[None, :]
+            d = f - k                          # (L, m) tap index
+            band = (d >= 0) & (d < self.m)
+            dc = np.clip(d, 0, self.m - 1)
+            mr = np.where(band[None], kr[:, dc], 0.0).astype(np.float32)
+            mi = np.where(band[None], ki[:, dc], 0.0).astype(np.float32)
+            self._mx_cache = (jnp.asarray(np.ascontiguousarray(mr)),
+                              jnp.asarray(np.ascontiguousarray(mi)))
+        return self._mx_cache
+
+    def _search_impl_mx(self, x, mr, mi):
+        """MXU path: overlap-save correlation as one bank matmul.
+
+        Windows of ``L = 2m`` spectrum bins advance by ``valid = m``,
+        so each segment is the concatenation of two adjacent rows of
+        the (n_seg+1, m)-reshaped padded spectrum — two shifted
+        reshapes, NO gather (the general ``specp[idx]`` gather measured
+        ~36 ms alone at 2^22 on v5e).  The template product and inverse
+        DFT are folded into the per-template constant ``M_z``
+        (:meth:`_mx_planes`), so the whole bank correlation is
+        ``einsum('sf,zfk->szk')`` — an (n_seg x L) @ (L x n_z*m)
+        matmul with contraction L = 512: MXU-shaped, unlike a
+        C_in=2 ``conv_general_dilated`` (measured 1.5e9 trials/s, 1.6%
+        MXU utilization) or the VPU-FFT pallas kernel (1.8e9)."""
+        from ..ops.dft_matmul import matmul_precision
+
+        m = self.m
+        valid = m
+        n_seg = -(-self.n_freq // valid)
+        total = (n_seg + 1) * valid
+        front = m // 2
+        spec = self._spectrum(x)
+
+        def segs(p):
+            p = jnp.concatenate(
+                [jnp.zeros(front, p.dtype), p,
+                 jnp.zeros(total - front - self.n_freq, p.dtype)])
+            rows = p.reshape(n_seg + 1, valid)
+            return jnp.concatenate([rows[:-1], rows[1:]], axis=1)
+
+        fr, fi = segs(jnp.real(spec)), segs(jnp.imag(spec))
+        prec = matmul_precision()
+
+        def dot(a, b):
+            return jnp.einsum("sf,zfk->szk", a, b, precision=prec)
+
+        cr = dot(fr, mr) - dot(fi, mi)
+        ci = dot(fr, mi) + dot(fi, mr)
+        power = cr * cr + ci * ci                   # (n_seg, n_z, m)
+        zmap = power.transpose(0, 2, 1).reshape(-1, mr.shape[0])
+        return zmap[:self.n_freq]
 
     def _search_impl_pallas(self, x, banks):
         """Pallas path: the forward segment FFT is one small shared XLA
@@ -206,15 +294,16 @@ class FourierDomainAccelSearch:
             self._bank_planes = banks
         return self._bank_planes
 
-    def _use_pallas(self):
-        if self.engine == "pallas":
+    def _use_mx(self):
+        if self.engine == "mx":
             return True
-        if self.engine == "xla":
-            return False
-        from ..ops.accel_correlate import MAX_SEG_LEN
-        return (jax.default_backend() == "tpu"
-                and self.seg_len & (self.seg_len - 1) == 0
-                and self.seg_len <= MAX_SEG_LEN)
+        # auto: the MXU bank matmul wins on TPU (round-5 roofline: xla
+        # ~98 ms, conv_general_dilated ~180 ms, pallas ~151 ms at
+        # 2^22 x 65); the FFT engine wins on CPU where there is no MXU
+        return self.engine == "auto" and jax.default_backend() == "tpu"
+
+    def _use_pallas(self):
+        return self.engine == "pallas"
 
     def search(self, x):
         """(n_freq, n_z) normalized drift-corrected power map of the
@@ -223,6 +312,12 @@ class FourierDomainAccelSearch:
         if x.shape != (self.n_time,):
             raise ValueError(f"expected shape ({self.n_time},), got "
                              f"{x.shape}")
+        if self._use_mx():
+            if self._jsearch_mx is None:
+                mr, mi = self._mx_planes()
+                self._jsearch_mx = jax.jit(
+                    lambda xx: self._search_impl_mx(xx, mr, mi))
+            return self._jsearch_mx(x)
         if self._use_pallas():
             if self._jsearch_pallas is None:
                 banks = self._lane_banks()
@@ -261,15 +356,24 @@ class FourierDomainAccelSearch:
         if cached is None:
             n_z = len(self.zs)
             pad = pad_to_multiple(n_z, n_shards)
-            tf_r, tf_i = np.asarray(self._tf_r), np.asarray(self._tf_i)
+            # the mx engine shards identically (operator rows = bank
+            # axis); keep the FFT impl for engine='xla'/'pallas' so the
+            # sharded and single-device paths use the same arithmetic
+            if self.engine in ("xla", "pallas"):
+                impl = self._search_impl
+                pr, pi = np.asarray(self._tf_r), np.asarray(self._tf_i)
+            else:
+                impl = self._search_impl_mx
+                mr, mi = self._mx_planes()
+                pr, pi = np.asarray(mr), np.asarray(mi)
             if pad:
-                z = np.zeros((pad, self.seg_len), tf_r.dtype)
-                tf_r = np.concatenate([tf_r, z])
-                tf_i = np.concatenate([tf_i, z])
+                z = np.zeros((pad,) + pr.shape[1:], pr.dtype)
+                pr = np.concatenate([pr, z])
+                pi = np.concatenate([pi, z])
             bank_spec = NamedSharding(mesh, P(axis_name, None))
-            tr = jax.device_put(jnp.asarray(tf_r), bank_spec)
-            ti = jax.device_put(jnp.asarray(tf_i), bank_spec)
-            fn = jax.jit(self._search_impl,
+            tr = jax.device_put(jnp.asarray(pr), bank_spec)
+            ti = jax.device_put(jnp.asarray(pi), bank_spec)
+            fn = jax.jit(impl,
                          out_shardings=NamedSharding(
                              mesh, P(None, axis_name)))
             cached = (fn, tr, ti, NamedSharding(mesh, P()), n_z)

@@ -93,11 +93,12 @@ def decode_segment_ids(idf):
 def init_reduction_acc(red, sample_shape, n_seg):
     """Zeroed (sums, counts) accumulators for an absorbed reduction.
     Masked reductions carry per-cell counts (the sample shape)."""
+    from ..utils.device import device_zeros
     masked = bool(getattr(red, "_masked", False))
-    return (jnp.zeros((n_seg + 1,) + tuple(sample_shape),
-                      red._acc_dtype()),
-            jnp.zeros((n_seg + 1,) + (tuple(sample_shape) if masked
-                                      else ()), jnp.int32))
+    return (device_zeros((n_seg + 1,) + tuple(sample_shape),
+                         red._acc_dtype()),
+            device_zeros((n_seg + 1,) + (tuple(sample_shape) if masked
+                                         else ()), jnp.int32))
 
 
 def make_reduction_update(red):
@@ -692,14 +693,17 @@ class CompiledPipeline:
                         (z, z if np.dtype(st.in_dtype).kind == "c"
                          else None))
                 else:
-                    carries.append(jnp.zeros(shape, st.in_dtype))
+                    # f32-safe creation: eager jnp.zeros(complex) puts
+                    # the complex fill scalar across the boundary
+                    from ..utils.device import device_zeros
+                    carries.append(device_zeros(shape, st.in_dtype))
         return tuple(carries)
 
     #: node attributes holding device-resident cache arrays
     _CACHE_ATTRS = ("_chirp_cache", "_ft_response_cache", "_gain_cache",
                     "_storage_chirp_cache", "_storage_response_cache",
                     "_storage_gain_cache", "_lo_cache", "_phase_cache",
-                    "_taps")
+                    "_taps", "_mat", "_rel_index")
 
     def _prepare_caches(self):
         """Materialize lazy device caches eagerly: built inside a traced
@@ -1064,6 +1068,18 @@ class CompiledPipeline:
         boundary transfers float32 only; ids >= 2^24 ship as an exact
         12-bit hi/lo split).  ``tail_offset`` shifts the eager timeline
         by whole tail samples (for resumed runs)."""
+        ids_f, n_seg = self.segment_ids_np(n_blocks, tail_offset)
+        return jnp.asarray(ids_f), n_seg
+
+    def segment_ids_np(self, n_blocks, tail_offset=0):
+        """:meth:`segment_ids_f`'s planes kept on the HOST (numpy).
+
+        For consumers that slice per block while a reader thread is
+        device_put-ing in parallel (StreamRunner): an eager getitem on
+        a DEVICE array races a threaded put on the axon tunnel client
+        (raises UNIMPLEMENTED; CLAUDE.md), while slicing numpy and
+        handing the slice to a jitted call (jit dispatch transfers its
+        arguments) is safe."""
         if self.delay != int(self.delay):
             raise ValueError(
                 "cannot absorb a reduction after a fractional-delay "
@@ -1082,11 +1098,11 @@ class CompiledPipeline:
             ids[:w_extra] = n_seg
         ids2 = ids.reshape(n_blocks, self.tail_block)
         if n_seg < (1 << 24):
-            ids_f = jnp.asarray(ids2.astype(np.float32)[..., np.newaxis])
+            ids_f = ids2.astype(np.float32)[..., np.newaxis]
         else:
-            ids_f = jnp.asarray(np.stack(
-                [(ids2 >> 12).astype(np.float32),
-                 (ids2 & 0xFFF).astype(np.float32)], axis=-1))
+            ids_f = np.stack([(ids2 >> 12).astype(np.float32),
+                              (ids2 & 0xFFF).astype(np.float32)],
+                             axis=-1)
         return ids_f, n_seg
 
     def run_fn(self, n_blocks):

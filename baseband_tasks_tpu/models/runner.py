@@ -180,7 +180,15 @@ class StreamRunner:
                     "with an absorbed reduction, offset must be a "
                     f"multiple of block_samples ({self.cp.block_samples})")
             tail_off = offset // self.cp.block_samples * self.cp.tail_block
-            ids_f, n_seg = self.cp.segment_ids_f(n_blocks, tail_off)
+            # per-block id planes, placed on device BEFORE the reader
+            # thread starts: an eager device-array getitem in the loop
+            # (or the implicit device_put of a numpy jit argument)
+            # would race the reader's device_put on the axon tunnel
+            # client, poisoning the process (UNIMPLEMENTED at the next
+            # fetch)
+            ids_np, n_seg = self.cp.segment_ids_np(n_blocks, tail_off)
+            ids_f = [jax.device_put(ids_np[i]) for i in range(n_blocks)]
+            jax.block_until_ready(ids_f)
             from .compiled import init_reduction_acc
             sums, counts = init_reduction_acc(
                 red, self.cp._tail.sample_shape, n_seg)

@@ -247,7 +247,10 @@ class ShiftSamples(PaddedTaskBase):
         # per-channel shifts need the gather
         self._uniform = int(full_shift.flat[0]) if full_shift.size \
             and np.all(full_shift == full_shift.flat[0]) else None
-        self._rel_index = jnp.asarray(pad_start - full_shift)
+        # int put through the f32-safe boundary (the axon tunnel
+        # rejects eager integer transfers)
+        from .utils.device import device_int
+        self._rel_index = device_int(pad_start - full_shift)
 
     def task(self, data):
         n_out = data.shape[0] - self._pad_start - self._pad_end

@@ -147,6 +147,31 @@ class TestPallasEngine:
         i, j = np.unravel_index(np.argmax(got), got.shape)
         assert i == 700 and sp.z_values[j] == 10.0
 
+    def test_mx_engine_matches_xla(self):
+        """The MXU banded-operator bank matmul (engine='mx', the TPU
+        default) must match the overlap-save FFT engine bin for bin."""
+        n = 1 << 13
+        t = np.arange(n) / n
+        rng = np.random.default_rng(9)
+        x = (np.cos(2 * np.pi * (700 * t + 0.5 * 10.0 * t ** 2))
+             + rng.standard_normal(n) * 0.3).astype(np.float32)
+        sx = FourierDomainAccelSearch(n, 1 * u.kHz, z_max=24, z_step=2,
+                                      seg_len=512, engine="xla")
+        sc = FourierDomainAccelSearch(n, 1 * u.kHz, z_max=24, z_step=2,
+                                      seg_len=512, engine="mx")
+        ref = np.asarray(sx.search(x))
+        got = np.asarray(sc.search(x))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+        i, j = np.unravel_index(np.argmax(got), got.shape)
+        assert i == 700 and sc.z_values[j] == 10.0
+        # odd template count and a non-pow2 user window are fine: the
+        # mx engine fixes its own L = 2m window
+        s2 = FourierDomainAccelSearch(n, 1 * u.kHz, z_max=30, z_step=4,
+                                      seg_len=500, engine="mx")
+        z2 = np.asarray(s2.search(x))
+        assert z2.shape == (n // 2 + 1, len(s2.zs))
+
     def test_bank_wider_than_lanes_chunks(self):
         """More than 128 z-trials -> multiple lane chunks, same map."""
         n = 1 << 12

@@ -854,9 +854,9 @@ def roofline23():
 def accel(engine="auto", n=1 << 22, z_max=64, n_scan=8):
     """Fourier-domain acceleration search throughput: 2^22-sample power
     series x 65 z-trials (z_max 64, step 2), one jit.  engine='auto'
-    takes the fused pallas bank correlation on TPU
-    (ops/accel_correlate.py, new round 5); 'xla' forces the round-4
-    broadcast-multiply formulation for comparison."""
+    takes the MXU banded-operator bank matmul on TPU (engine 'mx', new
+    round 5); 'xla' forces the round-4 overlap-save FFT and 'pallas'
+    the fused in-VMEM bank kernel for comparison."""
     import jax
     import jax.numpy as jnp
     from baseband_tasks_tpu.models import FourierDomainAccelSearch
@@ -864,8 +864,8 @@ def accel(engine="auto", n=1 << 22, z_max=64, n_scan=8):
 
     # the pallas kernel's VMEM budget caps seg_len at 4096
     # (ops/accel_correlate.MAX_SEG_LEN); the xla comparison keeps its
-    # round-4 8192 window.  The sample_trials/s metric is window-free
-    # (n x n_z either way) and total HBM traffic is ~unchanged.
+    # round-4 8192 window; the mx engine fixes its own L = 2m window.
+    # The sample_trials/s metric is window-free (n x n_z either way).
     s = FourierDomainAccelSearch(
         n, 1 * u.MHz, z_max=z_max, z_step=2,
         seg_len=8192 if engine == "xla" else 4096, engine=engine)
@@ -877,7 +877,10 @@ def accel(engine="auto", n=1 << 22, z_max=64, n_scan=8):
     x = mk(np.ones((1,), np.float32))
     jax.block_until_ready(x)
 
-    if s._use_pallas():
+    if s._use_mx():
+        mr, mi = s._mx_planes()
+        impl = lambda xx: s._search_impl_mx(xx, mr, mi)  # noqa: E731
+    elif s._use_pallas():
         banks = s._lane_banks()
         impl = lambda xx: s._search_impl_pallas(xx, banks)  # noqa: E731
     else:
@@ -898,38 +901,38 @@ def accel(engine="auto", n=1 << 22, z_max=64, n_scan=8):
         {"config": "accelsearch",
          "sample_trials_per_s": round(n * len(s.zs) / dt, 1),
          "n_z": len(s.zs),
-         "engine": "pallas" if s._use_pallas() else "xla",
+         "engine": ("mx" if s._use_mx()
+                    else "pallas" if s._use_pallas() else "xla"),
          "backend": jax.default_backend()},
         "sample_trials_per_s")
 
 
 def accel_roofline(n=1 << 22, n_scan=8):
-    """Per-pass HBM byte model for the acceleration search (round-4
-    verdict item 5: the one stagnant row had no roofline).  Times each
-    pass of the pallas path individually in one drift window and
-    compares against byte models at the same-run base bandwidth.
+    """Per-pass roofline for the acceleration search's conv engine
+    (round-4 verdict item 5).  Times the forward pass (rfft +
+    normalization) and the full MXU conv search in one drift window and
+    compares each against the binding of two models at the same-run
+    base bandwidth:
 
-    Byte models (bytes/search, B = bytes of one f32 plane):
-    - forward: read x (4n) + write spec (8·nf) + segment gather
-      read spec / write segs (2 · 8·n_seg·seg_len)
-    - bank kernel (per 128-lane chunk): read segs (8·n_seg·seg_len) +
-      write power map (4·n_seg·valid·128); the bank planes are VMEM-
-      resident (read once, ~8·seg_len·128)
-    - XLA comparison path: ~36 bytes per (sample, trial) for the three
-      materializations of the (n_seg, n_z, seg_len) complex tensor
+    - HBM bytes: fwd reads x (4n) + writes spec (8·nf); the bank
+      matmul reads the spec planes (8·nf), materializes the overlap-
+      save segment planes (~16·nf), two (n_seg, n_z, m) f32
+      correlation tensors (write + read back for the power pass,
+      8·n_z·nf) and writes the (nf, n_z) map (4·n_z·nf):
+      24·nf + 12·n_z·nf.
+    - MXU flops: four (n_seg x L) @ (L x n_z·m) real matmuls =
+      8·L·m·n_z·n_seg flops (L = 2m), at the bf16 peak / 3 for the
+      'high' three-pass default.
     """
     import jax
     import jax.numpy as jnp
     from baseband_tasks_tpu.models import FourierDomainAccelSearch
-    from baseband_tasks_tpu.ops.accel_correlate import (
-        LANES, accel_correlate_bank)
     from baseband_tasks_tpu.utils import units as u
 
     probe = base_probe(refresh_s=0.0)
     bw = probe["base_GBps"] * 1e9
     s = FourierDomainAccelSearch(n, 1 * u.MHz, z_max=64, z_step=2,
-                                 seg_len=4096, engine="auto")
-    (tr, ti), _ = s._lane_banks()[0]
+                                 engine="mx")
 
     @jax.jit
     def mk(sf):
@@ -951,53 +954,32 @@ def accel_roofline(n=1 << 22, n_scan=8):
         np.asarray(run(x))
         return _best_of(lambda: np.asarray(run(x))) / n_scan
 
-    seg_bytes = 8 * s._n_seg * s.seg_len
+    nf = s.n_freq
+    # v5e MXU bf16 peak ~197 TFLOP/s; 'high' default = 3 bf16 passes
+    mxu = 197e12 / 3.0
+    n_seg_mx = -(-nf // s.m)
     out = {"config": "accel_roofline", "base_GBps": probe["base_GBps"],
-           "n_seg": s._n_seg, "seg_len": s.seg_len, "valid": s._valid}
+           "engine": "mx", "m_taps": s.m, "n_z": len(s.zs)}
 
-    t_fwd = timed(lambda xx: jnp.fft.fft(s._segments(xx), axis=1))
-    model_fwd = (4 * n + 8 * (n // 2 + 1) + 3 * seg_bytes) / bw
-    out["forward_fft_segment"] = {
+    t_fwd = timed(s._spectrum)
+    model_fwd = (4 * n + 8 * nf) / bw
+    out["forward_spectrum"] = {
         "measured_ms": round(t_fwd * 1e3, 2),
         "byte_model_ms": round(model_fwd * 1e3, 2),
         "of_model": round(model_fwd / t_fwd, 2)}
 
-    F = jax.jit(lambda xx: jnp.fft.fft(s._segments(xx), axis=1))(x)
-    jax.block_until_ready(F)
-
-    def bank_only(F):
-        return accel_correlate_bank(F, tr, ti, valid=s._valid)
-
-    @jax.jit
-    def run_bank(F):
-        def step(carry, i):
-            p = bank_only(F * (1.0 + 1e-6 * i.astype(jnp.float32)))
-            return carry, jnp.sum(p)
-        _, ys = jax.lax.scan(step, 0.0,
-                             jnp.arange(n_scan, dtype=jnp.int32))
-        return jnp.sum(ys).reshape(1)
-
-    np.asarray(run_bank(F))
-    t_bank = _best_of(lambda: np.asarray(run_bank(F))) / n_scan
-    # the scan's perturbation re-reads+writes F once (2 seg_bytes)
-    model_bank = (3 * seg_bytes
-                  + 4 * s._n_seg * s._valid * LANES) / bw
-    out["bank_correlate_kernel"] = {
-        "measured_ms": round(t_bank * 1e3, 2),
-        "byte_model_ms": round(model_bank * 1e3, 2),
-        "of_model": round(model_bank / t_bank, 2)}
-
-    full = accel(n=n, n_scan=n_scan)
-    t_full = n * len(s.zs) / full["sample_trials_per_s"]
-    model_full = model_fwd + (model_bank - 2 * seg_bytes / bw)
+    mr, mi = s._mx_planes()
+    t_full = timed(lambda xx: s._search_impl_mx(xx, mr, mi))
+    conv_bytes = (24 * nf + 12 * len(s.zs) * nf) / bw
+    conv_flops = 8 * (2 * s.m) * s.m * len(s.zs) * n_seg_mx / mxu
+    model_full = model_fwd + max(conv_bytes, conv_flops)
     out["full_search"] = {
         "measured_ms": round(t_full * 1e3, 2),
-        "byte_model_ms": round(model_full * 1e3, 2),
+        "byte_model_ms": round((model_fwd + conv_bytes) * 1e3, 2),
+        "mxu_flop_model_ms": round(conv_flops * 1e3, 2),
+        "model_ms": round(model_full * 1e3, 2),
         "of_model": round(model_full / t_full, 2),
-        "sample_trials_per_s": full["sample_trials_per_s"],
-        "engine": full["engine"]}
-    out["xla_path_model_ms"] = round(
-        36 * s._n_seg * s.seg_len * len(s.zs) / bw * 1e3, 2)
+        "sample_trials_per_s": round(n * len(s.zs) / t_full, 1)}
     return out
 
 
@@ -1177,10 +1159,16 @@ def maskedfold():
         "samples_per_s", "unmasked_samples_per_s")
 
 
-def polarization(n_blocks=8, block=1 << 14, n_chan=128, n_scan=4):
+def polarization(n_blocks=16, block=1 << 18, n_chan=128, n_scan=4):
     """ConvertPolarization + ApplyJones in-chain cost: the same
     channelize-detect-integrate chain with and without the two
-    polarization stages, device-resident blocks."""
+    polarization stages, device-resident blocks.
+
+    Sizing: 16 x 2^18-sample dual-pol blocks (67 MB complex) per jit
+    call — the device charges a fixed ~1-2 ms per dispatched call plus
+    a fetch round-trip, so the original 8 x 2^14 sizing measured only
+    that latency floor (1.1e7 samples/s published mid-round-5, then
+    re-run at this size)."""
     import jax
     import jax.numpy as jnp
     from baseband_tasks_tpu import (ApplyJones, Channelize,
@@ -1324,6 +1312,8 @@ def _cmds():
             "accel": accel,
             "accel_xla": lambda: dict(accel(engine="xla"),
                                       config="accelsearch_xla"),
+            "accel_pallas": lambda: dict(accel(engine="pallas"),
+                                         config="accelsearch_pallas"),
             "accel_roofline": accel_roofline,
             "beamform": beamform,
             "ffa": ffa, "rmsearch": rmsearch, "secondary": secondary,
