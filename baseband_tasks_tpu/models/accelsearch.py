@@ -191,7 +191,7 @@ class FourierDomainAccelSearch:
     def _mx_planes(self):
         """f32 planes of the banded correlation operator
         ``M_z[f, k] = conj(t_z)[f - k]`` (zero outside ``0 <= f-k < m``)
-        of shape (n_z, L, m), L = 2m — so that
+        stored as (L, m, n_z) Karatsuba planes, L = 2m — so that
         ``corr[s, z, k] = sum_f segs[s, f] M_z[f, k]
                         = sum_j segs[s, k+j] conj(t_z)[j]``
         IS the correlation lag ``k`` of segment ``s``.  The m-fold
@@ -210,11 +210,21 @@ class FourierDomainAccelSearch:
             dc = np.clip(d, 0, self.m - 1)
             mr = np.where(band[None], kr[:, dc], 0.0).astype(np.float32)
             mi = np.where(band[None], ki[:, dc], 0.0).astype(np.float32)
-            self._mx_cache = (jnp.asarray(np.ascontiguousarray(mr)),
-                              jnp.asarray(np.ascontiguousarray(mi)))
+            # (f, k, z) axis order so the dot output is (s, k, z) and
+            # the final (n_freq, n_z) reshape is layout-free — the
+            # (s, z, k) ordering paid a 2 x 545 MB transpose
+            # round-trip at 2^22.  Three Karatsuba planes (a, b, c):
+            #   t = (fr+fi) @ a;  u = fi @ b;  v = fr @ c
+            #   cr = t - u;       ci = t + v
+            # (3 MXU dots + 3 outputs instead of 4, exact in f32)
+            mr = mr.transpose(1, 2, 0)         # (L, m, n_z)
+            mi = mi.transpose(1, 2, 0)
+            self._mx_cache = tuple(
+                jnp.asarray(np.ascontiguousarray(p.astype(np.float32)))
+                for p in (mr, mr + mi, mi - mr))
         return self._mx_cache
 
-    def _search_impl_mx(self, x, mr, mi):
+    def _search_impl_mx(self, x, ka, kb, kc):
         """MXU path: overlap-save correlation as one bank matmul.
 
         Windows of ``L = 2m`` spectrum bins advance by ``valid = m``,
@@ -223,9 +233,11 @@ class FourierDomainAccelSearch:
         reshapes, NO gather (the general ``specp[idx]`` gather measured
         ~36 ms alone at 2^22 on v5e).  The template product and inverse
         DFT are folded into the per-template constant ``M_z``
-        (:meth:`_mx_planes`), so the whole bank correlation is
-        ``einsum('sf,zfk->szk')`` — an (n_seg x L) @ (L x n_z*m)
-        matmul with contraction L = 512: MXU-shaped, unlike a
+        (:meth:`_mx_planes`), so the whole bank correlation is three
+        Karatsuba ``einsum('sf,fkz->skz')`` dots — (n_seg x L) @
+        (L x m*n_z) matmuls with contraction L = 512: MXU-shaped,
+        with the (s, k, z) output order making the final (n_freq, n_z)
+        reshape layout-free, unlike a
         C_in=2 ``conv_general_dilated`` (measured 1.5e9 trials/s, 1.6%
         MXU utilization) or the VPU-FFT pallas kernel (1.8e9)."""
         from ..ops.dft_matmul import matmul_precision
@@ -247,13 +259,17 @@ class FourierDomainAccelSearch:
         fr, fi = segs(jnp.real(spec)), segs(jnp.imag(spec))
         prec = matmul_precision()
 
-        def dot(a, b):
-            return jnp.einsum("sf,zfk->szk", a, b, precision=prec)
+        def dot(x_, p):
+            return jnp.einsum("sf,fkz->skz", x_, p, precision=prec)
 
-        cr = dot(fr, mr) - dot(fi, mi)
-        ci = dot(fr, mi) + dot(fi, mr)
-        power = cr * cr + ci * ci                   # (n_seg, n_z, m)
-        zmap = power.transpose(0, 2, 1).reshape(-1, mr.shape[0])
+        # Karatsuba complex correlation: 3 dots instead of 4
+        t = dot(fr + fi, ka)
+        u = dot(fi, kb)
+        v = dot(fr, kc)
+        cr = t - u
+        ci = t + v
+        power = cr * cr + ci * ci                   # (n_seg, m, n_z)
+        zmap = power.reshape(-1, ka.shape[-1])
         return zmap[:self.n_freq]
 
     def _search_impl_pallas(self, x, banks):
@@ -314,9 +330,9 @@ class FourierDomainAccelSearch:
                              f"{x.shape}")
         if self._use_mx():
             if self._jsearch_mx is None:
-                mr, mi = self._mx_planes()
+                planes = self._mx_planes()
                 self._jsearch_mx = jax.jit(
-                    lambda xx: self._search_impl_mx(xx, mr, mi))
+                    lambda xx: self._search_impl_mx(xx, *planes))
             return self._jsearch_mx(x)
         if self._use_pallas():
             if self._jsearch_pallas is None:
@@ -356,32 +372,39 @@ class FourierDomainAccelSearch:
         if cached is None:
             n_z = len(self.zs)
             pad = pad_to_multiple(n_z, n_shards)
-            # the mx engine shards identically (operator rows = bank
-            # axis); keep the FFT impl for engine='xla'/'pallas' so the
-            # sharded and single-device paths use the same arithmetic
+            # the mx engine shards identically (the bank axis is the
+            # LAST axis of its operator planes); keep the FFT impl for
+            # engine='xla'/'pallas' so the sharded and single-device
+            # paths use the same arithmetic
             if self.engine in ("xla", "pallas"):
                 impl = self._search_impl
-                pr, pi = np.asarray(self._tf_r), np.asarray(self._tf_i)
+                planes = (np.asarray(self._tf_r),
+                          np.asarray(self._tf_i))
+                bank_axis = 0
+                bank_spec = NamedSharding(mesh, P(axis_name, None))
             else:
                 impl = self._search_impl_mx
-                mr, mi = self._mx_planes()
-                pr, pi = np.asarray(mr), np.asarray(mi)
+                planes = tuple(np.asarray(p) for p in self._mx_planes())
+                bank_axis = 2
+                bank_spec = NamedSharding(mesh,
+                                          P(None, None, axis_name))
             if pad:
-                z = np.zeros((pad,) + pr.shape[1:], pr.dtype)
-                pr = np.concatenate([pr, z])
-                pi = np.concatenate([pi, z])
-            bank_spec = NamedSharding(mesh, P(axis_name, None))
-            tr = jax.device_put(jnp.asarray(pr), bank_spec)
-            ti = jax.device_put(jnp.asarray(pi), bank_spec)
+                def padz(p):
+                    w = [(0, 0)] * p.ndim
+                    w[bank_axis] = (0, pad)
+                    return np.pad(p, w)
+                planes = tuple(padz(p) for p in planes)
+            dev = tuple(jax.device_put(jnp.asarray(p), bank_spec)
+                        for p in planes)
             fn = jax.jit(impl,
                          out_shardings=NamedSharding(
                              mesh, P(None, axis_name)))
-            cached = (fn, tr, ti, NamedSharding(mesh, P()), n_z)
+            cached = (fn, dev, NamedSharding(mesh, P()), n_z)
             if not hasattr(self, "_sharded_cache"):
                 self._sharded_cache = {}
             self._sharded_cache[key] = cached
-        fn, tr, ti, rep, n_z = cached
-        zmap = fn(jax.device_put(x, rep), tr, ti)
+        fn, dev, rep, n_z = cached
+        zmap = fn(jax.device_put(x, rep), *dev)
         return zmap[:, :n_z] if zmap.shape[1] != n_z else zmap
 
     def harmonic_sum(self, zmap, n_harm=4):

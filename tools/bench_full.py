@@ -878,8 +878,8 @@ def accel(engine="auto", n=1 << 22, z_max=64, n_scan=8):
     jax.block_until_ready(x)
 
     if s._use_mx():
-        mr, mi = s._mx_planes()
-        impl = lambda xx: s._search_impl_mx(xx, mr, mi)  # noqa: E731
+        planes = s._mx_planes()
+        impl = lambda xx: s._search_impl_mx(xx, *planes)  # noqa: E731
     elif s._use_pallas():
         banks = s._lane_banks()
         impl = lambda xx: s._search_impl_pallas(xx, banks)  # noqa: E731
@@ -920,9 +920,9 @@ def accel_roofline(n=1 << 22, n_scan=8):
       correlation tensors (write + read back for the power pass,
       8·n_z·nf) and writes the (nf, n_z) map (4·n_z·nf):
       24·nf + 12·n_z·nf.
-    - MXU flops: four (n_seg x L) @ (L x n_z·m) real matmuls =
-      8·L·m·n_z·n_seg flops (L = 2m), at the bf16 peak / 3 for the
-      'high' three-pass default.
+    - MXU flops: three Karatsuba (n_seg x L) @ (L x m·n_z) real
+      matmuls = 6·L·m·n_z·n_seg flops (L = 2m), at the bf16 peak / 3
+      for the 'high' three-pass default.
     """
     import jax
     import jax.numpy as jnp
@@ -968,10 +968,10 @@ def accel_roofline(n=1 << 22, n_scan=8):
         "byte_model_ms": round(model_fwd * 1e3, 2),
         "of_model": round(model_fwd / t_fwd, 2)}
 
-    mr, mi = s._mx_planes()
-    t_full = timed(lambda xx: s._search_impl_mx(xx, mr, mi))
+    planes = s._mx_planes()
+    t_full = timed(lambda xx: s._search_impl_mx(xx, *planes))
     conv_bytes = (24 * nf + 12 * len(s.zs) * nf) / bw
-    conv_flops = 8 * (2 * s.m) * s.m * len(s.zs) * n_seg_mx / mxu
+    conv_flops = 6 * (2 * s.m) * s.m * len(s.zs) * n_seg_mx / mxu
     model_full = model_fwd + max(conv_bytes, conv_flops)
     out["full_search"] = {
         "measured_ms": round(t_full * 1e3, 2),
