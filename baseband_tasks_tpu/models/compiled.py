@@ -927,13 +927,20 @@ class CompiledPipeline:
             return (pair[0] * s, None if pair[1] is None else pair[1] * s)
 
         def tail_rows(plane, pad):
-            # overlap-save tail via the FLAT view: slicing the
-            # (samples,) + sample_shape form makes XLA materialize the
-            # whole plane in a lane-padded layout — 64x HBM for a
-            # (n, 2) sample shape (measured: two 15.9 GB copies of
-            # 254 MB planes at the config3big window, OOM on 16 GB)
+            # overlap-save tail.  For NARROW sample shapes the direct
+            # row slice makes XLA materialize the whole plane in a
+            # lane-padded layout — 64x HBM for a (n, 2) shape
+            # (measured: two 15.9 GB copies of 254 MB planes at the
+            # config3big window, OOM on 16 GB) — so those go through
+            # the FLAT view.  For lane-aligned planes (>= 128 trailing
+            # elements) the flat reshape is itself a full relayout
+            # copy per step (measured: config3's 512-lane chain halved
+            # to 2.6e9 samples/s when flattened unconditionally,
+            # round 5), so they keep the direct slice.
             per = int(np.prod(plane.shape[1:], dtype=int)) \
                 if plane.ndim > 1 else 1
+            if per >= 128:
+                return plane[-pad:]
             flat = plane.reshape(-1)
             cut = flat.shape[0] - pad * per
             return jax.lax.slice_in_dim(flat, cut, flat.shape[0]) \

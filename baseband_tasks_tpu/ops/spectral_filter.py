@@ -145,6 +145,19 @@ def _k3_trim_body(n1, kf, ke, post, prec, *refs):
     oi_ref[:] = ii
 
 
+#: scoped-VMEM cap handed to Mosaic.  100 MiB is the measured sweet
+#: spot: raising it to the 128 MiB physical ceiling lets Mosaic choose
+#: larger tiles that HALVE the config-3 quad chain (round-5 A/B:
+#: 3.37 ms/block at 100M vs 6.55 ms at 128M, same geometry).  The one
+#: shipped geometry that does not fit 100M (config3big: 2^16-row
+#: window at L=512 lanes, 127.8 MB scoped at the minimum legal tile)
+#: must raise this module global to 128 MiB before its first compile
+#: (the bench's config3big does); jit caches key on shapes, so a
+#: per-geometry value is safe as long as it is set before that
+#: geometry first compiles.
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
 # -- host-side op ---------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=(
@@ -157,13 +170,7 @@ def _spectral_filter_impl(args, *, n1, n2, kf, ke, block_b, block_c,
     # read via a module global inside this already-cached jit it would
     # be silently stale (ops/dft_matmul.set_matmul_precision)
     n = n1 * n2
-    # 2^19-row windows split as (512, 1024): the stage-B Stockham over
-    # n2=1024 rows holds one more radix stage of live intermediates than
-    # the flagship's n2=512 — ~76 MB scoped; and the widest-lane
-    # geometry this library ships (config3big: n=2^17 -> n2=512 at
-    # L=512 lanes) measures 127.8 MB scoped at the minimum legal tile,
-    # so the cap sits just under the v5e's 128 MiB physical VMEM
-    params = pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
+    params = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
     i = 0
     scale = None
     if scaled:

@@ -191,7 +191,8 @@ def config1():
         "compiled_samples_per_s")
 
 
-def _timed_planes_chain(cp, shape, n_iter=N_ITER, blocks_per_step=1):
+def _timed_planes_chain(cp, shape, n_iter=N_ITER, blocks_per_step=1,
+                        flat_inputs=False):
     """Time the compiled planes-interchange step: complex data travels
     as two flat f32 planes, the per-iteration scale rides into the
     first fused kernel's SMEM, and streaming fused stages assemble
@@ -209,43 +210,40 @@ def _timed_planes_chain(cp, shape, n_iter=N_ITER, blocks_per_step=1):
 
     step_c, caches = cp.cached_planes_step()
 
-    # generate and hold the loop-invariant input planes FLAT: a
-    # (samples, 2)-shaped resident buffer tiles its 2-wide minor axis
-    # to 128 lanes (64x padding — at the config3big window XLA held two
-    # 15.9 GB padded copies of 254 MB of data and OOM'd 16 GB HBM);
-    # the flat form pads one tile tail, and the in-jit reshape lands on
-    # the kernels' dense (rows, lanes) layout
+    # flat_inputs=True holds the loop-invariant input planes FLAT and
+    # reshapes inside the scan body: a (samples, 2)-shaped resident
+    # buffer tiles its 2-wide minor axis to 128 lanes (64x padding —
+    # at the config3big 2^17 window XLA held two 15.9 GB padded copies
+    # of 254 MB of data and OOM'd 16 GB HBM), which only the flat form
+    # avoids.  At windows that FIT, the 2D-resident form is FASTER:
+    # round-5 measured config3 (2^15 window) at 2.5e9 through the
+    # flat path vs 4.9e9 resident — the in-body reshape costs a
+    # relayout per step — so flat stays opt-in for the OOM geometry.
     flat = (int(np.prod(shape)),)
+    gen_shape = flat if flat_inputs else shape
 
     @jax.jit
     def make_block(seedf):
         k = jax.random.key(seedf[0].astype(jnp.int32))
-        return (jax.random.normal(k, flat, jnp.float32),
-                jax.random.normal(jax.random.fold_in(k, 1), flat,
+        return (jax.random.normal(k, gen_shape, jnp.float32),
+                jax.random.normal(jax.random.fold_in(k, 1), gen_shape,
                                   jnp.float32))
 
     xr, xi = make_block(np.ones((1,), np.float32))
     jax.block_until_ready(xr)
 
     @jax.jit
-    def run(xr_flat, xi_flat, *cs):
+    def run(xr_in, xi_in, *cs):
         def s(carry, i):
-            # reshape INSIDE the scan body: the step's own (rows,
-            # lanes) reshapes then collapse with this one in the same
-            # HLO computation, so the (samples, small-minor) form never
-            # materializes (as a loop operand it would be held in the
-            # 64x lane-padded layout)
-            xr = xr_flat.reshape(shape)
-            xi = xi_flat.reshape(shape)
+            xr = xr_in.reshape(shape) if flat_inputs else xr_in
+            xi = xi_in.reshape(shape) if flat_inputs else xi_in
             out = 0.0
             for k in range(blocks_per_step):
                 scale = 1.0 + 1e-6 * (
                     blocks_per_step * i.astype(jnp.float32) + k)
                 carry, (yr, yi) = step_c(carry, (xr, xi), scale, cs)
-                # checksum via the FLAT view: it collapses with the
-                # library's (rows, lanes) -> (samples, shape) reshape,
-                # so the (samples, small-minor) form never materializes
-                # (64x lane padding; see the input-planes note above)
+                # flat-view checksum collapses with the library's
+                # (rows, lanes) -> (samples, shape) reshape
                 out = out + jnp.sum(yr.reshape(-1) ** 2) \
                     + (0.0 if yi is None
                        else jnp.sum(yi.reshape(-1) ** 2))
@@ -311,7 +309,7 @@ def config2(spf=1 << 17, blocks_per_step=4):
 
 
 def config3(spf=32256, pad_start=128, pad_end=128,
-            blocks_per_step=4):
+            blocks_per_step=4, flat_inputs=False, vmem_mib=None):
     """PFB (8 taps x 256 chan sinc-hamming) + Wiener inverse round trip,
     dual-pol complex.  ``spf``/``pad`` (spectra) set the deconvolution
     window: spf + 2*pad should be a power of two with pads on the
@@ -347,6 +345,11 @@ def config3(spf=32256, pad_start=128, pad_end=128,
     from baseband_tasks_tpu.ops.dft_matmul import set_matmul_precision
     from baseband_tasks_tpu.utils import Time, units as u
 
+    if vmem_mib is not None:
+        # config3big's window needs the full 128 MiB scoped VMEM
+        # (see ops/spectral_filter.VMEM_LIMIT_BYTES)
+        from baseband_tasks_tpu.ops import spectral_filter as _sf
+        _sf.VMEM_LIMIT_BYTES = int(vmem_mib) * 1024 * 1024
     n_tap, n_chan = 8, 256
     h = sinc_hamming(n_tap, n_chan).reshape(n_tap, n_chan)
     # stream long enough that the padded window never clamps
@@ -369,7 +372,8 @@ def config3(spf=32256, pad_start=128, pad_end=128,
         assert fused == 2, fused
 
         dt = _timed_planes_chain(cp, (cp.block_samples, 2),
-                                 blocks_per_step=blocks_per_step)
+                                 blocks_per_step=blocks_per_step,
+                                 flat_inputs=flat_inputs)
     rate = cp.block_samples * 2 / dt
     return _with_base(
         {"config": 3, "samples_per_s": round(rate, 1),
@@ -1300,7 +1304,8 @@ def _cmds():
             # flat-view tail slice), the stage-bridge one is XLA's
             # layout choice around the pallas custom-call boundary
             "config3big": lambda: dict(
-                config3(spf=64512, pad_start=512, pad_end=505),
+                config3(spf=64512, pad_start=512, pad_end=505,
+                        flat_inputs=True, vmem_mib=128),
                 config="config3big"),
             "config4": config4, "config4_packed": config4_packed,
             "scaling": scaling, "roofline": roofline,
