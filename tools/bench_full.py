@@ -1163,16 +1163,17 @@ def maskedfold():
         "samples_per_s", "unmasked_samples_per_s")
 
 
-def polarization(n_blocks=16, block=1 << 18, n_chan=128, n_scan=4):
+def polarization(n_blocks=64, block=1 << 18, n_chan=128, n_scan=4):
     """ConvertPolarization + ApplyJones in-chain cost: the same
     channelize-detect-integrate chain with and without the two
     polarization stages, device-resident blocks.
 
-    Sizing: 16 x 2^18-sample dual-pol blocks (67 MB complex) per jit
+    Sizing: 64 x 2^18-sample dual-pol blocks (268 MB complex) per jit
     call — the device charges a fixed ~1-2 ms per dispatched call plus
     a fetch round-trip, so the original 8 x 2^14 sizing measured only
-    that latency floor (1.1e7 samples/s published mid-round-5, then
-    re-run at this size)."""
+    that latency floor (1.1e7 samples/s published mid-round-5, then a
+    16-block sizing still fetch-diluted at 3.3e8; re-run at this
+    size)."""
     import jax
     import jax.numpy as jnp
     from baseband_tasks_tpu import (ApplyJones, Channelize,
