@@ -134,6 +134,7 @@ class FourierDomainAccelSearch:
         self._jsearch_pallas = None
         self._jsearch_mx = None
         self._mx_cache = None
+        self._mx_fused_cache = None
 
     @property
     def freqs(self):
@@ -272,6 +273,58 @@ class FourierDomainAccelSearch:
         zmap = power.reshape(-1, ka.shape[-1])
         return zmap[:self.n_freq]
 
+    def _mx_fused_planes(self, col_tile=512):
+        """Karatsuba operator planes flattened to (L, m*n_z_pad) for
+        the fused pallas kernel, with the z bank padded so the column
+        count tiles by ``col_tile`` (padded templates are all-zero ->
+        zero power, trimmed from the returned map)."""
+        if self._mx_fused_cache is None:
+            planes = self._mx_planes()            # 3 x (L, m, n_z)
+            n_z = len(self.zs)
+            q = max(1, col_tile // self.m)
+            n_z_pad = -(-n_z // q) * q
+            out = []
+            for p in planes:
+                p = np.asarray(p)
+                if n_z_pad != n_z:
+                    p = np.pad(p, ((0, 0), (0, 0), (0, n_z_pad - n_z)))
+                out.append(jnp.asarray(np.ascontiguousarray(
+                    p.reshape(p.shape[0], -1))))
+            self._mx_fused_cache = tuple(out)
+        return self._mx_fused_cache
+
+    def _search_impl_mx_fused(self, x, ka, kb, kc, seg_tile=256):
+        """The mx engine's single-device path: same math as
+        :meth:`_search_impl_mx`, but the three Karatsuba dots and the
+        power epilogue fuse in one pallas kernel
+        (ops/accel_correlate.bank_matmul_power) — the three
+        (n_seg, m*n_z) correlation tensors never touch HBM (~3.2 GB
+        saved per 2^22-sample search).  Segments are padded to the
+        kernel's row tile (zero rows -> zero power past n_freq)."""
+        from ..ops.accel_correlate import bank_matmul_power
+
+        m = self.m
+        valid = m
+        n_seg = -(-self.n_freq // valid)
+        n_seg_pad = -(-n_seg // seg_tile) * seg_tile
+        total = (n_seg_pad + 1) * valid
+        front = m // 2
+        spec = self._spectrum(x)
+
+        def segs(p):
+            p = jnp.concatenate(
+                [jnp.zeros(front, p.dtype), p,
+                 jnp.zeros(total - front - self.n_freq, p.dtype)])
+            rows = p.reshape(n_seg_pad + 1, valid)
+            return jnp.concatenate([rows[:-1], rows[1:]], axis=1)
+
+        fr, fi = segs(jnp.real(spec)), segs(jnp.imag(spec))
+        power = bank_matmul_power(fr, fi, ka, kb, kc,
+                                  seg_tile=seg_tile)
+        n_z_pad = ka.shape[1] // m
+        zmap = power.reshape(-1, n_z_pad)
+        return zmap[:self.n_freq, :len(self.zs)]
+
     def _search_impl_pallas(self, x, banks):
         """Pallas path: the forward segment FFT is one small shared XLA
         pass (17 MB at 2^22 samples — every z lane reuses it); the
@@ -330,9 +383,9 @@ class FourierDomainAccelSearch:
                              f"{x.shape}")
         if self._use_mx():
             if self._jsearch_mx is None:
-                planes = self._mx_planes()
+                planes = self._mx_fused_planes()
                 self._jsearch_mx = jax.jit(
-                    lambda xx: self._search_impl_mx(xx, *planes))
+                    lambda xx: self._search_impl_mx_fused(xx, *planes))
             return self._jsearch_mx(x)
         if self._use_pallas():
             if self._jsearch_pallas is None:

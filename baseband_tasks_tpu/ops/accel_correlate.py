@@ -129,3 +129,80 @@ def accel_correlate_bank(segs, tf_r, tf_i, *, valid, interpret=None):
     return _accel_correlate_impl(sr, si, jnp.asarray(tf_r),
                                  jnp.asarray(tf_i), valid=valid,
                                  interpret=interpret)
+
+
+def _bank_kernel(prec, fr_ref, fi_ref, ka_ref, kb_ref, kc_ref, out_ref):
+    """One (seg_tile x col_tile) output block: three Karatsuba dots
+    with the power epilogue fused — the t/u/v correlation tensors live
+    only in VMEM (the XLA formulation writes and re-reads all three,
+    ~3.2 GB per 2^22-sample search)."""
+    from .dft_matmul import kernel_dot
+    fr = fr_ref[:]
+    fi = fi_ref[:]
+    t = kernel_dot(fr + fi, ka_ref[:], prec)
+    u = kernel_dot(fi, kb_ref[:], prec)
+    v = kernel_dot(fr, kc_ref[:], prec)
+    cr = t - u
+    ci = t + v
+    out_ref[:] = cr * cr + ci * ci
+
+
+@functools.partial(jax.jit, static_argnames=("seg_tile", "col_tile",
+                                             "interpret", "prec"))
+def _bank_matmul_impl(fr, fi, ka, kb, kc, *, seg_tile, col_tile,
+                      interpret, prec):
+    n_seg, L = fr.shape
+    n_cols = ka.shape[1]
+    grid = (n_cols // col_tile, n_seg // seg_tile)
+    seg_spec = pl.BlockSpec((seg_tile, L), lambda j, i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    op_spec = pl.BlockSpec((L, col_tile), lambda j, i: (0, j),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((seg_tile, col_tile), lambda j, i: (i, j),
+                            memory_space=pltpu.VMEM)
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
+    return pl.pallas_call(
+        functools.partial(_bank_kernel, prec),
+        compiler_params=params,
+        grid=grid,
+        in_specs=(seg_spec, seg_spec, op_spec, op_spec, op_spec),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n_seg, n_cols), jnp.float32),
+        interpret=interpret,
+    )(fr, fi, ka, kb, kc)
+
+
+def bank_matmul_power(fr, fi, ka, kb, kc, *, seg_tile=256,
+                      col_tile=512, interpret=None):
+    """Fused Karatsuba bank correlation + power for the accel search's
+    mx engine.
+
+    fr, fi : (n_seg, L) float32 segment planes (n_seg % seg_tile == 0;
+        the caller pads segments — padded rows map past n_freq and are
+        trimmed by the final slice).
+    ka, kb, kc : (L, n_cols) float32 Karatsuba operator planes with
+        columns in flattened (lag, z) order (n_cols % col_tile == 0,
+        zero-pad extra columns).
+
+    Returns the (n_seg, n_cols) power block,
+    ``|sum_f seg[s, f] M[f, kz]|^2``.  Grid order keeps the operator
+    tiles resident across the segment sweep: HBM traffic is one read
+    of the segments per column tile, one read of the operator, one
+    write of the power map — the three (n_seg, n_cols) correlation
+    intermediates never leave VMEM.
+    """
+    from .dft_matmul import matmul_precision
+
+    n_seg, L = fr.shape
+    n_cols = ka.shape[1]
+    if n_seg % seg_tile or n_cols % col_tile:
+        raise ValueError(f"shapes ({n_seg}, {n_cols}) must tile by "
+                         f"({seg_tile}, {col_tile})")
+    if ka.shape != (L, n_cols):
+        raise ValueError(f"operator planes must be ({L}, {n_cols})")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _bank_matmul_impl(fr, fi, ka, kb, kc, seg_tile=seg_tile,
+                             col_tile=col_tile, interpret=interpret,
+                             prec=matmul_precision())

@@ -882,8 +882,9 @@ def accel(engine="auto", n=1 << 22, z_max=64, n_scan=8):
     jax.block_until_ready(x)
 
     if s._use_mx():
-        planes = s._mx_planes()
-        impl = lambda xx: s._search_impl_mx(xx, *planes)  # noqa: E731
+        planes = s._mx_fused_planes()
+        impl = lambda xx: s._search_impl_mx_fused(  # noqa: E731
+            xx, *planes)
     elif s._use_pallas():
         banks = s._lane_banks()
         impl = lambda xx: s._search_impl_pallas(xx, banks)  # noqa: E731
@@ -972,8 +973,8 @@ def accel_roofline(n=1 << 22, n_scan=8):
         "byte_model_ms": round(model_fwd * 1e3, 2),
         "of_model": round(model_fwd / t_fwd, 2)}
 
-    planes = s._mx_planes()
-    t_full = timed(lambda xx: s._search_impl_mx(xx, *planes))
+    planes = s._mx_fused_planes()
+    t_full = timed(lambda xx: s._search_impl_mx_fused(xx, *planes))
     conv_bytes = (24 * nf + 12 * len(s.zs) * nf) / bw
     conv_flops = 6 * (2 * s.m) * s.m * len(s.zs) * n_seg_mx / mxu
     model_full = model_fwd + max(conv_bytes, conv_flops)
